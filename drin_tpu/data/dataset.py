@@ -1,0 +1,249 @@
+# -*- coding: utf-8 -*-
+"""Feature-store datasets with fully vectorized, columnar batch assembly.
+
+Replaces the reference's per-example ``Dataset.__getitem__`` + DataLoader
+worker processes (``drin/data.py:85-126``, the input bottleneck: 101 dict
+lookups + mmap fancy-indexing per example) with:
+
+  * a one-time vectorized qid->row join producing an ``[N, C]`` int32 index
+    matrix (replacing per-example ``qid2idx.get`` calls, drin/data.py:88),
+  * whole-batch numpy gathers (one fancy-index per field per batch),
+  * the CLS +1 position shift and one-hot answer lookup applied columnar
+    (drin/data.py:109-126).
+
+Batches are NamedTuples whose field order matches the reference's positional
+tuple contract (drin/data.py:16-19; baselines/data.py:182-192), so
+``batch[:-1]`` / ``batch[-1]`` splitting (train.py:32-33) works unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, NamedTuple, Optional
+
+import numpy as np
+
+from drin_tpu.common.config import Config
+from drin_tpu.common import npy_io
+
+
+class DrinBatch(NamedTuple):
+    """15-tensor DRIN batch (reference drin/data.py:16-19 field order)."""
+
+    mention_text_feature: np.ndarray  # [B, L, D]
+    mention_text_mask: np.ndarray  # [B, L]
+    mention_start_pos: np.ndarray  # [B] (CLS-shifted)
+    mention_end_pos: np.ndarray  # [B]
+    mention_image_feature: np.ndarray  # [B, R, Dr]
+    mention_object_feature: np.ndarray  # [B, Tm, Dr]
+    mention_object_score: np.ndarray  # [B, Tm]
+    entity_text_feature: np.ndarray  # [B, C, Le, D] (wikimel) / [B, C, D] (wikidiverse)
+    entity_text_mask: np.ndarray  # [B, C, Le] (wikimel) / [B] zeros (wikidiverse)
+    entity_image_feature: np.ndarray  # [B, C, 1, Dr] or [B, C, Dr]
+    entity_object_feature: np.ndarray  # [B, C, Te, (1,) Dr]
+    entity_object_score: np.ndarray  # [B, C, Te]
+    miet_similarity: np.ndarray  # [B, C]
+    mtei_similarity: np.ndarray  # [B, C]
+    answer: np.ndarray  # [B, C-1] one-hot (all-zero when answer absent)
+
+
+class BaselineBatch(NamedTuple):
+    """9-tensor offline baseline batch (reference baselines/data.py:182-192)."""
+
+    mention_text_feature: np.ndarray
+    mention_text_mask: np.ndarray
+    mention_start_pos: np.ndarray
+    mention_end_pos: np.ndarray
+    mention_image_feature: np.ndarray
+    entity_text_feature: np.ndarray
+    entity_text_mask: np.ndarray
+    entity_image_feature: np.ndarray
+    answer: np.ndarray
+
+
+def make_onehot_lookup(num_candidates_data: int, dtype=np.float32) -> np.ndarray:
+    """Answer-index -> one-hot row; index ``num_candidates_data`` maps to the
+    all-zero row for "answer not in candidates" (drin/data.py:159-161)."""
+    eye = np.eye(num_candidates_data, dtype=dtype)
+    return np.concatenate([eye, np.zeros((1, num_candidates_data), dtype=dtype)], axis=0)
+
+
+def _gather(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Batch gather rows from a (possibly huge, mmap'd) table.
+
+    Uses the native C++ parallel gather when built; numpy fancy-indexing
+    otherwise."""
+    from drin_tpu.native import gather_rows
+
+    return gather_rows(table, rows)
+
+
+class MELFeatureDataset:
+    """Columnar view over one split of the preprocessed feature store."""
+
+    def __init__(self, cfg: Config, split: str, entity_tables: Optional[dict] = None):
+        self.cfg = cfg
+        self.split = split
+        d = cfg.preprocess_dir
+        ld = lambda f, mmap=None: npy_io.load_field(d, f, split, mmap)
+        C = cfg.num_candidates_model
+
+        self.mention_text_feature = ld("mention_text_feature", cfg.mention_mmap)
+        self.mention_text_mask = ld("mention_text_mask")
+        self.start_pos = ld("start_pos")
+        self.end_pos = ld("end_pos")
+        self.mention_image_feature = ld("mention_image_feature", cfg.mention_mmap)
+        self.mention_object_feature = ld("mention_object_feature", cfg.mention_mmap)
+        self.mention_object_score = ld("mention_object_score")
+        self.miet_similarity = ld("similarity_miet")
+        self.mtei_similarity = ld("similarity_eimt")
+        self.answer = ld("answer")
+        self.onehot = make_onehot_lookup(cfg.num_candidates_data)
+
+        if cfg.dataset_name == "wikidiverse":
+            # mention-aligned entity arrays, reshaped over the candidate dim
+            # (drin/data.py:30-38)
+            self.entity_text_feature = ld("entity_attr_feature", cfg.entity_mmap).reshape(-1, C, cfg.bert_embed_dim)
+            self.entity_text_mask = None
+            self.entity_image_feature = ld("entity_image_feature", cfg.entity_mmap).reshape(
+                -1, C, cfg.resnet_embed_dim
+            )
+            self.entity_object_feature = ld("entity_object_feature", cfg.entity_mmap).reshape(
+                -1, C, cfg.entity_object_topk, cfg.resnet_embed_dim
+            )
+            self.entity_object_score = ld("entity_object_score").reshape(-1, C, cfg.entity_object_topk)
+            self.entity_row_idx = None
+        else:  # wikimel: global entity table + per-mention qid join
+            assert entity_tables is not None, "wikimel needs the shared global entity tables"
+            self.tables = entity_tables
+            qids = npy_io.load_field(d, "entity_name_raw", split).reshape(-1, C)
+            with open(os.path.join(d, "qid2idx.json")) as f:
+                qid2idx = json.load(f)
+            # vectorized join: the [N, C] row-index matrix is computed ONCE
+            # here instead of per-example dict lookups in workers
+            # (drin/data.py:88)
+            lut = np.vectorize(qid2idx.__getitem__, otypes=[np.int64])
+            self.entity_row_idx = lut(qids).astype(np.int32)
+
+        n = len(self.answer)
+        assert (
+            n
+            == len(self.mention_text_feature)
+            == len(self.start_pos)
+            == len(self.mention_image_feature)
+            == len(self.mention_object_feature)
+            == len(self.miet_similarity)
+        ), "split arrays misaligned"
+
+    def __len__(self) -> int:
+        return len(self.answer)
+
+    # ------------------------------------------------------------------
+    def drin_batch(self, idx: np.ndarray) -> DrinBatch:
+        """Assemble one DRIN batch for mention indices ``idx`` — all
+        whole-batch numpy ops."""
+        cfg = self.cfg
+        if cfg.dataset_name == "wikimel":
+            rows = self.entity_row_idx[idx]  # [B, C]
+            etf = _gather(self.tables["entity_text_feature"], rows)
+            etm = _gather(self.tables["entity_text_mask"], rows)
+            eif = _gather(self.tables["entity_image_feature"], rows)
+            eof = _gather(self.tables["entity_object_feature"], rows)
+            eos = _gather(self.tables["entity_object_score"], rows)
+        else:
+            etf = np.asarray(self.entity_text_feature[idx])
+            etm = np.zeros((len(idx),), dtype=np.int64)
+            eif = np.asarray(self.entity_image_feature[idx])
+            eof = np.asarray(self.entity_object_feature[idx])
+            eos = np.asarray(self.entity_object_score[idx])
+        return DrinBatch(
+            mention_text_feature=np.asarray(self.mention_text_feature[idx]),
+            mention_text_mask=np.asarray(self.mention_text_mask[idx]),
+            # +1: CLS shift (drin/data.py:113-114)
+            mention_start_pos=self.start_pos[idx] + 1,
+            mention_end_pos=self.end_pos[idx] + 1,
+            mention_image_feature=np.asarray(self.mention_image_feature[idx]),
+            mention_object_feature=np.asarray(self.mention_object_feature[idx]),
+            mention_object_score=np.asarray(self.mention_object_score[idx]),
+            entity_text_feature=etf,
+            entity_text_mask=etm,
+            entity_image_feature=eif,
+            entity_object_feature=eof,
+            entity_object_score=eos,
+            miet_similarity=np.asarray(self.miet_similarity[idx]),
+            mtei_similarity=np.asarray(self.mtei_similarity[idx]),
+            answer=self.onehot[self.answer[idx]],
+        )
+
+    def baseline_batch(self, idx: np.ndarray) -> BaselineBatch:
+        """Assemble one offline GHMFC/MELHI batch (baselines/data.py:169-192)."""
+        cfg = self.cfg
+        if cfg.dataset_name == "wikimel":
+            rows = self.entity_row_idx[idx]
+            etf = _gather(self.tables["entity_text_feature"], rows)
+            etm = _gather(self.tables["entity_text_mask"], rows)
+            eif = _gather(self.tables["entity_image_feature"], rows)
+        else:
+            etf = np.asarray(self.entity_text_feature[idx])
+            etm = np.zeros((len(idx),), dtype=np.int64)
+            eif = np.asarray(self.entity_image_feature[idx])
+        if eif.ndim == 4:  # [B, C, 1, Dr] resnet pooler -> [B, C, Dr]
+            eif = eif.reshape(eif.shape[0], eif.shape[1], -1)
+        return BaselineBatch(
+            mention_text_feature=np.asarray(self.mention_text_feature[idx]),
+            mention_text_mask=np.asarray(self.mention_text_mask[idx]),
+            mention_start_pos=self.start_pos[idx] + 1,
+            mention_end_pos=self.end_pos[idx] + 1,
+            mention_image_feature=np.asarray(self.mention_image_feature[idx]),
+            entity_text_feature=etf,
+            entity_text_mask=etm,
+            entity_image_feature=eif,
+            answer=self.onehot[self.answer[idx]],
+        )
+
+    # ------------------------------------------------------------------
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        kind: str = "drin",
+        drop_remainder: bool = False,
+        pad_to_full: bool = False,
+    ) -> Iterator[tuple]:
+        """Iterate batches.  ``pad_to_full`` repeats the last examples so every
+        batch has exactly ``batch_size`` rows (static shapes for jit); the
+        returned batch carries a ``valid`` count via the iterator protocol of
+        :func:`padded_batches` instead when needed."""
+        n = len(self)
+        order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+        make = self.drin_batch if kind == "drin" else self.baseline_batch
+        for i in range(0, n, batch_size):
+            idx = order[i : i + batch_size]
+            if len(idx) < batch_size:
+                if drop_remainder:
+                    return
+                if pad_to_full:
+                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            yield make(idx)
+
+
+def load_wikimel_entity_tables(cfg: Config) -> dict:
+    """Load the 5 global WikiMEL entity arrays once, shared across splits
+    (drin/data.py:163-187)."""
+    d = cfg.preprocess_dir
+    return {
+        "entity_text_feature": npy_io.load_field(d, "entity_attr_feature", mmap=cfg.entity_mmap),
+        "entity_text_mask": npy_io.load_field(d, "entity_attr_mask"),
+        "entity_image_feature": npy_io.load_field(d, "entity_image_feature", "all", cfg.entity_mmap),
+        "entity_object_feature": npy_io.load_field(d, "entity_object_feature", "all", cfg.entity_mmap),
+        "entity_object_score": npy_io.load_field(d, "entity_object_score", "all"),
+    }
+
+
+def create_datasets(cfg: Config) -> list:
+    """Build train/valid/test datasets (reference create_datasets,
+    drin/data.py:158-200)."""
+    tables = load_wikimel_entity_tables(cfg) if cfg.dataset_name == "wikimel" else None
+    return [MELFeatureDataset(cfg, split, tables) for split in ("train", "valid", "test")]

@@ -1,0 +1,226 @@
+# -*- coding: utf-8 -*-
+"""DRIN: Dynamic Relation Interactive Network, TPU-native.
+
+Re-design of the reference model (``/root/reference/drin/model.py``): a
+4-vertex / 4-edge-type relation graph per mention-candidate pair, refined by
+L dynamic GCN layers, scored by cosine matching of the text vertices.
+
+Differences from the reference implementation (same numerics, TPU shape):
+  * the EdgeEncoder's Tm x Te object-pair Python loop (model.py:84-92) is one
+    einsum (``ops.object_pair_similarity``),
+  * the per-sample span-average loops (ghmfc.py:54-60) and per-candidate
+    entity pooling loops (ghmfc.py:245-249) are masked einsums,
+  * all four vertex updates and four edge updates of a GCN layer are batched
+    dense ops over the padded [B, C, D] tensor — XLA fuses them; a Pallas
+    fused kernel is available behind ``cfg.use_pallas``.
+
+Vertex order: [mt, mi, et, ei]; edge order: [tt, ti, it, ii]
+(reference model.py:105-107).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from drin_tpu.common.config import Config
+from drin_tpu.nn.layers import AvgLinear, LayerNorm, Linear, get_activation
+from drin_tpu.ops.core import cosine_similarity, object_pair_similarity, span_mean, token_span_mean
+
+
+class VertexEncoder(nn.Module):
+    """Produce the four vertex sets (reference model.py:13-46):
+    mt [B,D], mi [B,D], et [B,C,D], ei [B,C,D]."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(
+        self,
+        mention_text_feature,  # [B, L, Dt]
+        mention_text_mask,  # [B, L]
+        mention_start_pos,  # [B]
+        mention_end_pos,  # [B]
+        mention_image_feature,  # [B, R, Dr]
+        entity_text_feature,  # [B, C, Le, Dt] (wikimel) | [B, C, Dt] (wikidiverse)
+        entity_text_mask,  # [B, C, Le] | unused
+        entity_image_feature,  # [B, C, 1, Dr] | [B, C, Dr]
+    ):
+        cfg = self.cfg
+        # mention text vertex: span-avg + linear (mention_final_layer_name
+        # == "linear" for drin, args.py:28; ghmfc.py:163-165)
+        mt = AvgLinear(cfg.mention_final_output_dim, name="mention_text_encoder")(
+            mention_text_feature, mention_start_pos, mention_end_pos
+        )
+        # entity text vertex (EntityEncoder offline path, ghmfc.py:237-251)
+        if entity_text_feature.ndim == 4:  # wikimel: pool tokens 1..n-1
+            num_tokens = jnp.sum(entity_text_mask, axis=-1)  # [B, C]
+            pooled = token_span_mean(entity_text_feature, num_tokens)
+        else:  # wikidiverse: stored features are already pooled
+            pooled = entity_text_feature
+        et = Linear(cfg.entity_final_output_dim, name="entity_text_encoder")(pooled)
+        # image vertices: mean-pool regions then project (model.py:41-45)
+        mi = Linear(cfg.gcn_embed_dim, name="mention_image_linear")(
+            jnp.mean(mention_image_feature, axis=-2)
+        )
+        if entity_image_feature.ndim == 4:
+            entity_image_feature = jnp.mean(entity_image_feature, axis=-2)
+        ei = Linear(cfg.gcn_embed_dim, name="entity_image_linear")(entity_image_feature)
+        return [mt, mi, et, ei]
+
+
+class EdgeEncoder(nn.Module):
+    """Same-modality edge weights (reference model.py:49-94): mtet from text
+    cosine, miei from score-weighted object-pair cosine."""
+
+    cfg: Config
+
+    def __call__(
+        self,
+        mention_text_feature,
+        mention_start_pos,
+        mention_end_pos,
+        mention_object_feature,  # [B, Tm, Dr] (or [B, Tm, k, Dr] -> meaned)
+        mention_object_score,  # [B, Tm]
+        entity_text_feature,
+        entity_object_feature,  # [B, C, Te, Dr] (or [B, C, Te, k, Dr])
+        entity_object_score,  # [B, C, Te]
+    ):
+        C = self.cfg.num_candidates_model
+        # mtet: cosine(raw span-avg mention repr, entity CLS/pooled text)
+        # (model.py:71-76; the final-repr fn is Avg -- no linear)
+        m = span_mean(mention_text_feature, mention_start_pos, mention_end_pos)  # [B, Dt]
+        e = entity_text_feature[:, :, 0] if entity_text_feature.ndim == 4 else entity_text_feature
+        mtet = cosine_similarity(jnp.broadcast_to(m[:, None, :], e.shape), e)  # [B, C]
+
+        if mention_object_feature.ndim == 4:
+            mention_object_feature = jnp.mean(mention_object_feature, axis=-2)
+        if entity_object_feature.ndim == 5:
+            entity_object_feature = jnp.mean(entity_object_feature, axis=-2)
+        miei = object_pair_similarity(
+            mention_object_feature, mention_object_score, entity_object_feature, entity_object_score
+        )
+        return mtet, miei
+
+
+class GCNLayer(nn.Module):
+    """One relation-interaction layer (reference model.py:97-153).
+
+    The bipartite relation graph is hard-coded:
+      vertex u <- [(edge, neighbor)]: mt<-[(tt,et),(ti,ei)] mi<-[(it,et),(ii,ei)]
+                                      et<-[(tt,mt),(it,mi)] ei<-[(ti,mt),(ii,mi)]
+      edge e  <- (u, v) endpoints:    tt=(mt,et) ti=(mt,ei) it=(mi,et) ii=(mi,ei)
+    """
+
+    cfg: Config
+
+    vertex_graph = ((0, 2), (1, 3)), ((2, 2), (3, 3)), ((0, 0), (2, 1)), ((1, 0), (3, 1))
+    edge_graph = ((0, 2), (0, 3), (1, 2), (1, 3))
+
+    @nn.compact
+    def __call__(self, vertexes, edges):
+        cfg = self.cfg
+        C = cfg.num_candidates_model
+        D = cfg.gcn_embed_dim
+        vector = cfg.gcn_edge_feature == "vector"
+        vact = get_activation(cfg.gcn_vertex_activation)
+        eact = get_activation(cfg.gcn_edge_activation)
+
+        # per-edge ablation mask (model.py:122)
+        edges = [e * m for e, m in zip(edges, cfg.gcn_edge_enabled)]
+
+        w_h = Linear(D, name="w_h")
+        layer_norm = LayerNorm(name="layer_norm")  # shared by all 4 updates
+        w_u = Linear(D // 2 if vector else D, name="w_u")
+        w_v = Linear(D // 2 if vector else D, name="w_v")
+
+        def conv_vertex(e, v):
+            # scalar edges broadcast to D (model.py:139-146)
+            ef = e if vector else e[..., None]
+            if v.ndim == 3:  # mention <- entity: average message over candidates
+                return jnp.mean(ef * v, axis=1)
+            return ef * v[:, None, :]  # entity <- mention: broadcast
+
+        new_vertexes = []
+        for u, neighbors in zip(vertexes, self.vertex_graph):
+            agg = u
+            for ei_, vi in neighbors:
+                agg = agg + conv_vertex(edges[ei_], vertexes[vi])
+            new_vertexes.append(vact(layer_norm(w_h(agg))))
+
+        if cfg.gcn_edge_type == "dynamic":
+            # edge updates read the OLD (masked-edge, pre-update) vertexes
+            # (model.py:130-134)
+            w_m = Linear(D, name="w_m") if vector else (lambda x: x)
+            new_edges = []
+            for e, (ui, vi) in zip(edges, self.edge_graph):
+                u, v = vertexes[ui], vertexes[vi]
+                fu = w_u(u)[:, None, :]  # [B,1,D'] broadcast over candidates
+                if vector:
+                    conv = jnp.concatenate([jnp.broadcast_to(fu, (*v.shape[:2], fu.shape[-1])), w_v(v)], axis=-1)
+                else:
+                    conv = jnp.mean(fu * w_v(v), axis=-1)  # [B, C]
+                new_edges.append(eact(w_m(conv + e)))
+        else:
+            new_edges = edges
+        return new_vertexes, new_edges
+
+
+class DRIN(nn.Module):
+    """Full DRIN forward (reference Model, model.py:156-209).
+
+    Input: the 14-tensor batch (DrinBatch minus the answer).
+    Output: cosine scores [B, C]."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, batch):
+        cfg = self.cfg
+        (
+            mention_text_feature,
+            mention_text_mask,
+            mention_start_pos,
+            mention_end_pos,
+            mention_image_feature,
+            mention_object_feature,
+            mention_object_score,
+            entity_text_feature,
+            entity_text_mask,
+            entity_image_feature,
+            entity_object_feature,
+            entity_object_score,
+            miet_similarity,
+            mtei_similarity,
+        ) = batch
+        vertexes = VertexEncoder(cfg, name="vertex_encoder")(
+            mention_text_feature,
+            mention_text_mask,
+            mention_start_pos,
+            mention_end_pos,
+            mention_image_feature,
+            entity_text_feature,
+            entity_text_mask,
+            entity_image_feature,
+        )
+        mtet, miei = EdgeEncoder(cfg, name="edge_encoder")(
+            mention_text_feature,
+            mention_start_pos,
+            mention_end_pos,
+            mention_object_feature,
+            mention_object_score,
+            entity_text_feature,
+            entity_object_feature,
+            entity_object_score,
+        )
+        # edge order (tt, ti, it, ii); CLIP logits scaled by 1/100
+        # (model.py:201-204)
+        edges = [mtet, mtei_similarity / 100.0, miet_similarity / 100.0, miei]
+        if cfg.gcn_edge_feature == "vector":
+            edges = [jnp.broadcast_to(e[..., None], (*e.shape, cfg.gcn_embed_dim)) for e in edges]
+        for i in range(cfg.num_gcn_layers):
+            vertexes, edges = GCNLayer(cfg, name=f"gcn_{i}")(vertexes, edges)
+        mention, entity = vertexes[0], vertexes[2]
+        mention = jnp.broadcast_to(mention[:, None, :], entity.shape)
+        return cosine_similarity(mention, entity)

@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""Core vectorized ops.
+
+Every per-sample Python loop in the reference's hot path has a closed-form
+batched equivalent here (the whole point of the TPU rebuild — the reference
+shapes are static, SURVEY §3.2):
+
+  * ``span_mean``       <- Avg.avg loop over batch rows (ghmfc.py:54-60)
+  * ``token_span_mean`` <- per-candidate entity pooling loops (ghmfc.py:245-249)
+  * ``object_pair_similarity`` <- EdgeEncoder 3x1 object double loop
+    (drin/model.py:84-92)
+  * ``cosine_similarity``      <- torch.nn.CosineSimilarity semantics
+  * ``topk_mask``              <- threshold-vs-kth-largest mask (utils.py:63-65)
+
+All functions are jit/vmap/grad-safe (static shapes, no data-dependent
+control flow).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# These ops are small reductions on the hot path of *parity-sensitive*
+# numerics (span means, edge weights).  Full f32 accumulation costs nothing
+# here and avoids XLA's relaxed default matmul precision (bf16-style passes
+# on both TPU MXU and oneDNN CPU).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def cosine_similarity(x: jax.Array, y: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
+    """Cosine similarity with torch.nn.CosineSimilarity numerics:
+    ``dot(x, y) / max(||x||*||y||, eps)``."""
+    dot = jnp.sum(x * y, axis=axis)
+    nx = jnp.linalg.norm(x, axis=axis)
+    ny = jnp.linalg.norm(y, axis=axis)
+    return dot / jnp.maximum(nx * ny, eps)
+
+
+def span_mean(seq: jax.Array, begin: jax.Array, end: jax.Array) -> jax.Array:
+    """Mean of ``seq[i, begin[i]:end[i]]`` for every batch row, vectorized.
+
+    seq: [B, L, D]; begin/end: [B] int.  Empty spans (begin >= end) return 0
+    instead of NaN (they do not occur in valid data: a mention always has at
+    least one token)."""
+    L = seq.shape[-2]
+    pos = jnp.arange(L)
+    mask = (pos[None, :] >= begin[:, None]) & (pos[None, :] < end[:, None])  # [B, L]
+    maskf = mask.astype(seq.dtype)
+    count = jnp.maximum(jnp.sum(maskf, axis=-1, keepdims=True), 1.0)
+    return jnp.einsum("bl,bld->bd", maskf, seq, precision=_HI) / count
+
+
+def token_span_mean(features: jax.Array, num_tokens: jax.Array, lo: int = 1, hi_offset: int = 1) -> jax.Array:
+    """Mean over token positions ``lo : num_tokens - hi_offset`` along axis -2.
+
+    Vectorizes the reference's per-(sample x candidate) entity pooling loop
+    (ghmfc.py:245-249): features [..., Le, D], num_tokens broadcastable to
+    features.shape[:-2]."""
+    Le = features.shape[-2]
+    pos = jnp.arange(Le)
+    shape = (1,) * (features.ndim - 2) + (Le,)
+    pos = pos.reshape(shape)
+    hi = (num_tokens - hi_offset)[..., None]
+    mask = ((pos >= lo) & (pos < hi)).astype(features.dtype)  # [..., Le]
+    count = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+    return jnp.einsum("...l,...ld->...d", mask, features, precision=_HI) / count
+
+
+def masked_max(seq: jax.Array, mask: jax.Array, axis: int = -2) -> jax.Array:
+    """Max over ``axis`` counting only positions where mask != 0."""
+    neg = jnp.finfo(seq.dtype).min
+    m = jnp.expand_dims(mask != 0, -1)
+    return jnp.max(jnp.where(m, seq, neg), axis=axis)
+
+
+def object_pair_similarity(
+    mention_obj: jax.Array,  # [B, Tm, D]
+    mention_score: jax.Array,  # [B, Tm]
+    entity_obj: jax.Array,  # [B, C, Te, D]
+    entity_score: jax.Array,  # [B, C, Te]
+    eps: float = 1e-9,
+) -> jax.Array:
+    """Score-weighted average of pairwise object cosine similarities.
+
+    Closed form of the reference's Tm x Te Python double loop
+    (drin/model.py:84-92): for each (mention object i, entity object j) pair,
+    weight cos(m_i, e_j) by mention_score_i * entity_score_j, then divide by
+    the summed weights (+eps).  Output: [B, C]."""
+    # normalize with torch-CosineSimilarity clamping semantics on the product
+    mdot = jnp.einsum("bid,bcjd->bcij", mention_obj, entity_obj, precision=_HI)  # [B,C,Tm,Te]
+    mn = jnp.linalg.norm(mention_obj, axis=-1)  # [B, Tm]
+    en = jnp.linalg.norm(entity_obj, axis=-1)  # [B, C, Te]
+    denom = jnp.maximum(mn[:, None, :, None] * en[:, :, None, :], 1e-8)
+    sim = mdot / denom  # [B, C, Tm, Te]
+    w = mention_score[:, None, :, None] * entity_score[:, :, None, :]  # [B, C, Tm, Te]
+    num = jnp.sum(sim * w, axis=(-1, -2))
+    den = jnp.sum(w, axis=(-1, -2))
+    return num / (den + eps)
+
+
+def topk_mask(scores: jax.Array, k: int) -> jax.Array:
+    """Boolean mask of entries >= the k-th largest per row (ties included),
+    matching the reference metric's threshold construction (utils.py:63-65)."""
+    kth = jax.lax.top_k(scores, k)[0][..., -1:]
+    return scores >= kth

@@ -1,0 +1,54 @@
+# -*- coding: utf-8 -*-
+"""Top-k accuracy with correction — functional, psum-able counters.
+
+Replaces the reference's torchmetrics ``TopkAccuracy`` (utils.py:46-73).
+State is a pytree of int32 counters so it can live inside a jitted step and
+be reduced over the data axis with ``jax.lax.psum`` (the reference's only
+distributed-aware line, ``dist_reduce_fx="sum"`` at utils.py:57-58, maps to
+exactly that).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from drin_tpu.ops.core import topk_mask
+
+MetricState = Dict[str, jax.Array]  # {"correct_{k}": [], "total": []}
+
+
+def init_state(topk: Sequence[int]) -> MetricState:
+    state = {f"correct_{k}": jnp.zeros((), jnp.float32) for k in topk}
+    state["total"] = jnp.zeros((), jnp.float32)
+    return state
+
+
+def update(state: MetricState, y_pred: jax.Array, y_true: jax.Array, topk: Sequence[int]) -> MetricState:
+    """Accumulate counters for one batch (utils.py:60-66): the answer column
+    is stripped, a candidate counts as hit when its score >= the k-th
+    largest (ties included)."""
+    if y_pred.shape[1] != y_true.shape[1]:
+        y_pred = y_pred[:, :-1]
+    new = dict(state)
+    for k in topk:
+        mask = topk_mask(y_pred, k).astype(y_true.dtype)
+        new[f"correct_{k}"] = state[f"correct_{k}"] + jnp.sum(y_true * mask)
+    new["total"] = state["total"] + y_pred.shape[0]
+    return new
+
+
+def compute(state: MetricState, topk: Sequence[int], correction: float = 0.0) -> Dict[int, jax.Array]:
+    """Finalize accuracies; ``correction`` folds first-stage retrieval misses
+    into the reported number as the reference does at display time
+    (train.py:38, acc / (1 - correction))."""
+    total = jnp.maximum(state["total"], 1.0)
+    return {k: state[f"correct_{k}"] / total / (1.0 - correction) for k in topk}
+
+
+def psum_state(state: MetricState, axis_name: str) -> MetricState:
+    """Cross-device reduction of the counters (maps the reference's
+    dist_reduce_fx="sum" to a psum over the mesh)."""
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), state)

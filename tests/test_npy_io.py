@@ -1,0 +1,77 @@
+# -*- coding: utf-8 -*-
+"""Streaming .npy writer: format + reshape semantics (reference
+utils.py:103-224 contract)."""
+
+import numpy as np
+import pytest
+
+from drin_tpu.common.npy_io import NpyWriter, load_field, save_field
+
+
+def test_append_roundtrip(tmp_path):
+    p = str(tmp_path / "a.npy")
+    with NpyWriter(p) as w:
+        w.append(np.array([1, 2, 3], dtype=np.int64))
+        w.append(np.array([4, 5, 6], dtype=np.int64))
+    out = np.load(p)
+    np.testing.assert_array_equal(out, [[1, 2, 3], [4, 5, 6]])
+    assert out.dtype == np.int64
+
+
+def test_extend_and_float32(tmp_path):
+    p = str(tmp_path / "b.npy")
+    data = np.arange(24, dtype=np.float32).reshape(4, 2, 3)
+    with NpyWriter(p) as w:
+        w.extend(data)
+    np.testing.assert_array_equal(np.load(p), data)
+
+
+def test_reshape_with_minus_one(tmp_path):
+    # the resnet object-feature path reshapes [N*topk, 1, D] -> [N, topk, 1, D]
+    # via writer.reshape (reference resnet.py:162)
+    p = str(tmp_path / "c.npy")
+    w = NpyWriter(p)
+    for i in range(6):
+        w.append(np.full((1, 4), i, dtype=np.float32))
+    w.reshape([-1, 3, 1, 4]).close()
+    out = np.load(p)
+    assert out.shape == (2, 3, 1, 4)
+    assert out[1, 0, 0, 0] == 3
+
+
+def test_shape_mismatch_raises(tmp_path):
+    w = NpyWriter(str(tmp_path / "d.npy"))
+    w.append(np.zeros((2,), np.float32))
+    with pytest.raises(ValueError):
+        w.append(np.zeros((3,), np.float32))
+    with pytest.raises(ValueError):
+        w.append(np.zeros((2,), np.float64))
+    w.close()
+
+
+def test_reshape_bad_shape_raises(tmp_path):
+    w = NpyWriter(str(tmp_path / "e.npy"))
+    w.append(np.zeros((4,), np.float32))
+    with pytest.raises(ValueError):
+        w.reshape([3, 3])
+    with pytest.raises(ValueError):
+        w.reshape([-1, -1, 2])
+    w.close()
+
+
+def test_mmap_readable(tmp_path):
+    # big stores are mmap-read at train time (drin/data.py:47-48)
+    p = str(tmp_path / "f.npy")
+    with NpyWriter(p) as w:
+        w.extend(np.arange(12, dtype=np.float32).reshape(3, 4))
+    m = np.load(p, mmap_mode="r")
+    assert m[2, 3] == 11.0
+
+
+def test_field_naming_contract(tmp_path):
+    # field names use dashes on disk, underscores in code (prepare.py:24-28)
+    d = str(tmp_path)
+    save_field(d, "mention_text_feature", np.ones((2, 3)), "train")
+    assert (tmp_path / "mention-text-feature_train.npy").exists()
+    out = load_field(d, "mention_text_feature", "train")
+    assert out.shape == (2, 3)

@@ -1,0 +1,98 @@
+# -*- coding: utf-8 -*-
+"""Vectorized ops vs straightforward per-sample numpy references.
+
+Each numpy oracle below re-states the reference's loop semantics
+(ghmfc.py:54-60 span average; model.py:84-92 object pairs; utils.py:63-65
+top-k mask) independently, so these tests pin the vectorization, not the
+loops' code."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from drin_tpu.ops.core import (
+    cosine_similarity,
+    object_pair_similarity,
+    span_mean,
+    token_span_mean,
+    topk_mask,
+)
+
+
+def test_cosine_similarity_matches_definition(rng):
+    x = rng.standard_normal((4, 7)).astype(np.float32)
+    y = rng.standard_normal((4, 7)).astype(np.float32)
+    got = np.asarray(cosine_similarity(jnp.asarray(x), jnp.asarray(y)))
+    want = (x * y).sum(-1) / np.maximum(
+        np.linalg.norm(x, axis=-1) * np.linalg.norm(y, axis=-1), 1e-8
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_cosine_similarity_zero_vector_is_finite():
+    x = jnp.zeros((2, 4))
+    y = jnp.ones((2, 4))
+    out = np.asarray(cosine_similarity(x, y))
+    assert np.all(np.isfinite(out)) and np.all(out == 0)
+
+
+def test_span_mean(rng):
+    B, L, D = 5, 11, 3
+    seq = rng.standard_normal((B, L, D)).astype(np.float32)
+    begin = np.array([0, 1, 3, 5, 2])
+    end = np.array([2, 4, 4, 11, 3])
+    got = np.asarray(span_mean(jnp.asarray(seq), jnp.asarray(begin), jnp.asarray(end)))
+    for i in range(B):
+        np.testing.assert_allclose(got[i], seq[i, begin[i] : end[i]].mean(0), rtol=2e-5, atol=1e-6)
+
+
+def test_token_span_mean_matches_per_candidate_loop(rng):
+    # entity pooling over tokens 1 .. n-1 per candidate (ghmfc.py:245-249)
+    B, C, Le, D = 2, 3, 9, 4
+    feat = rng.standard_normal((B, C, Le, D)).astype(np.float32)
+    n = rng.integers(3, Le, size=(B, C))
+    got = np.asarray(token_span_mean(jnp.asarray(feat), jnp.asarray(n)))
+    for i in range(B):
+        for j in range(C):
+            np.testing.assert_allclose(
+                got[i, j], feat[i, j, 1 : n[i, j] - 1].mean(0), rtol=2e-5, atol=1e-6
+            )
+
+
+def test_object_pair_similarity_matches_double_loop(rng):
+    # weighted pairwise cosine, numpy double loop oracle (model.py:84-92)
+    B, C, Tm, Te, D = 3, 4, 3, 1, 6
+    mo = rng.standard_normal((B, Tm, D)).astype(np.float32)
+    ms = rng.uniform(0, 1, (B, Tm)).astype(np.float32)
+    eo = rng.standard_normal((B, C, Te, D)).astype(np.float32)
+    es = rng.uniform(0, 1, (B, C, Te)).astype(np.float32)
+    got = np.asarray(object_pair_similarity(jnp.asarray(mo), jnp.asarray(ms), jnp.asarray(eo), jnp.asarray(es)))
+    sim = np.zeros((B, C), np.float32)
+    tot = np.zeros((B, C), np.float32)
+    for i in range(Tm):
+        for j in range(Te):
+            a, b = mo[:, None, i], eo[:, :, j]
+            cs = (a * b).sum(-1) / np.maximum(
+                np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-8
+            )
+            w = ms[:, None, i] * es[:, :, j]
+            sim += cs * w
+            tot += w
+    np.testing.assert_allclose(got, sim / (tot + 1e-9), rtol=1e-5, atol=1e-6)
+
+
+def test_object_pair_similarity_zero_scores_finite():
+    # padded objects have score 0 (resnet.py:117-118): denominator guard
+    B, C, Tm, Te, D = 2, 3, 3, 1, 4
+    out = np.asarray(
+        object_pair_similarity(
+            jnp.ones((B, Tm, D)), jnp.zeros((B, Tm)), jnp.ones((B, C, Te, D)), jnp.zeros((B, C, Te))
+        )
+    )
+    assert np.all(np.isfinite(out))
+
+
+def test_topk_mask_threshold_semantics(rng):
+    scores = np.array([[0.9, 0.5, 0.5, 0.1], [0.2, 0.3, 0.4, 0.5]], np.float32)
+    m = np.asarray(topk_mask(jnp.asarray(scores), 2))
+    # ties at the k-th value are ALL included (utils.py:63-65)
+    np.testing.assert_array_equal(m, [[True, True, True, False], [False, False, True, True]])
