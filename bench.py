@@ -1,0 +1,137 @@
+# -*- coding: utf-8 -*-
+"""Benchmark: DRIN eval throughput (mention-candidate pairs/sec/chip).
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the reference's headline eval configuration (SURVEY §6):
+WikiMEL shapes — batch 64, C=101 candidates, 128-token mention features,
+64-token entity attributes, 49 ResNet regions — full DRIN forward.
+
+``vs_baseline`` compares against the reference PyTorch implementation run in
+place (/root/reference, eager torch on this host's CPU — the only hardware
+both can run on here; the reference's own GPU numbers are unpublished,
+BASELINE.md).  The reference measurement is cached in
+``baseline_measured.json`` so repeated bench runs skip it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+B = 64
+N_WARMUP = 3
+N_ITERS = 100
+BASELINE_CACHE = os.path.join(REPO, "baseline_measured.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from drin_tpu.common.config import make_config
+    from drin_tpu.models.drin import DRIN
+
+    cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused")
+    model = DRIN(cfg)
+    rng = np.random.default_rng(0)
+    feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
+    params = model.init(jax.random.key(0), feats)["params"]
+
+    # Chain iterations through a scalar data dependency so the device MUST
+    # execute every forward sequentially, and fetch once at the end.  (Naive
+    # per-call block_until_ready is unreliable through remote-relay
+    # transports and over-reports; a host fetch per call under-reports by
+    # one network roundtrip per iteration.)
+    def score_sum(params, feats, eps):
+        f = (feats[0] + eps * 1e-12,) + feats[1:]
+        return jnp.sum(model.apply({"params": params}, f))
+
+    fn = jax.jit(score_sum)
+    dev_feats = tuple(jax.device_put(x) for x in feats)
+    dev_params = jax.device_put(params)
+    log(f"devices: {jax.devices()}")
+    for _ in range(N_WARMUP):
+        float(np.asarray(fn(dev_params, dev_feats, jnp.float32(0.0))))
+    eps = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        eps = fn(dev_params, dev_feats, eps)
+    np.asarray(eps)  # single device->host fetch closes the chain
+    dt = time.perf_counter() - t0
+    pairs = N_ITERS * B * cfg.num_candidates_model
+    log(f"ours: {N_ITERS} iters in {dt:.3f}s ({dt / N_ITERS * 1e3:.2f} ms/iter)")
+    return pairs / dt
+
+
+def measure_reference() -> float:
+    """Run the reference DRIN forward in place (read-only import; never
+    copied).  Uses the same random-batch generator and batch shapes."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        log(f"reference (cached): {cached['pairs_per_sec']:.0f} pairs/s [{cached['note']}]")
+        return cached["pairs_per_sec"]
+
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from reference_oracle import load_reference, ref_import
+
+    import __graft_entry__ as g
+    from drin_tpu.common.config import make_config
+
+    load_reference("wikimel", "drin")
+    ref_model_mod = ref_import("drin.model")
+    torch.manual_seed(0)
+    ref = ref_model_mod.Model().eval()
+    cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused")
+    rng = np.random.default_rng(0)
+    feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
+    tb = [torch.as_tensor(x) for x in feats]
+    n_iters = 3
+    with torch.no_grad():
+        ref(tb)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            ref(tb)
+        dt = time.perf_counter() - t0
+    pps = n_iters * B * cfg.num_candidates_model / dt
+    note = f"reference torch eager, CPU ({os.cpu_count()} cores), batch {B}"
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"pairs_per_sec": pps, "note": note}, f)
+    log(f"reference: {n_iters} iters in {dt:.3f}s -> {pps:.0f} pairs/s [{note}]")
+    return pps
+
+
+def main():
+    ours = measure_ours()
+    try:
+        baseline = measure_reference()
+    except Exception as e:  # reference measurement must never break the bench
+        log(f"reference measurement failed: {e!r}")
+        baseline = None
+    result = {
+        "metric": "drin_eval_throughput",
+        "value": round(ours, 1),
+        "unit": "mention-candidate pairs/sec/chip",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

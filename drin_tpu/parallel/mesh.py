@@ -1,0 +1,104 @@
+# -*- coding: utf-8 -*-
+"""Device mesh construction and sharding layouts.
+
+The reference is single-GPU (``train.py:118`` pins ``devices=1``); this module
+is new capability (SURVEY §2.11).  The parallelism plan follows the workload's
+natural axes:
+
+  * ``data``  — batch (mention) axis: pure data parallelism.
+  * ``model`` — candidate axis: the reference's scaling lever is candidate
+    packing (SURVEY §5.7); on TPU we shard the C(=101) candidate dimension of
+    all entity-side tensors so each chip scores a slice of the candidates.
+    XLA/GSPMD inserts the all-gathers/psums needed by the cross-candidate
+    reductions (cosine softmax-free scoring, topk, in-batch-negative loss).
+
+Collectives ride ICI within a slice; across slices JAX's global-device
+runtime uses DCN automatically (standard jax.distributed semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from drin_tpu.common.config import Config
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(cfg: Optional[Config] = None, devices: Optional[Sequence[jax.Device]] = None,
+              data: Optional[int] = None, model: Optional[int] = None) -> Mesh:
+    """Build a (data, model) mesh.
+
+    Sizes come from ``cfg.mesh_data`` / ``cfg.mesh_model`` (or the explicit
+    ``data``/``model`` args).  ``data = -1`` means "all remaining devices"."""
+    if devices is None:
+        devices = jax.devices()
+    nd = data if data is not None else (cfg.mesh_data if cfg else -1)
+    nm = model if model is not None else (cfg.mesh_model if cfg else 1)
+    if nd == -1:
+        nd = len(devices) // nm
+    devices = np.asarray(devices[: nd * nm]).reshape(nd, nm)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_specs(mesh: Mesh, batch_fields: Sequence[str], example_batch: Sequence) -> tuple:
+    """PartitionSpecs for a DRIN/baseline batch tuple.
+
+    Every tensor shards its batch dim over ``data``.  The heavy entity-side
+    tensors ([B, C, ...], ndim >= 3) additionally shard the candidate dim
+    over ``model`` when C divides the mesh axis — the TPU analogue of the
+    reference's candidate-packing lever (SURVEY §5.7).  Small per-candidate
+    vectors (edges, answer one-hots) stay replicated along ``model``; GSPMD
+    inserts the reshards where the model mixes them."""
+    nm = mesh.shape[MODEL_AXIS]
+    specs = []
+    for name, arr in zip(batch_fields, example_batch):
+        arr = np.asarray(arr)
+        if (
+            name.startswith("entity_")
+            and arr.ndim >= 3
+            and nm > 1
+            and arr.shape[1] % nm == 0
+        ):
+            specs.append(P(DATA_AXIS, MODEL_AXIS))
+        elif arr.ndim >= 1:
+            specs.append(P(DATA_AXIS))
+        else:
+            specs.append(P())
+    return tuple(specs)
+
+
+def batch_shardings(mesh: Mesh, batch_fields: Sequence[str], example_batch: Sequence) -> tuple:
+    return tuple(NamedSharding(mesh, s) for s in batch_specs(mesh, batch_fields, example_batch))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def put_batch(batch, shardings) -> tuple:
+    """Device-put a host batch tuple under the given shardings (one transfer
+    per field; fields land already laid out for the mesh)."""
+    return tuple(jax.device_put(np.asarray(x), s) for x, s in zip(batch, shardings))
+
+
+def pad_batch_to(batch, n: int):
+    """Pad every field's leading dim to ``n`` rows by repeating row 0 and
+    return (padded_batch, valid_mask[n]).  Keeps shapes static for jit when
+    the last batch of an epoch is ragged."""
+    b = len(batch[0])
+    valid = np.zeros((n,), np.float32)
+    valid[:b] = 1.0
+    if b == n:
+        return batch, valid
+    out = []
+    for x in batch:
+        x = np.asarray(x)
+        pad = np.broadcast_to(x[:1], (n - b,) + x.shape[1:])
+        out.append(np.concatenate([x, pad], axis=0))
+    return type(batch)(*out), valid

@@ -16,7 +16,8 @@ def _strip_answer_column(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
     return y_pred
 
 
-def triplet_loss(y_true: jax.Array, y_pred: jax.Array, margin: float) -> jax.Array:
+def triplet_loss(y_true: jax.Array, y_pred: jax.Array, margin: float,
+                 valid: jax.Array | None = None) -> jax.Array:
     """Margin ranking loss with in-batch negatives, exactly as the reference
     computes it (utils.py:26-43) but without the Python loop over batch rows:
 
@@ -26,13 +27,21 @@ def triplet_loss(y_true: jax.Array, y_pred: jax.Array, margin: float) -> jax.Arr
 
     y_true: one-hot [B, Cd] (all-zero row = answer absent -> positive_i = 0).
     y_pred: similarity scores [B, Cd] or [B, Cd + 1].
+    valid:  optional [B] 0/1 mask for padded rows (static-shape ragged
+            batches); padded rows contribute neither positives nor negatives,
+            reproducing the reference's true ragged-batch loss.
     """
     y_pred = _strip_answer_column(y_true, y_pred)
     neg = -y_pred  # reference negates scores (utils.py:38)
     positive = jnp.sum(neg * y_true, axis=-1)  # [B]
     # [B_i, B_j, Cd]: hinge of sample i's positive against every score
     hinge = jnp.maximum(positive[:, None, None] - neg[None, :, :] + margin, 0.0)
-    return jnp.mean(jnp.mean(hinge, axis=(1, 2)))
+    if valid is None:
+        return jnp.mean(jnp.mean(hinge, axis=(1, 2)))
+    w = valid[:, None, None] * valid[None, :, None]  # [B, B, 1]
+    Cd = y_pred.shape[1]
+    per_i = jnp.sum(hinge * w, axis=(1, 2)) / jnp.maximum(jnp.sum(valid) * Cd, 1.0)
+    return jnp.sum(per_i) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def binary_loss(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:

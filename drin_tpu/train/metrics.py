@@ -26,17 +26,21 @@ def init_state(topk: Sequence[int]) -> MetricState:
     return state
 
 
-def update(state: MetricState, y_pred: jax.Array, y_true: jax.Array, topk: Sequence[int]) -> MetricState:
+def update(state: MetricState, y_pred: jax.Array, y_true: jax.Array, topk: Sequence[int],
+           valid: jax.Array | None = None) -> MetricState:
     """Accumulate counters for one batch (utils.py:60-66): the answer column
     is stripped, a candidate counts as hit when its score >= the k-th
-    largest (ties included)."""
+    largest (ties included).  ``valid`` masks padded rows of a static-shape
+    ragged batch."""
     if y_pred.shape[1] != y_true.shape[1]:
         y_pred = y_pred[:, :-1]
     new = dict(state)
+    vw = valid[:, None] if valid is not None else 1.0
     for k in topk:
         mask = topk_mask(y_pred, k).astype(y_true.dtype)
-        new[f"correct_{k}"] = state[f"correct_{k}"] + jnp.sum(y_true * mask)
-    new["total"] = state["total"] + y_pred.shape[0]
+        new[f"correct_{k}"] = state[f"correct_{k}"] + jnp.sum(y_true * mask * vw)
+    n = jnp.sum(valid) if valid is not None else y_pred.shape[0]
+    new["total"] = state["total"] + n
     return new
 
 

@@ -1,0 +1,259 @@
+# -*- coding: utf-8 -*-
+"""Train/eval harness: jitted SPMD steps + the reference's epoch schedule.
+
+Replaces the reference's Lightning harness (``train.py:20-122``) with a
+functional JAX design:
+
+  * one jitted ``train_step``/``eval_step`` holding model forward, triplet
+    loss, Adam update and metric-counter accumulation — a single XLA program
+    per step (the reference dispatches each module eagerly),
+  * batch tensors sharded over a (data, model) mesh (SURVEY §2.11: new
+    capability; the reference pins ``devices=1``),
+  * metric counters live on-device and are summed once per epoch,
+  * Orbax checkpointing behind ``cfg.enable_checkpointing`` (the reference
+    disables checkpointing entirely, train.py:115),
+  * ``jax.profiler`` traces behind ``cfg.profiling`` (the reference uses
+    torch.profiler with the same flag-gating, train.py:64-70).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+import time
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from drin_tpu.common.config import Config
+from drin_tpu.parallel import mesh as pmesh
+from drin_tpu.train import metrics as M
+from drin_tpu.train.loss import triplet_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(params, cfg: Config) -> tuple[TrainState, optax.GradientTransformation]:
+    # plain Adam, torch-default betas/eps (reference train.py:55-56)
+    tx = optax.adam(cfg.learning_rate)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+class StepFns(NamedTuple):
+    train_step: Callable
+    eval_step: Callable
+    batch_shardings: Optional[tuple]
+    valid_sharding: Optional[Any]
+    replicated: Optional[Any]
+
+
+def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransformation,
+                   mesh=None, batch_fields: Optional[tuple] = None,
+                   example_batch: Optional[tuple] = None) -> StepFns:
+    """Compile-ready step functions.
+
+    ``apply_fn(params, feats) -> scores [B, C]``.  Steps take the full batch
+    tuple (answer last, reference contract train.py:32-33) plus a [B] valid
+    mask for static-shape ragged batches.
+    """
+    topk = tuple(cfg.metrics_topk)
+
+    def loss_and_metrics(params, batch, valid, mstate):
+        feats, answer = batch[:-1], batch[-1]
+        scores = apply_fn(params, feats)
+        loss = triplet_loss(answer, scores, cfg.triplet_margin, valid)
+        mstate = M.update(mstate, scores, answer, topk, valid)
+        return loss, mstate
+
+    def train_step(state: TrainState, batch, valid, mstate):
+        (loss, mstate), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+            state.params, batch, valid, mstate
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss, mstate
+
+    def eval_step(params, batch, valid, mstate):
+        return loss_and_metrics(params, batch, valid, mstate)
+
+    if mesh is None:
+        return StepFns(
+            jax.jit(train_step, donate_argnums=(0, 3)),
+            jax.jit(eval_step, donate_argnums=(3,)),
+            None, None, None,
+        )
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert batch_fields is not None and example_batch is not None
+    bspecs = pmesh.batch_shardings(mesh, batch_fields, example_batch)
+    rep = pmesh.replicated(mesh)
+    vshard = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+    train_jit = jax.jit(
+        train_step,
+        in_shardings=(rep, bspecs, vshard, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 3),
+    )
+    eval_jit = jax.jit(
+        eval_step,
+        in_shardings=(rep, bspecs, vshard, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(3,),
+    )
+    return StepFns(train_jit, eval_jit, bspecs, vshard, rep)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _now() -> str:
+    return datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+
+
+class Trainer:
+    """Epoch-loop harness with the reference's logging/eval protocol."""
+
+    SPLITS = ("train", "valid", "test")
+
+    def __init__(self, cfg: Config, apply_fn: Callable, params, mesh=None,
+                 batch_fields: Optional[tuple] = None, example_batch: Optional[tuple] = None,
+                 log=print, output_test_result_path: str = "test-result.txt"):
+        self.cfg = cfg
+        self.apply_fn = apply_fn
+        self.mesh = mesh
+        self.log = log
+        state, tx = create_train_state(params, cfg)
+        self.state = state
+        self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch)
+        self.epoch = 0
+        self._ckpt_mgr = None
+        self._test_result_path = output_test_result_path
+        if cfg.enable_checkpointing:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(cfg.checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(max_to_keep=cfg.keep_checkpoints),
+            )
+            if cfg.resume_from is not None or self._ckpt_mgr.latest_step() is not None:
+                self.restore(cfg.resume_from)
+
+    # -- checkpointing (new capability; reference train.py:115 disables) ---
+    def save(self):
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        payload = {"params": self.state.params, "opt_state": self.state.opt_state,
+                   "step": self.state.step, "epoch": np.int32(self.epoch)}
+        self._ckpt_mgr.save(int(self.state.step), args=ocp.args.StandardSave(payload))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        step = int(step) if step is not None else self._ckpt_mgr.latest_step()
+        if step is None:
+            return
+        abstract = {
+            "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state.params),
+            "opt_state": jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state.opt_state),
+            "step": jax.ShapeDtypeStruct((), jnp.int32),
+            "epoch": jax.ShapeDtypeStruct((), jnp.int32),
+        }
+        restored = self._ckpt_mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        self.state = TrainState(restored["params"], restored["opt_state"], restored["step"])
+        self.epoch = int(restored["epoch"])
+        self.log(f"resumed from checkpoint step={step} epoch={self.epoch}")
+
+    # ------------------------------------------------------------------
+    def _put(self, batch, valid):
+        if self.mesh is None:
+            return tuple(jnp.asarray(np.asarray(x)) for x in batch), jnp.asarray(valid)
+        put = pmesh.put_batch(batch, self.fns.batch_shardings)
+        return put, jax.device_put(valid, self.fns.valid_sharding)
+
+    def _run_epoch(self, dataset, split: str, train: bool, kind: str):
+        cfg = self.cfg
+        split_i = self.SPLITS.index(split)
+        correction = cfg.acc_correction[split_i]
+        mstate = M.init_state(cfg.metrics_topk)
+        if self.mesh is not None:
+            mstate = jax.device_put(mstate, self.fns.replicated)
+        self.log(f"{_now()} {split} epoch {self.epoch} start")
+        losses, n_batches = 0.0, 0
+        t0 = time.time()
+        shuffle = train and cfg.shuffle_train_data and not cfg.debug
+        for batch in dataset.batches(cfg.batch_size, shuffle=shuffle,
+                                     seed=cfg.seed + self.epoch, kind=kind):
+            batch, valid = pmesh.pad_batch_to(batch, cfg.batch_size)
+            batch, valid = self._put(batch, valid)
+            if train:
+                self.state, loss, mstate = self.fns.train_step(self.state, batch, valid, mstate)
+            else:
+                loss, mstate = self.fns.eval_step(self.state.params, batch, valid, mstate)
+            losses += float(loss)
+            n_batches += 1
+            if n_batches % 10 == 0 or cfg.debug:
+                accs = M.compute(jax.device_get(mstate), cfg.metrics_topk, correction)
+                acc_str = ", ".join(f"top{k}: {float(v):.4f}" for k, v in accs.items())
+                print(f"\r{split} loss: {losses / n_batches:.4f}, {acc_str}",
+                      end="", file=sys.stderr, flush=True)
+        dt = time.time() - t0
+        mstate = jax.device_get(mstate)
+        accs = {k: float(v) for k, v in M.compute(mstate, cfg.metrics_topk, correction).items()}
+        total = float(mstate["total"])
+        pairs_per_sec = total * cfg.num_candidates_model / max(dt, 1e-9)
+        print("", file=sys.stderr)
+        acc_str = ", ".join(f"top{k}: {v:.4f}" for k, v in accs.items())
+        self.log(
+            f"{_now()} {split} epoch {self.epoch} done: loss {losses / max(n_batches, 1):.4f}, "
+            f"{acc_str} ({total:.0f} mentions, {pairs_per_sec:,.0f} pairs/s)"
+        )
+        return {"loss": losses / max(n_batches, 1), "accs": accs, "pairs_per_sec": pairs_per_sec}
+
+    def fit(self, train_ds, valid_ds, num_epochs: int, kind: str = "drin"):
+        """One fit chunk: ``num_epochs`` epochs of train+valid (reference
+        create_trainer, train.py:112-122)."""
+        cfg = self.cfg
+        results = []
+        profiling = cfg.profiling
+        if profiling:
+            os.makedirs(cfg.profile_dir, exist_ok=True)
+            jax.profiler.start_trace(cfg.profile_dir)
+        try:
+            for _ in range(num_epochs):
+                self._run_epoch(train_ds, "train", True, kind)
+                results.append(self._run_epoch(valid_ds, "valid", False, kind))
+                self.epoch += 1
+                self.save()
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+        return results
+
+    def test(self, test_ds, kind: str = "drin"):
+        if self.cfg.output_test_result:
+            self._dump_test_results(test_ds, kind)
+        return self._run_epoch(test_ds, "test", False, kind)
+
+    def _dump_test_results(self, dataset, kind: str):
+        """Write raw score vectors + labels (reference train.py:16-17,40-43) —
+        the golden-output hook for parity diffing."""
+        cfg = self.cfg
+        apply_jit = jax.jit(self.apply_fn)
+        with open(self._test_result_path, "w") as f:
+            for batch in dataset.batches(cfg.batch_size, kind=kind):
+                scores = np.asarray(apply_jit(self.state.params, tuple(jnp.asarray(np.asarray(x)) for x in batch[:-1])))
+                labels = np.argmax(batch[-1], axis=-1)
+                for row, lab in zip(scores, labels):
+                    f.write(" ".join(f"{v:.6f}" for v in row) + f" | {lab}\n")

@@ -1,0 +1,110 @@
+# -*- coding: utf-8 -*-
+"""Training harness tests: loss descent, the fit/test schedule, ragged-batch
+masking, checkpoint/resume, and all three models end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from drin_tpu.data.dataset import create_datasets
+from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+from drin_tpu.models import get_model
+from drin_tpu.train.trainer import Trainer
+from drin_tpu.train.loss import triplet_loss
+from drin_tpu.train import metrics as M
+
+
+def _make_trainer(cfg, **kw):
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    model, kind = get_model(cfg)
+    example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
+    params = model.init(jax.random.key(0), tuple(np.asarray(x) for x in example[:-1]))["params"]
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+    tr = Trainer(cfg, apply_fn, params, batch_fields=type(example)._fields,
+                 example_batch=example, log=lambda *a: None, **kw)
+    return tr, (train_ds, valid_ds, test_ds), kind
+
+
+def test_fit_reduces_loss(wd_cfg):
+    cfg = wd_cfg.replace(learning_rate=3e-3)
+    tr, (train_ds, valid_ds, test_ds), kind = _make_trainer(cfg)
+    first = tr._run_epoch(train_ds, "train", True, kind)["loss"]
+    for _ in range(4):
+        last = tr._run_epoch(train_ds, "train", True, kind)["loss"]
+        tr.epoch += 1
+    assert last < first, (first, last)
+    out = tr.test(test_ds, kind=kind)
+    assert np.isfinite(out["loss"])
+
+
+@pytest.mark.parametrize("model_type", ["ghmfc", "melhi"])
+def test_baselines_train_end_to_end(tmp_path, model_type):
+    cfg = tiny_config("wikidiverse", model_type, preprocess_dir=str(tmp_path))
+    make_synthetic_store(cfg, n_mentions=10, seed=2)
+    tr, (train_ds, valid_ds, test_ds), kind = _make_trainer(cfg)
+    res = tr.fit(train_ds, valid_ds, 1, kind=kind)
+    assert np.isfinite(res[0]["loss"])
+    out = tr.test(test_ds, kind=kind)
+    assert np.isfinite(out["loss"])
+
+
+def test_ragged_batch_masking_matches_unpadded(wd_cfg):
+    """A padded ragged batch with a valid mask must produce the same loss and
+    metric counters as the raw unpadded batch."""
+    from drin_tpu.data.dataset import MELFeatureDataset
+    from drin_tpu.parallel.mesh import pad_batch_to
+    from drin_tpu.models.drin import DRIN
+
+    ds = MELFeatureDataset(wd_cfg, "valid")
+    n = len(ds) - (len(ds) % 4) + 3 if len(ds) % 4 == 0 else len(ds)
+    # take a 3-row batch, pad to 4
+    batch = ds.drin_batch(np.arange(3))
+    model = DRIN(wd_cfg)
+    params = model.init(jax.random.key(1), batch[:-1])["params"]
+
+    scores_raw = model.apply({"params": params}, batch[:-1])
+    loss_raw = triplet_loss(jnp.asarray(batch.answer), scores_raw, wd_cfg.triplet_margin)
+    st_raw = M.update(M.init_state(wd_cfg.metrics_topk), scores_raw,
+                      jnp.asarray(batch.answer), wd_cfg.metrics_topk)
+
+    padded, valid = pad_batch_to(batch, 4)
+    scores_pad = model.apply({"params": params}, padded[:-1])
+    loss_pad = triplet_loss(jnp.asarray(padded.answer), scores_pad,
+                            wd_cfg.triplet_margin, jnp.asarray(valid))
+    st_pad = M.update(M.init_state(wd_cfg.metrics_topk), scores_pad,
+                      jnp.asarray(padded.answer), wd_cfg.metrics_topk, jnp.asarray(valid))
+
+    np.testing.assert_allclose(float(loss_pad), float(loss_raw), rtol=1e-5)
+    for k in wd_cfg.metrics_topk:
+        np.testing.assert_allclose(float(st_pad[f"correct_{k}"]), float(st_raw[f"correct_{k}"]))
+    assert float(st_pad["total"]) == float(st_raw["total"]) == 3.0
+
+
+def test_checkpoint_save_restore(tmp_path, wd_cfg):
+    cfg = wd_cfg.replace(enable_checkpointing=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    tr, (train_ds, valid_ds, test_ds), kind = _make_trainer(cfg)
+    tr.fit(train_ds, valid_ds, 1, kind=kind)
+    saved_params = jax.device_get(tr.state.params)
+    saved_step = int(tr.state.step)
+    assert saved_step > 0
+
+    # a fresh trainer with the same config resumes from the checkpoint
+    tr2, _, _ = _make_trainer(cfg)
+    assert int(tr2.state.step) == saved_step
+    assert tr2.epoch == 1
+    for a, b in zip(jax.tree.leaves(saved_params), jax.tree.leaves(jax.device_get(tr2.state.params))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_output_test_result_dump(tmp_path, wd_cfg):
+    """The golden-output hook (reference train.py:40-43): every test score
+    vector + label lands in the dump file."""
+    cfg = wd_cfg.replace(output_test_result=True)
+    tr, (_, _, test_ds), kind = _make_trainer(
+        cfg, output_test_result_path=str(tmp_path / "test-result.txt"))
+    tr.test(test_ds, kind=kind)
+    lines = (tmp_path / "test-result.txt").read_text().strip().splitlines()
+    assert len(lines) == len(test_ds)
+    first = lines[0].split("|")
+    assert len(first[0].split()) == cfg.num_candidates_model

@@ -1,0 +1,82 @@
+# -*- coding: utf-8 -*-
+"""Train/valid/test entry point — reference-compatible semantics
+(``/root/reference/train.py:125-151``): print the full config, seed, build
+datasets + model, then run ``num_epoch // test_epoch_interval`` rounds of
+fit + test (or test only).
+
+Unlike the reference (config = editing ``common/args.py``), every config
+field is overridable from the CLI: ``python train.py model_type=drin
+dataset_name=wikidiverse batch_size=64 debug=true``.  TPU additions:
+``mesh_data``/``mesh_model`` choose the device mesh, ``enable_checkpointing``
+turns on Orbax checkpoint/resume (the reference always disables
+checkpointing, train.py:115).
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+
+import jax
+import numpy as np
+
+
+def parse_overrides(argv) -> dict:
+    out = {}
+    for arg in argv:
+        if arg.startswith("--"):
+            arg = arg[2:]
+        if "=" not in arg:
+            raise SystemExit(f"expected key=value, got: {arg!r}")
+        k, v = arg.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            low = v.lower()
+            out[k] = {"true": True, "false": False, "none": None}.get(low, v)
+    return out
+
+
+def main(argv=None) -> None:
+    from drin_tpu.common.config import config_summary, make_config
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.models import get_model
+    from drin_tpu.parallel.mesh import make_mesh
+    from drin_tpu.train.trainer import Trainer
+
+    overrides = parse_overrides(argv if argv is not None else sys.argv[1:])
+    model_type = overrides.pop("model_type", "drin")
+    dataset_name = overrides.pop("dataset_name", "wikidiverse")
+    cfg = make_config(model_type, dataset_name, **overrides)
+    print(config_summary(cfg))
+
+    # seed discipline (reference pl.seed_everything, train.py:134)
+    np.random.seed(cfg.seed)
+    root_key = jax.random.key(cfg.seed)
+
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    model, kind = get_model(cfg)
+
+    mesh = make_mesh(cfg) if cfg.num_devices > 1 else None
+    example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
+    feats = tuple(np.asarray(x) for x in example[:-1])
+    params = model.init(root_key, feats)["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model: {cfg.model_type} ({n_params:,} params), "
+          f"devices: {cfg.num_devices} ({'mesh' if mesh else 'single chip'})")
+
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+    trainer = Trainer(cfg, apply_fn, params, mesh,
+                      batch_fields=type(example)._fields, example_batch=example)
+
+    if cfg.test_only:
+        trainer.test(test_ds, kind=kind)
+        return
+    rounds = max(cfg.num_epoch // cfg.test_epoch_interval, 1)
+    for _ in range(rounds):  # reference fit/test chunks (train.py:141-144)
+        trainer.fit(train_ds, valid_ds, cfg.test_epoch_interval, kind=kind)
+        trainer.test(test_ds, kind=kind)
+
+
+if __name__ == "__main__":
+    main()
