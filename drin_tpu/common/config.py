@@ -145,6 +145,20 @@ class Config:
     use_pallas: bool = True
     # Host-side input pipeline.
     prefetch_depth: int = 2
+    # Frozen-encoder assets for the preprocessing stages (torch state_dicts
+    # converted on load; tokenizer vocab/merges files).  The reference
+    # downloads these from the HF hub at run time (bert.py:87, resnet.py:130,
+    # clip.py:159); here they are explicit local paths.
+    bert_checkpoint: str = ""
+    bert_vocab: str = ""
+    resnet_checkpoint: str = ""
+    clip_checkpoint: str = ""
+    clip_vocab: str = ""
+    clip_merges: str = ""
+    # preprocessing batch size (the reference pins resnet/clip to 1,
+    # resnet.py:19, clip.py:18; TPU stages use real batches)
+    preprocess_batch_size: int = 64
+    image_decode_workers: int = 16
     # Profiler trace output dir (jax.profiler; reference used torch.profiler,
     # train.py:64-70).
     profile_dir: str = "log/profiler"

@@ -1,0 +1,95 @@
+# -*- coding: utf-8 -*-
+"""Image loading + preprocessing for the frozen-encoder stages.
+
+Mirrors the reference's data-level fault tolerance (``common/utils.py:87-100``):
+suffix probing, minimum-size rejection, and any-failure -> shared default
+image.  Decoding runs in a thread pool (PIL releases the GIL during decode);
+resize/normalize happen in numpy, producing NHWC float32 ready for the jitted
+encoders.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+SUFFIXES = ("", ".jpg", ".JPG", ".png", ".PNG", ".jpeg", ".JPEG")
+
+# torchvision/HF ImageNet normalization (resnet stages)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# CLIP normalization
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def load_image(path: str, default_image: str, min_size: Tuple[int, int] = (50, 50)):
+    """Open ``path`` trying the known suffixes; reject images smaller than
+    ``min_size``; fall back to ``default_image`` on any failure
+    (reference ``common/utils.py:87-100``)."""
+    for suffix in SUFFIXES:
+        try:
+            image = Image.open(path + suffix)
+            if image.size[0] < min_size[0] or image.size[1] < min_size[1]:
+                raise ValueError("image is too small")
+            return image.convert("RGB")
+        except FileNotFoundError:
+            continue
+        except Exception:
+            break
+    return Image.open(default_image).convert("RGB")
+
+
+def resnet_preprocess(image, size: Tuple[int, int] = (224, 224)) -> np.ndarray:
+    """Reference FeatureProcessor (resnet.py:68-76): resize to the input
+    size, scale to [0,1], ImageNet-normalize.  Returns [H, W, 3] f32 NHWC."""
+    image = image.resize(size)
+    x = np.asarray(image, dtype=np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def clip_preprocess(image, size: int = 224) -> np.ndarray:
+    """CLIPProcessor equivalent: resize shortest side to ``size`` (bicubic),
+    center-crop, scale, CLIP-normalize.  Returns [size, size, 3] f32 NHWC."""
+    w, h = image.size
+    short = min(w, h)
+    nw, nh = round(w * size / short), round(h * size / short)
+    image = image.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    image = image.crop((left, top, left + size, top + size))
+    x = np.asarray(image, dtype=np.float32) / 255.0
+    return (x - CLIP_MEAN) / CLIP_STD
+
+
+class ImageBatcher:
+    """Threaded decode -> preprocess -> stacked batches.
+
+    Replaces the reference's batch-size-1 DataLoader over single-process PIL
+    reads (resnet.py:19-20, clip.py:18-19)."""
+
+    def __init__(self, default_image: str, min_size=(50, 50), workers: int = 16):
+        self.default_image = default_image
+        self.min_size = min_size
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+
+    def load_batch(self, paths: Sequence[str], preprocess, crops: Optional[Sequence] = None) -> np.ndarray:
+        """Decode + preprocess ``paths`` in parallel; optional per-path crop
+        boxes (for object regions).  Returns [B, H, W, 3] f32."""
+
+        def one(i):
+            img = load_image(str(paths[i]), self.default_image, self.min_size)
+            if crops is not None:
+                img = img.crop(tuple(float(v) for v in crops[i]))
+            return preprocess(img)
+
+        return np.stack(list(self.pool.map(one, range(len(paths)))))
+
+    def close(self):
+        self.pool.shutdown()

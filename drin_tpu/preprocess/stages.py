@@ -1,0 +1,410 @@
+# -*- coding: utf-8 -*-
+"""Stages 2-4: frozen-encoder feature extraction as batched jitted programs.
+
+TPU re-design of the reference's ``preprocess/{bert,resnet,clip}.py``:
+
+  * real batches instead of batch size 1 (resnet.py:19, clip.py:18),
+  * sequence lengths bucketed to multiples of 128 so each stage compiles a
+    handful of XLA programs instead of padding everything to 512
+    (bert.py:36 pads every item to max_bert_len),
+  * threaded host-side image decode feeding the device (ImageBatcher),
+  * output files follow the exact ``{field}_{split}.npy`` naming contract the
+    datasets read (drin/data.py:47-71, :164-175, baselines/data.py:73-122).
+
+Notably this stage *writes* ``entity-attr-mask.npy`` for WikiMEL, which the
+reference's dataset reads (drin/data.py:166) but its bert.py forgets to save
+separately (bert.py:108-109 drops the mask half of the tuple).
+
+Encoder weights load from torch state_dict files (``cfg.*_checkpoint``) via
+the converters in ``drin_tpu.encoders`` — no network access."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from drin_tpu.common.config import Config
+from drin_tpu.common.npy_io import NpyWriter, load_field
+from drin_tpu.preprocess.images import ImageBatcher, clip_preprocess, resnet_preprocess
+
+
+def _load_torch_state_dict(path: str):
+    """Load a torch checkpoint: either a bare state_dict file, or an HF
+    snapshot directory (config.json + pytorch_model.bin).
+
+    Returns (state_dict, config_dict_or_None)."""
+    import torch
+
+    cfg_dict = None
+    if os.path.isdir(path):
+        cfg_file = os.path.join(path, "config.json")
+        if os.path.exists(cfg_file):
+            with open(cfg_file) as f:
+                cfg_dict = json.load(f)
+        for candidate in ("pytorch_model.bin", "model.pt", "state_dict.pt"):
+            p = os.path.join(path, candidate)
+            if os.path.exists(p):
+                path = p
+                break
+        else:
+            raise FileNotFoundError(f"no torch weights file found in {path}")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # HF snapshots sometimes nest under a top-level module prefix
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    return sd, cfg_dict
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# BERT stage (reference preprocess/bert.py)
+
+
+class BertStage:
+    def __init__(self, cfg: Config, params=None, bert_cfg=None):
+        import jax
+
+        from drin_tpu.encoders import bert as B
+        from drin_tpu.text.wordpiece import BertTokenizer
+
+        self.cfg = cfg
+        if params is None:
+            sd, hf_cfg = _load_torch_state_dict(cfg.bert_checkpoint)
+            if bert_cfg is None:
+                if hf_cfg is not None:  # HF snapshot dir: exact dims
+                    bert_cfg = B.BertConfig(
+                        vocab_size=hf_cfg["vocab_size"],
+                        hidden_size=hf_cfg["hidden_size"],
+                        num_hidden_layers=hf_cfg["num_hidden_layers"],
+                        num_attention_heads=hf_cfg["num_attention_heads"],
+                        intermediate_size=hf_cfg["intermediate_size"],
+                        max_position_embeddings=hf_cfg["max_position_embeddings"],
+                        type_vocab_size=hf_cfg.get("type_vocab_size", 2),
+                        layer_norm_eps=hf_cfg.get("layer_norm_eps", 1e-12),
+                    )
+                else:  # bare state_dict: infer what the weights determine
+                    n_layers = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer."))
+                    V, D = sd["embeddings.word_embeddings.weight"].shape
+                    bert_cfg = B.BertConfig(
+                        vocab_size=V, hidden_size=D, num_hidden_layers=n_layers,
+                        num_attention_heads=max(D // 64, 2),
+                        intermediate_size=sd["encoder.layer.0.intermediate.dense.weight"].shape[0],
+                        max_position_embeddings=sd["embeddings.position_embeddings.weight"].shape[0],
+                        type_vocab_size=sd["embeddings.token_type_embeddings.weight"].shape[0],
+                    )
+            params = B.bert_params_from_torch(sd, bert_cfg)
+        self.bert_cfg = bert_cfg or B.BertConfig()
+        self.params = params
+        self.model = B.BertModel(self.bert_cfg)
+        self.tokenizer = BertTokenizer(vocab_file=cfg.bert_vocab, do_lower_case=False,
+                                       model_max_length=cfg.max_bert_len)
+        self._jit = jax.jit(
+            lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
+        )
+
+    def encode_texts(self, texts: Sequence[str], output: str, max_len: int):
+        """Batched inference over raw texts.
+
+        output == 'last_hidden_state': returns (features [N, max_len, D],
+        mask [N, max_len]) — the reference truncates stored features to
+        max_len (bert.py:78-79).  output == 'pooler_output': [N, D]."""
+        cfg = self.cfg
+        B_ = cfg.preprocess_batch_size
+        feats, masks = [], []
+        for i in range(0, len(texts), B_):
+            chunk = [str(t) for t in texts[i : i + B_]]
+            enc = self.tokenizer(chunk, padding=True, truncation=True, max_length=cfg.max_bert_len)
+            ids, mask = enc["input_ids"], enc["attention_mask"]
+            # bucket the padded length: few XLA programs, MXU-aligned
+            L = min(_round_up(ids.shape[1], 128), cfg.max_bert_len)
+            if ids.shape[1] < L:
+                pad = L - ids.shape[1]
+                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=self.tokenizer.pad_id)
+                mask = np.pad(mask, ((0, 0), (0, pad)))
+            else:
+                ids, mask = ids[:, :L], mask[:, :L]
+            h, pooled = self._jit(self.params, ids, mask)
+            if output == "pooler_output":
+                feats.append(np.asarray(pooled))
+            else:
+                h = np.asarray(h)[:, :max_len]
+                m = mask[:, :max_len]
+                if h.shape[1] < max_len:  # short bucket: pad stored features
+                    h = np.pad(h, ((0, 0), (0, max_len - h.shape[1]), (0, 0)))
+                    m = np.pad(m, ((0, 0), (0, max_len - m.shape[1])))
+                feats.append(h)
+                masks.append(m)
+        if output == "pooler_output":
+            return np.concatenate(feats, 0)
+        return np.concatenate(feats, 0), np.concatenate(masks, 0)
+
+    def run(self, splits=("train", "valid", "test")):
+        """Mirror of reference bert.py main (bert.py:86-109)."""
+        cfg = self.cfg
+        d = cfg.preprocess_dir
+        for split in splits:
+            texts = load_field(d, "mention_text_raw", split)
+            features, mask = self.encode_texts(texts, "last_hidden_state", cfg.max_mention_sentence_len)
+            np.save(os.path.join(d, f"mention-text-feature_{split}.npy"), features)
+            np.save(os.path.join(d, f"mention-text-mask_{split}.npy"), mask)
+            if cfg.dataset_name == "wikidiverse":
+                texts = load_field(d, "entity_attr_raw", split)
+                feats = self.encode_texts(texts, "pooler_output", cfg.max_entity_attr_token_len)
+                np.save(os.path.join(d, f"entity-attr-feature_{split}.npy"), feats)
+        if cfg.dataset_name == "wikimel":
+            with open(cfg.qid2entity_path) as f:
+                qid2name = json.load(f)
+            with open(cfg.qid2attr_path) as f:
+                qid2attr = json.load(f)
+            items = list(qid2attr.items())
+            texts = [qid2name[qid] + ". " + str(attr).replace(".", ";") for qid, attr in items]
+            with open(os.path.join(d, "qid2idx.json"), "w") as f:
+                json.dump({qid: i for i, (qid, _) in enumerate(items)}, f)
+            features, mask = self.encode_texts(texts, "last_hidden_state", cfg.max_entity_attr_token_len)
+            np.save(os.path.join(d, "entity-attr-feature.npy"), features)
+            np.save(os.path.join(d, "entity-attr-mask.npy"), mask)
+
+
+# ---------------------------------------------------------------------------
+# ResNet stage (reference preprocess/resnet.py)
+
+
+class ResnetStage:
+    def __init__(self, cfg: Config, params=None, resnet_cfg=None,
+                 detector: Optional[Callable] = None):
+        import jax
+
+        from drin_tpu.encoders import resnet as R
+
+        self.cfg = cfg
+        if params is None:
+            sd, hf_cfg = _load_torch_state_dict(cfg.resnet_checkpoint)
+            if resnet_cfg is None:
+                if hf_cfg is not None:
+                    resnet_cfg = R.ResNetConfig(
+                        embedding_size=hf_cfg["embedding_size"],
+                        hidden_sizes=hf_cfg["hidden_sizes"],
+                        depths=hf_cfg["depths"],
+                        downsample_in_first_stage=hf_cfg.get("downsample_in_first_stage", False),
+                        downsample_in_bottleneck=hf_cfg.get("downsample_in_bottleneck", False),
+                    )
+                else:  # infer stage structure from the weight names/shapes
+                    depths, hidden = [], []
+                    si = 0
+                    while f"encoder.stages.{si}.layers.0.layer.0.convolution.weight" in sd:
+                        li = 0
+                        while f"encoder.stages.{si}.layers.{li}.layer.0.convolution.weight" in sd:
+                            li += 1
+                        depths.append(li)
+                        hidden.append(sd[f"encoder.stages.{si}.layers.0.layer.2.convolution.weight"].shape[0])
+                        si += 1
+                    resnet_cfg = R.ResNetConfig(
+                        embedding_size=sd["embedder.embedder.convolution.weight"].shape[0],
+                        hidden_sizes=hidden, depths=depths,
+                    )
+            params = R.resnet_params_from_torch(sd, resnet_cfg)
+        self.resnet_cfg = resnet_cfg or R.ResNetConfig()
+        self.params = params
+        self.model = R.ResNetModel(self.resnet_cfg)
+        self._jit = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
+        # object detector: callable [B,H,W,3]->(boxes [B,K,4], scores [B,K]);
+        # defaults to the whole-image detector (drin_tpu.preprocess.detector)
+        if detector is None:
+            from drin_tpu.preprocess.detector import WholeImageDetector
+
+            detector = WholeImageDetector(cfg)
+        self.detector = detector
+
+    def _run_images(self, paths, crops, output: str, writer: NpyWriter):
+        cfg = self.cfg
+        B_ = cfg.preprocess_batch_size
+        for i in range(0, len(paths), B_):
+            chunk = paths[i : i + B_]
+            c = crops[i : i + B_] if crops is not None else None
+            x = self.batcher.load_batch(chunk, lambda im: resnet_preprocess(im, cfg.image_input_size), c)
+            h, pooled = self._jit(self.params, x)
+            if output == "pooler_output":
+                writer.extend(np.asarray(pooled)[:, None, :])  # [B, 1, C]
+            else:
+                h = np.asarray(h)  # [B, H', W', C] NHWC
+                writer.extend(h.reshape(h.shape[0], -1, h.shape[-1]))  # [B, R, C]
+
+    def infer(self, split: str, name: str, feature_output: str, object_output: str,
+              image_paths: Sequence[str]):
+        """Mirror of reference Inferrer.infer (resnet.py:144-162): whole-image
+        features, then detector boxes/scores, then per-box crop features."""
+        cfg = self.cfg
+        d = cfg.preprocess_dir
+        topk = cfg.object_topk[name]
+        with NpyWriter(os.path.join(d, f"{name}-image-feature_{split}.npy")) as w:
+            self._run_images(image_paths, None, feature_output, w)
+
+        boxes, scores = self.detect(image_paths, topk)
+        np.save(os.path.join(d, f"{name}-object-score_{split}.npy"), scores)
+        flat_paths = np.repeat(np.asarray(image_paths), topk)
+        flat_boxes = boxes.reshape(-1, 4)
+        w = NpyWriter(os.path.join(d, f"{name}-object-feature_{split}.npy"))
+        self._run_images(flat_paths, flat_boxes, object_output, w)
+        w.reshape([-1, topk, *w.shape]).close()
+
+    def detect(self, image_paths: Sequence[str], topk: int):
+        """Top-k boxes/scores padded with default_box/0 (resnet.py:112-123)."""
+        cfg = self.cfg
+        B_ = cfg.preprocess_batch_size
+        all_boxes, all_scores = [], []
+        for i in range(0, len(image_paths), B_):
+            chunk = image_paths[i : i + B_]
+            x = self.batcher.load_batch(chunk, lambda im: resnet_preprocess(im, cfg.image_input_size))
+            b, s = self.detector(x, topk)
+            all_boxes.append(np.asarray(b))
+            all_scores.append(np.asarray(s))
+        return np.concatenate(all_boxes, 0), np.concatenate(all_scores, 0)
+
+    def run(self, splits=("valid", "train", "test")):
+        """Mirror of reference resnet.py main (resnet.py:165-185)."""
+        cfg = self.cfg
+        d = cfg.preprocess_dir
+        for split in splits:
+            if cfg.dataset_name == "wikidiverse":
+                paths = load_field(d, "entity_image_path", split)
+                self.infer(split, "entity", "pooler_output", "pooler_output", paths)
+                paths = load_field(d, "mention_image_path", split)
+            else:
+                with open(cfg.mention_text_path % split) as f:
+                    mention_text = json.load(f)
+                paths = [
+                    os.path.join(cfg.mention_image_dir, k.split("-")[0])
+                    for k, v in mention_text.items()
+                    if v["mentions"] in v["sentence"]
+                ]
+            self.infer(split, "mention", "last_hidden_state", "pooler_output", paths)
+        if cfg.dataset_name == "wikimel":
+            with open(cfg.qid2entity_path) as f:
+                qid2name = json.load(f)
+            paths = [os.path.join(cfg.entity_image_dir, k) for k in qid2name]
+            self.infer("all", "entity", "pooler_output", "pooler_output", paths)
+
+
+# ---------------------------------------------------------------------------
+# CLIP stage (reference preprocess/clip.py)
+
+
+class ClipStage:
+    def __init__(self, cfg: Config, params=None, clip_cfg=None):
+        import jax
+
+        from drin_tpu.encoders import clip as C
+        from drin_tpu.text.clip_bpe import CLIPTokenizer
+
+        self.cfg = cfg
+        if params is None:
+            sd, hf_cfg = _load_torch_state_dict(cfg.clip_checkpoint)
+            if clip_cfg is None:
+                if hf_cfg is not None:
+                    t, v = hf_cfg["text_config"], hf_cfg["vision_config"]
+                    clip_cfg = C.CLIPConfig(
+                        text=C.CLIPTextConfig(
+                            t["vocab_size"], t["hidden_size"], t["num_hidden_layers"],
+                            t["num_attention_heads"], t["intermediate_size"],
+                            t["max_position_embeddings"], t.get("layer_norm_eps", 1e-5)),
+                        vision=C.CLIPVisionConfig(
+                            v["hidden_size"], v["num_hidden_layers"], v["num_attention_heads"],
+                            v["intermediate_size"], v["image_size"], v["patch_size"],
+                            v.get("layer_norm_eps", 1e-5)),
+                        projection_dim=hf_cfg["projection_dim"],
+                    )
+                else:  # infer from weights (head counts use the 64-dim heuristic)
+                    tV, tD = sd["text_model.embeddings.token_embedding.weight"].shape
+                    tN = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("text_model.encoder.layers."))
+                    vN = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("vision_model.encoder.layers."))
+                    pw = sd["vision_model.embeddings.patch_embedding.weight"]  # [D, 3, p, p]
+                    vD, p = pw.shape[0], pw.shape[-1]
+                    n_pos = sd["vision_model.embeddings.position_embedding.weight"].shape[0]
+                    img = int(round(((n_pos - 1) ** 0.5))) * p
+                    clip_cfg = C.CLIPConfig(
+                        text=C.CLIPTextConfig(
+                            tV, tD, tN, max(tD // 64, 2),
+                            sd["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
+                            sd["text_model.embeddings.position_embedding.weight"].shape[0]),
+                        vision=C.CLIPVisionConfig(
+                            vD, vN, max(vD // 64, 2),
+                            sd["vision_model.encoder.layers.0.mlp.fc1.weight"].shape[0], img, p),
+                        projection_dim=sd["text_projection.weight"].shape[0],
+                    )
+            params = C.clip_params_from_torch(sd, clip_cfg)
+        self.clip_cfg = clip_cfg or C.CLIPConfig()
+        self.params = params
+        self.model = C.CLIPModel(self.clip_cfg)
+        self.tokenizer = CLIPTokenizer(vocab_file=cfg.clip_vocab, merges_file=cfg.clip_merges)
+        import jax.numpy as jnp
+
+        def text_feats(p, ids):
+            t = self.model.apply({"params": p}, ids, method=self.model.get_text_features)
+            return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+        def image_feats(p, pix):
+            v = self.model.apply({"params": p}, pix, method=self.model.get_image_features)
+            return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+        self._text_jit = jax.jit(text_feats)
+        self._image_jit = jax.jit(image_feats)
+        self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
+        size = self.clip_cfg.vision.image_size
+        self._preprocess = lambda im: clip_preprocess(im, size)
+
+    def _embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        B_ = self.cfg.preprocess_batch_size
+        out = []
+        cap = self.clip_cfg.text.max_position_embeddings
+        for i in range(0, len(texts), B_):
+            enc = self.tokenizer([str(t) for t in texts[i : i + B_]], padding="max_length",
+                                 truncation=True, max_length=min(77, cap))
+            out.append(np.asarray(self._text_jit(self.params, enc["input_ids"])))
+        return np.concatenate(out, 0)
+
+    def _embed_images(self, paths: Sequence[str]) -> np.ndarray:
+        B_ = self.cfg.preprocess_batch_size
+        out = []
+        for i in range(0, len(paths), B_):
+            x = self.batcher.load_batch(paths[i : i + B_], self._preprocess)
+            out.append(np.asarray(self._image_jit(self.params, x)))
+        return np.concatenate(out, 0)
+
+    def run(self, splits=("valid", "train", "test")):
+        """Cross-modal similarity matrices (reference clip.py:158-172).
+
+        The reference embeds the mention image C times (once per candidate,
+        batch pinned to 1); here each unique image/text is embedded once and
+        the [N, C] logit matrices are one batched einsum row-wise."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        d = cfg.preprocess_dir
+        C_ = cfg.num_candidates_model
+        scale = float(np.exp(np.asarray(self.params["logit_scale"])))
+        for split in splits:
+            target = os.path.join(d, f"similarity-miet_{split}.npy")
+            if not os.path.exists(target):  # resumable, like the reference
+                mention_images = load_field(d, "mention_image_path", split)
+                entity_texts = load_field(d, "entity_attr_raw", split).reshape(-1, C_)
+                v = self._embed_images(mention_images)  # [N, P]
+                t = self._embed_texts(entity_texts.reshape(-1))  # [N*C, P]
+                t = t.reshape(len(v), C_, -1)
+                sims = scale * np.einsum("np,ncp->nc", v, t)
+                np.save(target, sims.astype(np.float32))
+            target = os.path.join(d, f"similarity-eimt_{split}.npy")
+            if not os.path.exists(target):
+                entity_images = load_field(d, "entity_image_path", split).reshape(-1, C_)
+                mention_texts = load_field(d, "mention_text_raw", split)
+                t = self._embed_texts(mention_texts)  # [N, P]
+                v = self._embed_images(entity_images.reshape(-1)).reshape(len(t), C_, -1)
+                sims = scale * np.einsum("np,ncp->nc", t, v)
+                np.save(target, sims.astype(np.float32))

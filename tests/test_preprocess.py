@@ -1,0 +1,345 @@
+# -*- coding: utf-8 -*-
+"""Preprocessing pipeline tests: detection ops vs numpy oracles, and the full
+raw-data -> feature-store -> model pipeline on fabricated datasets with tiny
+random encoders."""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from drin_tpu.data.synthetic import tiny_config
+
+
+# ---------------------------------------------------------------------------
+# detection ops
+
+
+def _nms_numpy(boxes, scores, thresh, topk):
+    """Greedy NMS oracle."""
+    order = list(np.argsort(-scores))
+    keep = []
+    alive = set(order)
+    while order and len(keep) < topk:
+        i = order.pop(0)
+        if i not in alive:
+            continue
+        keep.append(i)
+        for j in list(alive):
+            if j == i:
+                alive.discard(j)
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a + b - inter, 1e-9) > thresh:
+                alive.discard(j)
+    return keep + [-1] * (topk - len(keep))
+
+
+def test_nms_matches_numpy_oracle(rng):
+    from drin_tpu.ops.detection import nms
+
+    for trial in range(5):
+        n = 40
+        xy = rng.uniform(0, 80, (n, 2))
+        wh = rng.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        got = np.asarray(nms(boxes, scores, 0.5, 10))
+        want = _nms_numpy(boxes, scores, 0.5, 10)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_roi_align_constant_and_center():
+    from drin_tpu.ops.detection import roi_align
+
+    # constant feature map: every bin must equal the constant
+    f = np.full((16, 16, 3), 2.5, np.float32)
+    boxes = np.array([[2.0, 2.0, 10.0, 10.0], [0.0, 0.0, 16.0, 16.0]], np.float32)
+    out = np.asarray(roi_align(f, boxes, (4, 4)))
+    np.testing.assert_allclose(out, 2.5, rtol=1e-6)
+
+    # linear ramp: sampled values must equal the ramp at sample centers
+    ramp = np.broadcast_to(np.arange(16, dtype=np.float32)[None, :, None], (16, 16, 1)).copy()
+    box = np.array([[4.0, 4.0, 8.0, 8.0]], np.float32)
+    out = np.asarray(roi_align(ramp, box, (2, 2), sampling_ratio=1))[0, :, :, 0]
+    # bin centers in x: 4 + {0.5,1.5}*2 - 0.5(aligned) = {4.5, 6.5}; ramp(x)=x
+    np.testing.assert_allclose(out, np.array([[4.5, 6.5], [4.5, 6.5]]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fabricated raw data + tiny encoders -> full pipeline
+
+
+def _write_image(path, rng, size=(80, 70)):
+    from PIL import Image
+
+    arr = rng.integers(0, 255, (size[1], size[0], 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _tiny_encoders(texts):
+    """Random tiny flax encoders + tokenizer assets shared by the stages."""
+    from drin_tpu.encoders.bert import BertConfig, BertModel
+    from drin_tpu.encoders.clip import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+    from drin_tpu.encoders.resnet import ResNetConfig, ResNetModel
+    from drin_tpu.text.wordpiece import build_tiny_vocab
+    from drin_tpu.text.clip_bpe import bytes_to_unicode
+
+    vocab = build_tiny_vocab(texts)
+    bert_cfg = BertConfig(vocab_size=len(vocab), hidden_size=16, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=32, max_position_embeddings=512)
+    bert = BertModel(bert_cfg)
+    bert_params = bert.init(jax.random.key(0), np.zeros((1, 8), np.int32), np.ones((1, 8), np.int32))["params"]
+
+    resnet_cfg = ResNetConfig(embedding_size=8, hidden_sizes=(8, 12, 16, 24), depths=(1, 1, 1, 1))
+    resnet = ResNetModel(resnet_cfg)
+    resnet_params = resnet.init(jax.random.key(1), np.zeros((1, 64, 64, 3), np.float32))["params"]
+
+    clip_cfg = CLIPConfig(
+        text=CLIPTextConfig(vocab_size=600, hidden_size=16, num_layers=1, num_heads=2,
+                            intermediate_size=32, max_position_embeddings=77),
+        vision=CLIPVisionConfig(hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32,
+                                image_size=32, patch_size=8),
+        projection_dim=12,
+    )
+    clip = CLIPModel(clip_cfg)
+    clip_params = clip.init(jax.random.key(2), np.zeros((1, 8), np.int32),
+                            np.zeros((1, 32, 32, 3), np.float32))["params"]
+
+    b2u = bytes_to_unicode()
+    alphabet = sorted(set(b2u.values()))
+    cvocab = {}
+    for ch in alphabet:
+        cvocab[ch] = len(cvocab)
+    for ch in alphabet:
+        cvocab[ch + "</w>"] = len(cvocab)
+    cvocab["<|startoftext|>"] = len(cvocab)
+    cvocab["<|endoftext|>"] = len(cvocab)
+    return dict(
+        vocab=vocab, bert_cfg=bert_cfg, bert_params=bert_params,
+        resnet_cfg=resnet_cfg, resnet_params=resnet_params,
+        clip_cfg=clip_cfg, clip_params=clip_params, clip_vocab=cvocab,
+    )
+
+
+@pytest.fixture(scope="module")
+def wd_raw(tmp_path_factory):
+    """Fabricated WikiDiverse raw dataset (reference raw format,
+    prepare.py:55-148)."""
+    rng = np.random.default_rng(5)
+    root = tmp_path_factory.mktemp("wd-raw")
+    image_dir = root / "images"
+    image_dir.mkdir()
+    names = [f"Entity_{i}" for i in range(8)]
+    sentences = [
+        "Alice visited the Eiffel Tower in Paris",
+        "Bob photographed the Golden Gate Bridge yesterday",
+        "The cat sat on the old red mat",
+        "Quantum computers factor numbers quickly enough",
+    ]
+    # default image
+    _write_image(root / "default.jpg", rng)
+
+    # entity images: entity i -> url "e{i}.jpg" -> md5-named file
+    lines = ["header"]
+    for i, name in enumerate(names):
+        url = f"http://img/e{i}.jpg"
+        fname = hashlib.md5(f"e{i}.jpg".encode()).hexdigest() + ".jpg"
+        if i % 3 != 0:  # some entities get real images, others fall back
+            _write_image(image_dir / fname, rng)
+        lines.append(f"{name}@@@@{url}")
+    (root / "entity2imgs.tsv").write_text("\n".join(lines))
+
+    n_cand = 3
+    for split in ("train", "valid", "test"):
+        data = []
+        for j, sent in enumerate(sentences):
+            words = sent.split()
+            w = words[1 if j % 2 else 0]
+            start = sent.index(w)
+            cands = [f"http://wiki/{names[(j + k) % len(names)]}" for k in range(n_cand)]
+            answer = cands[j % n_cand] if j != 3 else "http://wiki/Nowhere_Man"  # one no-match
+            murl = f"http://img/m{j}.jpg"
+            mf = hashlib.md5(f"m{j}.jpg".encode()).hexdigest() + ".jpg"
+            _write_image(image_dir / mf, rng)
+            item = [sent, murl, None, None, None, None, answer, cands, None, start, start + len(w)]
+            data.append(item)
+        (root / f"{split}_cands.json").write_text(json.dumps(data))
+        briefs = {n: f"a thing called {n.lower()} with properties" for n in names[:6]}
+        (root / f"brief_{split}.json").write_text(json.dumps(briefs))
+    return root, sentences, names, n_cand
+
+
+def _wd_cfg_for(root, n_cand, store, assets):
+    vocab_path = str(root / "vocab.txt")
+    inv = {v: k for k, v in assets["vocab"].items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+    return tiny_config("wikidiverse", "drin", preprocess_dir=str(store)).replace(
+        num_candidates_data=n_cand,
+        metrics_topk=(1, 3),
+        bert_embed_dim=16,
+        resnet_embed_dim=24,
+        gcn_embed_dim=16,
+        image_input_size=(64, 64),
+        resnet_num_region=4,
+        mention_text_path=str(root / "%s_cands.json"),
+        entity2brief_path=str(root / "brief_%s.json"),
+        entity2image_path=str(root / "entity2imgs.tsv"),
+        image_dir=str(root / "images"),
+        default_image=str(root / "default.jpg"),
+        bert_vocab=vocab_path,
+        preprocess_batch_size=8,
+        max_entity_attr_char_len=64,
+        max_entity_attr_token_len=8,
+        max_mention_sentence_len=12,
+    )
+
+
+def test_full_pipeline_wikidiverse(wd_raw, tmp_path):
+    """prepare -> bert -> resnet -> clip on fabricated raw data, then load the
+    store and run a DRIN forward + train step on it."""
+    root, sentences, names, n_cand = wd_raw
+    assets = _tiny_encoders(sentences + [f"{n}: a thing" for n in names])
+    cfg = _wd_cfg_for(root, n_cand, tmp_path / "store", assets)
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+
+    from drin_tpu.preprocess.prepare import run_prepare
+    from drin_tpu.preprocess.stages import BertStage, ClipStage, ResnetStage
+
+    run_prepare(cfg)
+    # intermediate contract
+    from drin_tpu.common.npy_io import load_field
+
+    ans = load_field(cfg.preprocess_dir, "answer", "train")
+    assert ans.shape == (4,)
+    assert ans[3] == n_cand  # the no-match row
+    eap = load_field(cfg.preprocess_dir, "entity_attr_raw", "train")
+    assert eap.shape == (4 * (n_cand + 1),)  # candidates + appended answer
+
+    BertStage(cfg, assets["bert_params"], assets["bert_cfg"]).run()
+    ResnetStage(cfg, assets["resnet_params"], assets["resnet_cfg"]).run()
+    clip_stage = ClipStage.__new__(ClipStage)  # build with injected tokenizer assets
+    _init_clip_stage(clip_stage, cfg, assets)
+    clip_stage.run()
+
+    # the produced store loads through the training dataset and feeds DRIN
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.models.drin import DRIN
+    from drin_tpu.train.loss import triplet_loss
+
+    train, valid, test = create_datasets(cfg)
+    batch = next(train.batches(4, kind="drin"))
+    assert batch.mention_text_feature.shape == (4, cfg.max_mention_sentence_len, 16)
+    assert batch.entity_text_feature.shape == (4, n_cand + 1, 16)
+    assert batch.miet_similarity.shape == (4, n_cand + 1)
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(0), batch[:-1])["params"]
+    scores = model.apply({"params": params}, batch[:-1])
+    assert np.all(np.isfinite(np.asarray(scores)))
+    loss = triplet_loss(np.asarray(batch.answer), scores, cfg.triplet_margin)
+    assert np.isfinite(float(loss))
+
+
+def _init_clip_stage(stage, cfg, assets):
+    """ClipStage with in-memory tokenizer assets (no vocab files)."""
+    import jax.numpy as jnp
+    from drin_tpu.preprocess.images import ImageBatcher, clip_preprocess
+    from drin_tpu.text.clip_bpe import CLIPTokenizer
+
+    stage.cfg = cfg
+    stage.clip_cfg = assets["clip_cfg"]
+    stage.params = assets["clip_params"]
+    from drin_tpu.encoders.clip import CLIPModel
+
+    stage.model = CLIPModel(stage.clip_cfg)
+    stage.tokenizer = CLIPTokenizer(vocab=assets["clip_vocab"], merges=[])
+
+    def text_feats(p, ids):
+        t = stage.model.apply({"params": p}, ids, method=stage.model.get_text_features)
+        return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+    def image_feats(p, pix):
+        v = stage.model.apply({"params": p}, pix, method=stage.model.get_image_features)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    stage._text_jit = jax.jit(text_feats)
+    stage._image_jit = jax.jit(image_feats)
+    stage.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, 4)
+    size = stage.clip_cfg.vision.image_size
+    stage._preprocess = lambda im: clip_preprocess(im, size)
+
+
+def test_prepare_and_bert_wikimel(tmp_path):
+    """WikiMEL raw format: candidates TSV + qid jsons -> global entity table
+    with qid2idx + per-split arrays (reference WMProcess + bert.py:102-109)."""
+    rng = np.random.default_rng(9)
+    root = tmp_path
+    qids = [f"Q{i}" for i in range(6)]
+    qid2name = {q: f"name {q}" for q in qids}
+    qid2attr = {q: f"attribute text for {q}. more" for q in qids}
+    (root / "qid2ne.json").write_text(json.dumps(qid2name))
+    (root / "qid2abs.json").write_text(json.dumps(qid2attr))
+    n_cand = 2
+    mentions = {
+        "m1-x": {"sentence": "Alpha beta gamma delta", "mentions": "beta", "answer": "Q1"},
+        "m2-x": {"sentence": "Epsilon zeta eta theta", "mentions": "zeta", "answer": "Q5"},
+        "m3-x": {"sentence": "No mention here at all", "mentions": "zzz", "answer": "Q0"},
+    }
+    for split in ("train", "valid", "test"):
+        (root / f"WIKIMEL_{split}.json").write_text(json.dumps(mentions))
+    lines = [f"m1-x\tQ0\tQ1", f"m2-x\tQ2\tQ3", f"m3-x\tQ4\tQ5"]
+    (root / "cands.tsv").write_text("\n".join(lines))
+
+    texts = [m["sentence"] for m in mentions.values()] + list(qid2attr.values()) + list(qid2name.values())
+    assets = _tiny_encoders(texts)
+    vocab_path = str(root / "vocab.txt")
+    inv = {v: k for k, v in assets["vocab"].items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=str(root / "store")).replace(
+        num_candidates_data=n_cand,
+        metrics_topk=(1,),
+        bert_embed_dim=16,
+        mention_text_path=str(root / "WIKIMEL_%s.json"),
+        candidate_path=str(root / "cands.tsv"),
+        qid2entity_path=str(root / "qid2ne.json"),
+        qid2attr_path=str(root / "qid2abs.json"),
+        bert_vocab=vocab_path,
+        preprocess_batch_size=4,
+        max_entity_attr_token_len=8,
+        max_mention_sentence_len=12,
+    )
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+
+    from drin_tpu.common.npy_io import load_field
+    from drin_tpu.preprocess.prepare import run_prepare
+    from drin_tpu.preprocess.stages import BertStage
+
+    run_prepare(cfg)
+    # m3 skipped (mention not in sentence) -> 2 rows; answer appended per row
+    assert load_field(cfg.preprocess_dir, "answer", "train").shape == (2,)
+    assert load_field(cfg.preprocess_dir, "entity_name_raw", "train").shape == (2 * (n_cand + 1),)
+    # token positions: "beta" is word 2 -> start 1 end 2 (0-based tokens)
+    starts = load_field(cfg.preprocess_dir, "start_pos", "train")
+    ends = load_field(cfg.preprocess_dir, "end_pos", "train")
+    assert starts[0] == 1 and ends[0] == 2
+
+    BertStage(cfg, assets["bert_params"], assets["bert_cfg"]).run()
+    feats = load_field(cfg.preprocess_dir, "entity_attr_feature")
+    mask = load_field(cfg.preprocess_dir, "entity_attr_mask")
+    assert feats.shape == (6, cfg.max_entity_attr_token_len, 16)
+    assert mask.shape == (6, cfg.max_entity_attr_token_len)
+    with open(os.path.join(cfg.preprocess_dir, "qid2idx.json")) as f:
+        qid2idx = json.load(f)
+    assert len(qid2idx) == 6
