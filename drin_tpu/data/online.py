@@ -1,0 +1,176 @@
+# -*- coding: utf-8 -*-
+"""Online-BERT data path: raw text -> token batches, assembled columnar.
+
+TPU re-design of the reference's online ``MELDataset`` (baselines/data.py:
+128-168): tokenization happens on CPU in the data layer, the model receives
+padded token-id tensors.  Both entity batching modes are kept:
+
+  * zipped (``num_entity_sentence = S > 0``): all C candidate texts packed
+    into S synthetic ``[CLS e1 SEP e2 SEP ...]`` sentences with a SEP-index
+    matrix (reference zip_entities, baselines/data.py:34-61).  NOTE this is
+    not merely an optimization — candidates packed into one sentence attend
+    to each other inside BERT, so its numerics differ from per-candidate
+    encoding; it is the reference's semantics and the parity target.
+  * direct (``num_entity_sentence = 0``): per-candidate [B, C, Le] batches —
+    the TPU-native layout (padded batching is cheap on the MXU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+from drin_tpu.common.config import Config
+from drin_tpu.common import npy_io
+from drin_tpu.data.dataset import make_onehot_lookup
+
+
+class OnlineBatch(NamedTuple):
+    mention_ids: np.ndarray  # [B, Lm]
+    mention_mask: np.ndarray  # [B, Lm]
+    mention_start_pos: np.ndarray  # [B] (CLS-shifted)
+    mention_end_pos: np.ndarray  # [B]
+    mention_image_feature: np.ndarray  # [B, R, Dr] (zeros when not multimodal)
+    entity_ids: np.ndarray  # [B, S, L] zipped | [B, C, Le] direct
+    entity_mask: np.ndarray
+    entity_sep_idx: np.ndarray  # [B, S, E] zipped | [B] zeros direct
+    entity_image_feature: np.ndarray  # [B, C, Dr] or [B] zeros
+    answer: np.ndarray  # [B, C-1] one-hot
+
+
+def zip_entities(token_lists: List[List[int]], num_sentences: int, max_len: int, cls_id: int):
+    """Pack C tokenized candidate texts into ``num_sentences`` synthetic
+    sentences (reference zip_entities, baselines/data.py:34-61).
+
+    Returns (input_ids [S, max_len], attention_mask [S, max_len],
+    sep_idx [S, E])."""
+    total = len(token_lists)
+    per = (total + num_sentences - 1) // num_sentences
+    ids = np.zeros((num_sentences, max_len), np.int64)
+    ids[:, 0] = cls_id
+    mask = np.zeros((num_sentences, max_len), np.int64)
+    sep_idx = np.zeros((num_sentences, per), np.int64)
+    for i in range(num_sentences):
+        group = token_lists[i * per : (i + 1) * per]
+        cur = 0
+        for j, sample in enumerate(group):
+            body = sample[1:]  # drop CLS, keep trailing SEP
+            ids[i, cur + 1 : cur + 1 + len(body)] = body
+            cur += len(body)
+            sep_idx[i, j] = cur
+        mask[i, : cur + 1] = 1
+    return ids, mask, sep_idx
+
+
+def extract_mention(tokens: np.ndarray, start: int, end: int, max_len: int,
+                    cls_id: int, sep_id: int):
+    """Mention tokens -> standalone [CLS mention SEP] sentence
+    (reference extract_mention, baselines/data.py:14-31)."""
+    ids = np.zeros((max_len,), np.int64)
+    ids[0] = cls_id
+    ids[1 : end - start + 1] = tokens[start + 1 : end + 1]
+    ids[end - start + 1] = sep_id
+    mask = np.zeros((max_len,), np.int64)
+    mask[: end - start + 2] = 1
+    return ids, mask, 1, end - start + 1
+
+
+class OnlineMELDataset:
+    """Columnar online dataset over the intermediate store (raw texts +
+    precomputed image features)."""
+
+    def __init__(self, cfg: Config, split: str, tokenizer=None):
+        from drin_tpu.text.wordpiece import BertTokenizer
+
+        self.cfg = cfg
+        d = cfg.preprocess_dir
+        C = cfg.num_candidates_model
+        self.tokenizer = tokenizer or BertTokenizer(
+            vocab_file=cfg.bert_vocab, do_lower_case=False, model_max_length=cfg.max_bert_len)
+        self.mention_text = npy_io.load_field(d, "mention_text_raw", split)
+        if cfg.dataset_name == "wikimel":
+            qids = npy_io.load_field(d, "entity_name_raw", split).reshape(-1, C)
+            with open(cfg.qid2entity_path) as f:
+                qid2name = json.load(f)
+            if cfg.entity_text_type == "attr":
+                with open(cfg.qid2attr_path) as f:
+                    qid2attr = json.load(f)
+                text = np.vectorize(
+                    lambda q: (qid2name[q] + ". " + str(qid2attr[q]).replace(".", ";"))[: cfg.max_entity_attr_char_len]
+                )
+            else:  # name
+                text = np.vectorize(qid2name.__getitem__)
+            self.entity_text = text(qids)
+        else:  # wikidiverse: briefs were materialized by prepare
+            self.entity_text = npy_io.load_field(d, "entity_attr_raw", split).reshape(-1, C)
+        self.start_pos = npy_io.load_field(d, "start_pos", split)
+        self.end_pos = npy_io.load_field(d, "end_pos", split)
+        self.answer = npy_io.load_field(d, "answer", split)
+        self.onehot = make_onehot_lookup(cfg.num_candidates_data)
+        self.mention_image = None
+        self.entity_image = None
+        if cfg.mention_final_layer_name == "multimodal":
+            self.mention_image = npy_io.load_field(d, "mention_image_feature", split, cfg.mention_mmap)
+        if cfg.entity_final_layer_name == "multimodal":
+            self.entity_image = npy_io.load_field(d, "entity_image_feature", split, cfg.entity_mmap)
+
+    def __len__(self):
+        return len(self.answer)
+
+    def online_batch(self, idx: np.ndarray) -> OnlineBatch:
+        cfg = self.cfg
+        tok = self.tokenizer
+        B = len(idx)
+        C = cfg.num_candidates_model
+        enc = tok([str(t) for t in self.mention_text[idx]], padding="max_length",
+                  truncation=True, max_length=cfg.max_bert_len)
+        mention_ids, mention_mask = enc["input_ids"], enc["attention_mask"]
+
+        if cfg.num_entity_sentence:
+            S = cfg.num_entity_sentence
+            per = (C + S - 1) // S
+            ids = np.zeros((B, S, cfg.max_bert_len), np.int64)
+            mask = np.zeros((B, S, cfg.max_bert_len), np.int64)
+            sep = np.zeros((B, S, per), np.int64)
+            for b in range(B):
+                token_lists = [tok.encode(str(t), truncation=True) for t in self.entity_text[idx[b]]]
+                ids[b], mask[b], sep[b] = zip_entities(token_lists, S, cfg.max_bert_len, tok.cls_id)
+        else:
+            flat = [str(t) for t in self.entity_text[idx].reshape(-1)]
+            e = tok(flat, padding="max_length", truncation=True, max_length=cfg.max_entity_attr_token_len)
+            ids = e["input_ids"].reshape(B, C, -1)
+            mask = e["attention_mask"].reshape(B, C, -1)
+            sep = np.zeros((B,), np.int64)
+
+        mi = (np.asarray(self.mention_image[idx]) if self.mention_image is not None
+              else np.zeros((B,), np.float32))
+        ei = (np.asarray(self.entity_image[idx]).reshape(B, C, -1) if self.entity_image is not None
+              else np.zeros((B,), np.float32))
+        return OnlineBatch(
+            mention_ids=mention_ids,
+            mention_mask=mention_mask,
+            mention_start_pos=self.start_pos[idx] + 1,
+            mention_end_pos=self.end_pos[idx] + 1,
+            mention_image_feature=mi,
+            entity_ids=ids,
+            entity_mask=mask,
+            entity_sep_idx=sep,
+            entity_image_feature=ei,
+            answer=self.onehot[self.answer[idx]],
+        )
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
+                kind: str = "online", drop_remainder: bool = False, pad_to_full: bool = False):
+        n = len(self)
+        order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+        for i in range(0, n, batch_size):
+            idx = order[i : i + batch_size]
+            if len(idx) < batch_size:
+                if drop_remainder:
+                    return
+                if pad_to_full:
+                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            yield self.online_batch(idx)

@@ -20,6 +20,17 @@ def get_model(cfg: Config) -> Tuple[object, str]:
 
         return DRIN(cfg), "drin"
     if cfg.model_type == "ghmfc":
+        if cfg.online_bert:
+            from drin_tpu.encoders.bert import BertConfig
+            from drin_tpu.models.ghmfc import GHMFCOnline
+
+            if cfg.bert_checkpoint:  # dims from the checkpoint
+                from drin_tpu.encoders.checkpoints import load_bert
+
+                bert_cfg, _ = load_bert(cfg.bert_checkpoint)
+            else:
+                bert_cfg = BertConfig(max_position_embeddings=cfg.max_bert_len)
+            return GHMFCOnline(cfg, bert_cfg), "online"
         from drin_tpu.models.ghmfc import GHMFC
 
         return GHMFC(cfg), "baseline"

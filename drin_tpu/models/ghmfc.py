@@ -14,6 +14,7 @@ in a flax BERT through ``drin_tpu.encoders`` when ``cfg.online_bert`` is set.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,7 +29,7 @@ from drin_tpu.nn.layers import (
     MultilayerTransformer,
     MultimodalFusion,
 )
-from drin_tpu.ops.core import cosine_similarity, token_span_mean
+from drin_tpu.ops.core import cosine_similarity, token_span_mean, unzip_entities
 
 
 class MentionEncoder(nn.Module):
@@ -134,3 +135,76 @@ class GHMFC(nn.Module):
         )
         mention = jnp.broadcast_to(mention[:, None, :], entity.shape)
         return cosine_similarity(mention, entity)
+
+
+class GHMFCOnline(nn.Module):
+    """GHMFC with BERT inside the forward pass (reference online path,
+    ghmfc.py:177-190, :216-236) — the only configuration that trains through
+    an encoder.
+
+    Batch (answer stripped), zipped mode (``cfg.num_entity_sentence > 0``):
+      (mention_ids [B, Lm], mention_mask, begin, end, mention_image,
+       entity_ids [B, S, Le], entity_mask [B, S, Le], sep_idx [B, S, E],
+       entity_image)
+    direct mode (num_entity_sentence == 0): entity_ids/mask are [B, C, Le]
+    and sep_idx is an (ignored) placeholder.
+
+    Differences from the reference (documented TPU re-design):
+      * ONE shared BERT serves mention and entity towers (the reference
+        instantiates two copies of the same pretrained weights,
+        ghmfc.py:159, :209 — identical numerics while frozen);
+      * the 12-sequential-BERT-calls loop (ghmfc.py:221-224) is one batched
+        [B*S, L] BERT call; ``unzip_entities``'s triple loop is one einsum;
+      * ``finetune_bert=False`` freezes BERT via stop_gradient (the
+        reference sets requires_grad=False, ghmfc.py:16-17).
+    """
+
+    cfg: Config
+    bert_cfg: object = None
+
+    @nn.compact
+    def __call__(self, batch, deterministic: bool = True):
+        from drin_tpu.encoders.bert import BertConfig, BertModel
+
+        cfg = self.cfg
+        (mention_ids, mention_mask, begin, end, mention_image,
+         entity_ids, entity_mask, sep_idx, entity_image) = batch
+        bert = BertModel(self.bert_cfg or BertConfig(), name="bert")
+
+        def encode(ids, mask):
+            h, pooled = bert(ids, mask)
+            if not cfg.finetune_bert:
+                h, pooled = jax.lax.stop_gradient(h), jax.lax.stop_gradient(pooled)
+            return h, pooled
+
+        # mention tower: BERT, clip to max_mention_sentence_len
+        # (ghmfc.py:181-185)
+        h, _ = encode(mention_ids, mention_mask)
+        Lm = cfg.max_mention_sentence_len
+        sent = h[:, :Lm]
+        sent_mask = mention_mask[:, :Lm]
+        mention = MentionEncoder(cfg, name="mention_encoder")(
+            sent, sent_mask, begin, end, mention_image, deterministic
+        )
+
+        # entity tower
+        B = entity_ids.shape[0]
+        C = cfg.num_candidates_model
+        flat_ids = entity_ids.reshape((-1,) + entity_ids.shape[2:])
+        flat_mask = entity_mask.reshape(flat_ids.shape)
+        eh, epooled = encode(flat_ids, flat_mask)
+        if cfg.num_entity_sentence:  # zipped (ghmfc.py:220-225)
+            zipped = eh.reshape(B, cfg.num_entity_sentence, *eh.shape[1:])
+            pooling = "avg" if cfg.entity_final_pooling == "avg" else "max"
+            encoded = unzip_entities(zipped, sep_idx, C, pooling)
+        else:  # per-candidate (ghmfc.py:227-236)
+            if cfg.entity_final_pooling == "bert default":
+                encoded = epooled.reshape(B, C, -1)
+            else:
+                num_tokens = jnp.sum(flat_mask, axis=-1)
+                pooled = token_span_mean(eh, num_tokens)
+                encoded = pooled.reshape(B, C, -1)
+        if cfg.entity_final_layer_name == "linear":
+            encoded = Linear(cfg.entity_final_output_dim, name="entity_final_layer")(encoded)
+        mention = jnp.broadcast_to(mention[:, None, :], encoded.shape)
+        return cosine_similarity(mention, encoded)

@@ -99,6 +99,32 @@ def object_pair_similarity(
     return num / (den + eps)
 
 
+def unzip_entities(zipped: jax.Array, sep_idx: jax.Array, num_candidates: int,
+                   pooling: str = "avg") -> jax.Array:
+    """Split zipped-sentence BERT features back into per-candidate vectors.
+
+    Closed form of the reference's B x S x E triple Python loop
+    (ghmfc.py:263-277): candidate k of sentence j spans token positions
+    ``[prev_sep + 1, sep_jk)`` (position 0 is CLS; spans start at 1).
+
+    zipped [B, S, L, D], sep_idx [B, S, E] -> [B, num_candidates, D].
+    Zero-width spans (padding seps) pool to 0 instead of NaN."""
+    B, S, L, D = zipped.shape
+    sep_idx = jnp.asarray(sep_idx, jnp.int32)
+    E = sep_idx.shape[-1]
+    pos = jnp.arange(L).reshape(1, 1, 1, L)
+    lo = jnp.concatenate([jnp.ones((B, S, 1), jnp.int32), sep_idx[..., :-1] + 1], axis=-1)
+    mask = (pos >= lo[..., None]) & (pos < sep_idx[..., None])  # [B, S, E, L]
+    if pooling == "avg":
+        m = mask.astype(zipped.dtype)
+        count = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+        pooled = jnp.einsum("bsel,bsld->bsed", m, zipped, precision=_HI) / count
+    else:  # max
+        neg = jnp.finfo(zipped.dtype).min
+        pooled = jnp.max(jnp.where(mask[..., None], zipped[:, :, None], neg), axis=-2)
+    return pooled.reshape(B, S * E, D)[:, :num_candidates]
+
+
 def topk_mask(scores: jax.Array, k: int) -> jax.Array:
     """Boolean mask of entries >= the k-th largest per row (ties included),
     matching the reference metric's threshold construction (utils.py:63-65)."""

@@ -31,34 +31,6 @@ from drin_tpu.common.npy_io import NpyWriter, load_field
 from drin_tpu.preprocess.images import ImageBatcher, clip_preprocess, resnet_preprocess
 
 
-def _load_torch_state_dict(path: str):
-    """Load a torch checkpoint: either a bare state_dict file, or an HF
-    snapshot directory (config.json + pytorch_model.bin).
-
-    Returns (state_dict, config_dict_or_None)."""
-    import torch
-
-    cfg_dict = None
-    if os.path.isdir(path):
-        cfg_file = os.path.join(path, "config.json")
-        if os.path.exists(cfg_file):
-            with open(cfg_file) as f:
-                cfg_dict = json.load(f)
-        for candidate in ("pytorch_model.bin", "model.pt", "state_dict.pt"):
-            p = os.path.join(path, candidate)
-            if os.path.exists(p):
-                path = p
-                break
-        else:
-            raise FileNotFoundError(f"no torch weights file found in {path}")
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    # HF snapshots sometimes nest under a top-level module prefix
-    sd = {k: np.asarray(v) for k, v in sd.items()}
-    return sd, cfg_dict
-
-
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -76,30 +48,9 @@ class BertStage:
 
         self.cfg = cfg
         if params is None:
-            sd, hf_cfg = _load_torch_state_dict(cfg.bert_checkpoint)
-            if bert_cfg is None:
-                if hf_cfg is not None:  # HF snapshot dir: exact dims
-                    bert_cfg = B.BertConfig(
-                        vocab_size=hf_cfg["vocab_size"],
-                        hidden_size=hf_cfg["hidden_size"],
-                        num_hidden_layers=hf_cfg["num_hidden_layers"],
-                        num_attention_heads=hf_cfg["num_attention_heads"],
-                        intermediate_size=hf_cfg["intermediate_size"],
-                        max_position_embeddings=hf_cfg["max_position_embeddings"],
-                        type_vocab_size=hf_cfg.get("type_vocab_size", 2),
-                        layer_norm_eps=hf_cfg.get("layer_norm_eps", 1e-12),
-                    )
-                else:  # bare state_dict: infer what the weights determine
-                    n_layers = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer."))
-                    V, D = sd["embeddings.word_embeddings.weight"].shape
-                    bert_cfg = B.BertConfig(
-                        vocab_size=V, hidden_size=D, num_hidden_layers=n_layers,
-                        num_attention_heads=max(D // 64, 2),
-                        intermediate_size=sd["encoder.layer.0.intermediate.dense.weight"].shape[0],
-                        max_position_embeddings=sd["embeddings.position_embeddings.weight"].shape[0],
-                        type_vocab_size=sd["embeddings.token_type_embeddings.weight"].shape[0],
-                    )
-            params = B.bert_params_from_torch(sd, bert_cfg)
+            from drin_tpu.encoders.checkpoints import load_bert
+
+            bert_cfg, params = load_bert(cfg.bert_checkpoint, bert_cfg)
         self.bert_cfg = bert_cfg or B.BertConfig()
         self.params = params
         self.model = B.BertModel(self.bert_cfg)
@@ -185,31 +136,9 @@ class ResnetStage:
 
         self.cfg = cfg
         if params is None:
-            sd, hf_cfg = _load_torch_state_dict(cfg.resnet_checkpoint)
-            if resnet_cfg is None:
-                if hf_cfg is not None:
-                    resnet_cfg = R.ResNetConfig(
-                        embedding_size=hf_cfg["embedding_size"],
-                        hidden_sizes=hf_cfg["hidden_sizes"],
-                        depths=hf_cfg["depths"],
-                        downsample_in_first_stage=hf_cfg.get("downsample_in_first_stage", False),
-                        downsample_in_bottleneck=hf_cfg.get("downsample_in_bottleneck", False),
-                    )
-                else:  # infer stage structure from the weight names/shapes
-                    depths, hidden = [], []
-                    si = 0
-                    while f"encoder.stages.{si}.layers.0.layer.0.convolution.weight" in sd:
-                        li = 0
-                        while f"encoder.stages.{si}.layers.{li}.layer.0.convolution.weight" in sd:
-                            li += 1
-                        depths.append(li)
-                        hidden.append(sd[f"encoder.stages.{si}.layers.0.layer.2.convolution.weight"].shape[0])
-                        si += 1
-                    resnet_cfg = R.ResNetConfig(
-                        embedding_size=sd["embedder.embedder.convolution.weight"].shape[0],
-                        hidden_sizes=hidden, depths=depths,
-                    )
-            params = R.resnet_params_from_torch(sd, resnet_cfg)
+            from drin_tpu.encoders.checkpoints import load_resnet
+
+            resnet_cfg, params = load_resnet(cfg.resnet_checkpoint, resnet_cfg)
         self.resnet_cfg = resnet_cfg or R.ResNetConfig()
         self.params = params
         self.model = R.ResNetModel(self.resnet_cfg)
@@ -306,40 +235,9 @@ class ClipStage:
 
         self.cfg = cfg
         if params is None:
-            sd, hf_cfg = _load_torch_state_dict(cfg.clip_checkpoint)
-            if clip_cfg is None:
-                if hf_cfg is not None:
-                    t, v = hf_cfg["text_config"], hf_cfg["vision_config"]
-                    clip_cfg = C.CLIPConfig(
-                        text=C.CLIPTextConfig(
-                            t["vocab_size"], t["hidden_size"], t["num_hidden_layers"],
-                            t["num_attention_heads"], t["intermediate_size"],
-                            t["max_position_embeddings"], t.get("layer_norm_eps", 1e-5)),
-                        vision=C.CLIPVisionConfig(
-                            v["hidden_size"], v["num_hidden_layers"], v["num_attention_heads"],
-                            v["intermediate_size"], v["image_size"], v["patch_size"],
-                            v.get("layer_norm_eps", 1e-5)),
-                        projection_dim=hf_cfg["projection_dim"],
-                    )
-                else:  # infer from weights (head counts use the 64-dim heuristic)
-                    tV, tD = sd["text_model.embeddings.token_embedding.weight"].shape
-                    tN = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("text_model.encoder.layers."))
-                    vN = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("vision_model.encoder.layers."))
-                    pw = sd["vision_model.embeddings.patch_embedding.weight"]  # [D, 3, p, p]
-                    vD, p = pw.shape[0], pw.shape[-1]
-                    n_pos = sd["vision_model.embeddings.position_embedding.weight"].shape[0]
-                    img = int(round(((n_pos - 1) ** 0.5))) * p
-                    clip_cfg = C.CLIPConfig(
-                        text=C.CLIPTextConfig(
-                            tV, tD, tN, max(tD // 64, 2),
-                            sd["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
-                            sd["text_model.embeddings.position_embedding.weight"].shape[0]),
-                        vision=C.CLIPVisionConfig(
-                            vD, vN, max(vD // 64, 2),
-                            sd["vision_model.encoder.layers.0.mlp.fc1.weight"].shape[0], img, p),
-                        projection_dim=sd["text_projection.weight"].shape[0],
-                    )
-            params = C.clip_params_from_torch(sd, clip_cfg)
+            from drin_tpu.encoders.checkpoints import load_clip
+
+            clip_cfg, params = load_clip(cfg.clip_checkpoint, clip_cfg)
         self.clip_cfg = clip_cfg or C.CLIPConfig()
         self.params = params
         self.model = C.CLIPModel(self.clip_cfg)

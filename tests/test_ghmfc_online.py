@@ -1,0 +1,170 @@
+# -*- coding: utf-8 -*-
+"""GHMFC online-BERT path parity vs the reference run in place with a tiny
+random BERT.
+
+Reference notes (documented divergences the oracle corrects):
+  * ghmfc.py:225 passes ``entity_dict`` (a python dict) into
+    ``unzip_entities`` where the freshly computed ``zipped_entity`` tensor is
+    clearly intended — the reference's online zipped path crashes as
+    written.  The oracle here re-implements EntityEncoder.forward's zipped
+    branch (ghmfc.py:216-225) with that one variable corrected, still
+    calling the reference's own ``unzip_entities``.
+  * the reference instantiates two BertModel copies with identical
+    pretrained weights (ghmfc.py:159, :209); ours shares one BERT —
+    identical numerics while frozen.
+"""
+
+import numpy as np
+import pytest
+
+from drin_tpu.common.config import make_config
+from tests.reference_oracle import load_reference, ref_import
+
+
+def _tiny_hf_bert(vocab_size=211, hidden=16, max_len=64):
+    import torch
+    from transformers import BertConfig, BertModel
+
+    torch.manual_seed(3)
+    cfg = BertConfig(
+        vocab_size=vocab_size, hidden_size=hidden, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, max_position_embeddings=max_len,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    return BertModel(cfg).eval(), cfg
+
+
+def test_ghmfc_online_zipped_parity():
+    import torch
+
+    from drin_tpu.data.online import zip_entities
+    from drin_tpu.encoders.bert import config_from_torch, bert_params_from_torch
+    from drin_tpu.models.ghmfc import GHMFCOnline
+    from drin_tpu.models.torch_import import _linear, _multimodal_fusion, _wrapped_linear
+
+    B, C, S = 2, 8, 3
+    D, Dr, R = 16, 24, 4
+    max_len = 64
+    args = load_reference("wikimel", "ghmfc")
+    args.online_bert = True
+    args.finetune_bert = False
+    args.num_candidates_data = C - 1
+    args.num_candidates_model = C
+    args.num_entity_sentence = S
+    args.bert_embed_dim = D
+    args.resnet_embed_dim = Dr
+    args.max_bert_len = max_len
+    args.max_mention_sentence_len = 32
+
+    hf_bert, hf_cfg = _tiny_hf_bert(hidden=D, max_len=max_len)
+    ref_mod = ref_import("baselines.ghmfc")
+    ref_mod.bert_model = lambda: hf_bert  # no-download oracle encoder
+    torch.manual_seed(0)
+    ref = ref_mod.Model().eval()
+
+    # corrected zipped entity branch (see module docstring)
+    def corrected_entity_forward(batch):
+        entity_dict, sep_idx, _entity_image = batch
+        bs = sep_idx.shape[0]
+        with torch.no_grad():
+            zipped = torch.empty([bs, S, max_len, D])
+            for i in range(S):
+                d_i = {k: v[:, i, :] for k, v in entity_dict.items()}
+                zipped[:, i] = ref.entity_encoder.text_encoder(**d_i)["last_hidden_state"]
+        enc = ref.entity_encoder.unzip_entities(zipped, sep_idx, ref.entity_encoder.pooling)
+        return ref.entity_encoder.final_layer(enc)
+
+    ref.entity_encoder.forward = corrected_entity_forward
+
+    # random batch: token ids + zipped entities through OUR packer (byte-wise
+    # identical to the reference's zip_entities, verified in test below)
+    rng = np.random.default_rng(21)
+    V = hf_cfg.vocab_size
+    mention_ids = np.zeros((B, max_len), np.int64)
+    mention_mask = np.zeros((B, max_len), np.int64)
+    for b in range(B):
+        n = rng.integers(10, 30)
+        mention_ids[b, 0], mention_ids[b, 1 : n - 1] = 101, rng.integers(5, V, n - 2)
+        mention_ids[b, n - 1] = 102
+        mention_mask[b, :n] = 1
+    start = np.array([2, 3])
+    end = np.array([4, 5])
+    mention_image = rng.standard_normal((B, R, Dr), np.float32)
+    ids = np.zeros((B, S, max_len), np.int64)
+    emask = np.zeros((B, S, max_len), np.int64)
+    per = (C + S - 1) // S
+    sep = np.zeros((B, S, per), np.int64)
+    for b in range(B):
+        token_lists = [[101] + list(rng.integers(5, V, rng.integers(2, 7))) + [102] for _ in range(C)]
+        ids[b], emask[b], sep[b] = zip_entities(token_lists, S, max_len, 101)
+
+    ref_batch = [
+        {"input_ids": torch.as_tensor(mention_ids),
+         "token_type_ids": torch.zeros_like(torch.as_tensor(mention_ids)),
+         "attention_mask": torch.as_tensor(mention_mask)},
+        torch.as_tensor(start), torch.as_tensor(end), torch.as_tensor(mention_image),
+        {"input_ids": torch.as_tensor(ids),
+         "token_type_ids": torch.zeros_like(torch.as_tensor(ids)),
+         "attention_mask": torch.as_tensor(emask)},
+        torch.as_tensor(sep), torch.zeros(B),
+    ]
+    with torch.no_grad():
+        ref_out = ref(ref_batch).numpy()
+
+    cfg = make_config("ghmfc", "wikimel", dataset_root="/tmp/unused",
+                      num_candidates_data=C - 1, num_entity_sentence=S,
+                      bert_embed_dim=D, resnet_embed_dim=Dr, max_bert_len=max_len,
+                      max_mention_sentence_len=32, online_bert=True, finetune_bert=False)
+    bert_cfg = config_from_torch(hf_cfg)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "bert": bert_params_from_torch({k: v.numpy() for k, v in hf_bert.state_dict().items()}, bert_cfg),
+        "mention_encoder": {
+            "intermediate_layer": _multimodal_fusion(sd, "mention_encoder.intermediate_layer", D, Dr)
+        },
+        "entity_final_layer": _wrapped_linear(sd, "entity_encoder.final_layer"),
+    }
+    model = GHMFCOnline(cfg, bert_cfg)
+    ours = np.asarray(model.apply(
+        {"params": params},
+        (mention_ids, mention_mask, start, end, mention_image, ids, emask, sep, np.zeros(B))))
+    assert ours.shape == ref_out.shape == (B, C)
+    np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_zip_entities_matches_reference():
+    """Our numpy zip_entities must pack byte-identically to the reference's
+    (baselines/data.py:34-61)."""
+    import torch
+
+    args = load_reference("wikimel", "ghmfc")
+    args.num_entity_sentence = 3
+    args.max_bert_len = 32
+    import importlib
+
+    ref_data = ref_import("baselines.data")
+    from drin_tpu.data.online import zip_entities
+
+    rng = np.random.default_rng(4)
+    token_lists = [[101] + list(rng.integers(5, 100, rng.integers(1, 6))) + [102] for _ in range(8)]
+    ids, mask, sep = zip_entities([list(map(int, t)) for t in token_lists], 3, 32, 101)
+    ref_dict, ref_sep = ref_data.zip_entities([list(map(int, t)) for t in token_lists])
+    np.testing.assert_array_equal(ids, ref_dict["input_ids"].numpy())
+    np.testing.assert_array_equal(mask, ref_dict["attention_mask"].numpy())
+    np.testing.assert_array_equal(sep, ref_sep.numpy())
+
+
+def test_extract_mention_matches_reference():
+    import torch
+
+    args = load_reference("wikimel", "ghmfc")
+    args.max_bert_len = 32
+    ref_data = ref_import("baselines.data")
+    from drin_tpu.data.online import extract_mention
+
+    tokens = np.array([101, 11, 12, 13, 14, 15, 102] + [0] * 25, np.int64)
+    ids, mask, s, e = extract_mention(tokens, 1, 4, 32, 101, 102)
+    ref_dict, rs, re_ = ref_data.extract_mention(torch.as_tensor(tokens), 1, 4)
+    np.testing.assert_array_equal(ids, ref_dict["input_ids"].numpy())
+    np.testing.assert_array_equal(mask, ref_dict["attention_mask"].numpy())
+    assert (s, e) == (rs, re_)

@@ -54,13 +54,25 @@ def main(argv=None) -> None:
     np.random.seed(cfg.seed)
     root_key = jax.random.key(cfg.seed)
 
-    train_ds, valid_ds, test_ds = create_datasets(cfg)
     model, kind = get_model(cfg)
+    if kind == "online":
+        from drin_tpu.data.online import OnlineMELDataset
+
+        train_ds, valid_ds, test_ds = (OnlineMELDataset(cfg, s) for s in ("train", "valid", "test"))
+    else:
+        train_ds, valid_ds, test_ds = create_datasets(cfg)
 
     mesh = make_mesh(cfg) if cfg.num_devices > 1 else None
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
     feats = tuple(np.asarray(x) for x in example[:-1])
     params = model.init(root_key, feats)["params"]
+    if kind == "online" and cfg.bert_checkpoint:
+        # load the pretrained BERT tower (the reference downloads
+        # bert-base-cased at model build, ghmfc.py:13-18)
+        from drin_tpu.encoders.checkpoints import load_bert
+
+        _, bert_params = load_bert(cfg.bert_checkpoint, model.bert_cfg)
+        params = dict(params, bert=bert_params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {cfg.model_type} ({n_params:,} params), "
           f"devices: {cfg.num_devices} ({'mesh' if mesh else 'single chip'})")
