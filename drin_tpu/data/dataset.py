@@ -147,7 +147,9 @@ class MELFeatureDataset:
         if cfg.dataset_name == "wikimel":
             rows = self.entity_row_idx[idx]  # [B, C]
             etf = _gather(self.tables["entity_text_feature"], rows)
-            etm = _gather(self.tables["entity_text_mask"], rows)
+            # pooled cache: the mask was consumed at pooling time
+            etm = (np.zeros((len(idx),), dtype=np.int64) if cfg.entity_pooling_cached
+                   else _gather(self.tables["entity_text_mask"], rows))
             eif = _gather(self.tables["entity_image_feature"], rows)
             eof = _gather(self.tables["entity_object_feature"], rows)
             eos = _gather(self.tables["entity_object_score"], rows)
@@ -182,7 +184,8 @@ class MELFeatureDataset:
         if cfg.dataset_name == "wikimel":
             rows = self.entity_row_idx[idx]
             etf = _gather(self.tables["entity_text_feature"], rows)
-            etm = _gather(self.tables["entity_text_mask"], rows)
+            etm = (np.zeros((len(idx),), dtype=np.int64) if cfg.entity_pooling_cached
+                   else _gather(self.tables["entity_text_mask"], rows))
             eif = _gather(self.tables["entity_image_feature"], rows)
         else:
             etf = np.asarray(self.entity_text_feature[idx])
@@ -229,17 +232,43 @@ class MELFeatureDataset:
             yield make(idx)
 
 
+def pool_entity_table(features: np.ndarray, mask: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """Pool the frozen global entity-text table once: [N, Le, D] ->
+    [N, 2, D] stacked (span-mean over tokens 1..n-1, CLS).
+
+    Numerically identical to the per-batch pooling the models perform
+    (ghmfc.py:245-249 / token_span_mean) — hoisted out of the training loop
+    because the features are frozen (SURVEY §7: input-bandwidth lever)."""
+    N, Le, D = features.shape
+    out = np.empty((N, 2, D), features.dtype)
+    pos = np.arange(Le)
+    for i in range(0, N, chunk):
+        f = np.asarray(features[i : i + chunk])
+        n = np.asarray(mask[i : i + chunk]).sum(-1)
+        m = ((pos[None] >= 1) & (pos[None] < (n - 1)[:, None])).astype(f.dtype)
+        count = np.maximum(m.sum(-1, keepdims=True), 1.0)
+        out[i : i + chunk, 0] = np.einsum("nl,nld->nd", m, f) / count
+        out[i : i + chunk, 1] = f[:, 0]
+    return out
+
+
 def load_wikimel_entity_tables(cfg: Config) -> dict:
     """Load the 5 global WikiMEL entity arrays once, shared across splits
-    (drin/data.py:163-187)."""
+    (drin/data.py:163-187).  With ``cfg.cache_entity_pooling`` the token-level
+    text table is replaced by its (pooled, CLS) cache."""
     d = cfg.preprocess_dir
-    return {
-        "entity_text_feature": npy_io.load_field(d, "entity_attr_feature", mmap=cfg.entity_mmap),
-        "entity_text_mask": npy_io.load_field(d, "entity_attr_mask"),
+    etf = npy_io.load_field(d, "entity_attr_feature", mmap=cfg.entity_mmap)
+    etm = npy_io.load_field(d, "entity_attr_mask")
+    tables = {
+        "entity_text_feature": etf,
+        "entity_text_mask": etm,
         "entity_image_feature": npy_io.load_field(d, "entity_image_feature", "all", cfg.entity_mmap),
         "entity_object_feature": npy_io.load_field(d, "entity_object_feature", "all", cfg.entity_mmap),
         "entity_object_score": npy_io.load_field(d, "entity_object_score", "all"),
     }
+    if cfg.entity_pooling_cached:
+        tables["entity_text_feature"] = pool_entity_table(etf, etm)
+    return tables
 
 
 def create_datasets(cfg: Config) -> list:

@@ -54,7 +54,9 @@ class VertexEncoder(nn.Module):
             mention_text_feature, mention_start_pos, mention_end_pos
         )
         # entity text vertex (EntityEncoder offline path, ghmfc.py:237-251)
-        if entity_text_feature.ndim == 4:  # wikimel: pool tokens 1..n-1
+        if cfg.entity_pooling_cached:
+            pooled = entity_text_feature[:, :, 0]  # precomputed span-mean
+        elif entity_text_feature.ndim == 4:  # wikimel: pool tokens 1..n-1
             num_tokens = jnp.sum(entity_text_mask, axis=-1)  # [B, C]
             pooled = token_span_mean(entity_text_feature, num_tokens)
         else:  # wikidiverse: stored features are already pooled
@@ -87,11 +89,17 @@ class EdgeEncoder(nn.Module):
         entity_object_feature,  # [B, C, Te, Dr] (or [B, C, Te, k, Dr])
         entity_object_score,  # [B, C, Te]
     ):
-        C = self.cfg.num_candidates_model
+        cfg = self.cfg
+        C = cfg.num_candidates_model
         # mtet: cosine(raw span-avg mention repr, entity CLS/pooled text)
         # (model.py:71-76; the final-repr fn is Avg -- no linear)
         m = span_mean(mention_text_feature, mention_start_pos, mention_end_pos)  # [B, Dt]
-        e = entity_text_feature[:, :, 0] if entity_text_feature.ndim == 4 else entity_text_feature
+        if cfg.entity_pooling_cached:
+            e = entity_text_feature[:, :, 1]  # precomputed CLS slot
+        elif entity_text_feature.ndim == 4:
+            e = entity_text_feature[:, :, 0]
+        else:
+            e = entity_text_feature
         mtet = cosine_similarity(jnp.broadcast_to(m[:, None, :], e.shape), e)  # [B, C]
 
         if mention_object_feature.ndim == 4:

@@ -93,7 +93,10 @@ class EntityEncoder(nn.Module):
     @nn.compact
     def __call__(self, entity_feature, entity_mask, entity_image):
         cfg = self.cfg
-        if entity_feature.ndim == 4:  # wikimel [B, C, Le, D]
+        if cfg.entity_pooling_cached and entity_feature.ndim == 4:
+            # precomputed (pooled, CLS) cache — [B, C, 2, D]
+            encoded = entity_feature[:, :, 1 if cfg.entity_final_pooling == "bert default" else 0]
+        elif entity_feature.ndim == 4:  # wikimel [B, C, Le, D]
             if cfg.entity_final_pooling == "bert default":
                 encoded = entity_feature[:, :, 0, :]
             elif cfg.entity_final_pooling == "avg":

@@ -60,7 +60,7 @@ def test_ghmfc_forward_parity(dataset):
     with torch.no_grad():
         ref_out = ref([torch.as_tensor(x) for x in batch_np]).numpy()
 
-    cfg = make_config("ghmfc", dataset, dataset_root="/tmp/unused")
+    cfg = make_config("ghmfc", dataset, dataset_root="/tmp/unused", cache_entity_pooling=False)
     model = GHMFC(cfg)
     params = ghmfc_params_from_torch({k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
     ours = np.asarray(model.apply({"params": params}, batch_np))

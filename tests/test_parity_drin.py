@@ -93,7 +93,9 @@ def test_drin_forward_parity(dataset):
     with torch.no_grad():
         ref_out = ref([torch.as_tensor(x) for x in batch_np]).numpy()
 
-    cfg = make_config("drin", dataset, dataset_root="/tmp/unused")
+    # raw token-level entity batch: the reference contract (the pooled
+    # cache is covered by test_entity_cache.py)
+    cfg = make_config("drin", dataset, dataset_root="/tmp/unused", cache_entity_pooling=False)
     model = DRIN(cfg)
     params = drin_params_from_torch(
         {k: v.numpy() for k, v in ref.state_dict().items()}, cfg.num_gcn_layers
