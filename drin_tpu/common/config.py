@@ -141,8 +141,12 @@ class Config:
     resume_from: Optional[str] = None
     # Compute dtype for the model body; params stay f32.
     compute_dtype: str = "float32"
-    # Use fused Pallas kernels on TPU where available (einsum fallback kept).
-    use_pallas: bool = True
+    # Use the fused Pallas GCN vertex kernel on TPU.  Measured on v5e the
+    # XLA-fused path is slightly faster for the default shapes (1.29 vs
+    # 1.38 ms/iter full-model bf16), so this defaults off; the kernel is kept
+    # maintained + tested for larger-C workloads where per-sample blocking
+    # wins.
+    use_pallas: bool = False
     # WikiMEL: pool the frozen global entity-text table ONCE at load instead
     # of streaming [B, C, Le, D] token features through every batch (32x less
     # entity-side HBM traffic; numerically identical — the per-batch pooling

@@ -25,7 +25,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from drin_tpu.common.config import Config
-from drin_tpu.nn.layers import AvgLinear, LayerNorm, Linear, get_activation
+from drin_tpu.nn.layers import (
+    AvgLinear,
+    LayerNorm,
+    Linear,
+    get_activation,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
 from drin_tpu.ops.core import cosine_similarity, object_pair_similarity, span_mean, token_span_mean
 
 
@@ -140,8 +147,6 @@ class GCNLayer(nn.Module):
 
         w_h = Linear(D, name="w_h")
         layer_norm = LayerNorm(name="layer_norm")  # shared by all 4 updates
-        w_u = Linear(D // 2 if vector else D, name="w_u")
-        w_v = Linear(D // 2 if vector else D, name="w_v")
 
         def conv_vertex(e, v):
             # scalar edges broadcast to D (model.py:139-146)
@@ -150,8 +155,40 @@ class GCNLayer(nn.Module):
                 return jnp.mean(ef * v, axis=1)
             return ef * v[:, None, :]  # entity <- mention: broadcast
 
+        # optional Pallas fusion for the entity-side updates (scalar edges):
+        # aggregation + W_h matmul + LayerNorm + activation in one kernel
+        use_fused = (
+            cfg.use_pallas
+            and not vector
+            and jax.default_backend() == "tpu"
+            and cfg.gcn_vertex_activation in ("gelu", "relu", "tanh", "sigmoid")
+        )
+        fused = None
+        if use_fused:
+            from drin_tpu.ops.pallas.gcn import fused_vertex_update
+
+            # the shared W_h / LayerNorm parameters, materialized once
+            dummy = jnp.zeros((1, D), vertexes[0].dtype)
+            _ = vact(layer_norm(w_h(dummy)))  # ensure params exist
+            wh_p = self.variables["params"]["w_h"]["Dense_0"] if not self.is_initializing() else None
+            ln_p = self.variables["params"]["layer_norm"] if not self.is_initializing() else None
+            if wh_p is not None:
+                dt = vertexes[0].dtype
+                fused = lambda v, e1, m1, e2, m2: fused_vertex_update(
+                    v, e1, m1, e2, m2,
+                    wh_p["kernel"].astype(dt), wh_p["bias"].astype(dt),
+                    ln_p["scale"].astype(dt), ln_p["bias"].astype(dt),
+                    act=cfg.gcn_vertex_activation,
+                )
+
         new_vertexes = []
         for u, neighbors in zip(vertexes, self.vertex_graph):
+            if fused is not None and u.ndim == 3:
+                (e1, v1), (e2, v2) = neighbors
+                new_vertexes.append(
+                    fused(u, edges[e1], vertexes[v1], edges[e2], vertexes[v2])
+                )
+                continue
             agg = u
             for ei_, vi in neighbors:
                 agg = agg + conv_vertex(edges[ei_], vertexes[vi])
@@ -160,16 +197,39 @@ class GCNLayer(nn.Module):
         if cfg.gcn_edge_type == "dynamic":
             # edge updates read the OLD (masked-edge, pre-update) vertexes
             # (model.py:130-134)
-            w_m = Linear(D, name="w_m") if vector else (lambda x: x)
             new_edges = []
-            for e, (ui, vi) in zip(edges, self.edge_graph):
-                u, v = vertexes[ui], vertexes[vi]
-                fu = w_u(u)[:, None, :]  # [B,1,D'] broadcast over candidates
-                if vector:
-                    conv = jnp.concatenate([jnp.broadcast_to(fu, (*v.shape[:2], fu.shape[-1])), w_v(v)], axis=-1)
-                else:
-                    conv = jnp.mean(fu * w_v(v), axis=-1)  # [B, C]
-                new_edges.append(eact(w_m(conv + e)))
+            if vector:
+                w_u = Linear(D // 2, name="w_u")
+                w_v = Linear(D // 2, name="w_v")
+                w_m = Linear(D, name="w_m")
+                for e, (ui, vi) in zip(edges, self.edge_graph):
+                    u, v = vertexes[ui], vertexes[vi]
+                    fu = w_u(u)[:, None, :]  # [B,1,D'] broadcast over candidates
+                    conv = jnp.concatenate(
+                        [jnp.broadcast_to(fu, (*v.shape[:2], fu.shape[-1])), w_v(v)], axis=-1
+                    )
+                    new_edges.append(eact(w_m(conv + e)))
+            else:
+                # scalar edges: conv = mean_D(w_u(u) ⊙ w_v(v)).  Since u is a
+                # [B, D] mention vertex and v a [B, C, D] entity vertex, fold
+                # algebraically:  with a = u·Ku + bu,
+                #   mean(a ⊙ (v·Kv + bv)) = ((a·Kvᵀ)·v + a·bv) / D
+                # — one [B, D] projection + a dot instead of a full
+                # [B, C, D] x [D, D] matmul per edge (~30x fewer FLOPs,
+                # bit-compatible up to float reassociation).
+                ku = self.param("w_u_kernel", torch_linear_kernel_init, (D, D))
+                bu = self.param("w_u_bias", torch_linear_bias_init(D), (D,))
+                kv = self.param("w_v_kernel", torch_linear_kernel_init, (D, D))
+                bv = self.param("w_v_bias", torch_linear_bias_init(D), (D,))
+                proj = {}
+                for ui in (0, 1):  # the two mention vertices
+                    a = vertexes[ui] @ ku + bu  # [B, D]
+                    proj[ui] = (a @ kv.T, a @ bv)  # ([B, D], [B])
+                for e, (ui, vi) in zip(edges, self.edge_graph):
+                    p, s = proj[ui]
+                    v = vertexes[vi]
+                    conv = (jnp.einsum("bd,bcd->bc", p, v) + s[:, None]) / D
+                    new_edges.append(eact(conv + e))
         else:
             new_edges = edges
         return new_vertexes, new_edges

@@ -118,12 +118,19 @@ def drin_params_from_torch(sd: Mapping, num_gcn_layers: int = 2, edge_vector: bo
         p = f"gcn_layers.{i}"
         layer = {
             "w_h": _wrapped_linear(sd, p + ".w_h"),
-            "w_u": _wrapped_linear(sd, p + ".w_u"),
-            "w_v": _wrapped_linear(sd, p + ".w_v"),
             "layer_norm": _layernorm(sd, p + ".layer_norm"),
         }
         if edge_vector:
+            layer["w_u"] = _wrapped_linear(sd, p + ".w_u")
+            layer["w_v"] = _wrapped_linear(sd, p + ".w_v")
             layer["w_m"] = _wrapped_linear(sd, p + ".w_m")
+        else:
+            # scalar mode uses flat params (the folded edge update,
+            # drin.py GCNLayer)
+            layer["w_u_kernel"] = _t(sd[p + ".w_u.weight"])
+            layer["w_u_bias"] = _a(sd[p + ".w_u.bias"])
+            layer["w_v_kernel"] = _t(sd[p + ".w_v.weight"])
+            layer["w_v_bias"] = _a(sd[p + ".w_v.bias"])
         params[f"gcn_{i}"] = layer
     return params
 
