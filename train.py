@@ -14,27 +14,12 @@ checkpointing, train.py:115).
 
 from __future__ import annotations
 
-import ast
 import sys
 
 import jax
 import numpy as np
 
-
-def parse_overrides(argv) -> dict:
-    out = {}
-    for arg in argv:
-        if arg.startswith("--"):
-            arg = arg[2:]
-        if "=" not in arg:
-            raise SystemExit(f"expected key=value, got: {arg!r}")
-        k, v = arg.split("=", 1)
-        try:
-            out[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            low = v.lower()
-            out[k] = {"true": True, "false": False, "none": None}.get(low, v)
-    return out
+from drin_tpu.common.cli import parse_overrides
 
 
 def main(argv=None) -> None:
