@@ -79,6 +79,17 @@ def _gather(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
     return gather_rows(table, rows)
 
 
+def _check_shape(name: str, arr, expected_tail: tuple, knobs: str):
+    """Clear config-vs-store mismatch errors instead of raw reshape
+    tracebacks: names the field, the shapes, and the config knobs to fix."""
+    if tuple(arr.shape[1:]) != tuple(expected_tail):
+        raise ValueError(
+            f"feature store field '{name}' has per-item shape {tuple(arr.shape[1:])} "
+            f"but the config expects {tuple(expected_tail)} — check {knobs} "
+            f"(or point preprocess_dir at a store built with this config)"
+        )
+
+
 class MELFeatureDataset:
     """Columnar view over one split of the preprocessed feature store."""
 
@@ -101,10 +112,23 @@ class MELFeatureDataset:
         self.answer = ld("answer")
         self.onehot = make_onehot_lookup(cfg.num_candidates_data)
 
+        _check_shape("mention_text_feature", self.mention_text_feature,
+                     (cfg.max_mention_sentence_len, cfg.bert_embed_dim),
+                     "max_mention_sentence_len / bert_embed_dim")
+        _check_shape("similarity_miet", self.miet_similarity, (C,), "num_candidates_data")
+
         if cfg.dataset_name == "wikidiverse":
             # mention-aligned entity arrays, reshaped over the candidate dim
             # (drin/data.py:30-38)
-            self.entity_text_feature = ld("entity_attr_feature", cfg.entity_mmap).reshape(-1, C, cfg.bert_embed_dim)
+            eaf = ld("entity_attr_feature", cfg.entity_mmap)
+            n_rows = len(self.answer) * C
+            if len(eaf) != n_rows:
+                raise ValueError(
+                    f"entity_attr_feature_{split} has {len(eaf)} rows; expected "
+                    f"{len(self.answer)} mentions x {C} candidates = {n_rows} — "
+                    f"check num_candidates_data against the store"
+                )
+            self.entity_text_feature = eaf.reshape(-1, C, cfg.bert_embed_dim)
             self.entity_text_mask = None
             self.entity_image_feature = ld("entity_image_feature", cfg.entity_mmap).reshape(
                 -1, C, cfg.resnet_embed_dim

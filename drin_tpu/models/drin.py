@@ -55,20 +55,18 @@ class VertexEncoder(nn.Module):
         entity_image_feature,  # [B, C, 1, Dr] | [B, C, Dr]
     ):
         cfg = self.cfg
-        # mention text vertex: span-avg + linear (mention_final_layer_name
-        # == "linear" for drin, args.py:28; ghmfc.py:163-165)
-        mt = AvgLinear(cfg.mention_final_output_dim, name="mention_text_encoder")(
-            mention_text_feature, mention_start_pos, mention_end_pos
+        # text vertices reuse GHMFC's mention/entity encoders exactly like
+        # the reference (model.py:21-22): the full configuration space
+        # (linear / transformer / none x avg-extract / max-pool) applies
+        from drin_tpu.models.ghmfc import EntityEncoder, MentionEncoder
+
+        mt = MentionEncoder(cfg, name="mention_text_encoder")(
+            mention_text_feature, mention_text_mask, mention_start_pos,
+            mention_end_pos, None,
         )
-        # entity text vertex (EntityEncoder offline path, ghmfc.py:237-251)
-        if cfg.entity_pooling_cached:
-            pooled = entity_text_feature[:, :, 0]  # precomputed span-mean
-        elif entity_text_feature.ndim == 4:  # wikimel: pool tokens 1..n-1
-            num_tokens = jnp.sum(entity_text_mask, axis=-1)  # [B, C]
-            pooled = token_span_mean(entity_text_feature, num_tokens)
-        else:  # wikidiverse: stored features are already pooled
-            pooled = entity_text_feature
-        et = Linear(cfg.entity_final_output_dim, name="entity_text_encoder")(pooled)
+        et = EntityEncoder(cfg, name="entity_text_encoder")(
+            entity_text_feature, entity_text_mask, None
+        )
         # image vertices: mean-pool regions then project (model.py:41-45)
         mi = Linear(cfg.gcn_embed_dim, name="mention_image_linear")(
             jnp.mean(mention_image_feature, axis=-2)
@@ -98,9 +96,14 @@ class EdgeEncoder(nn.Module):
     ):
         cfg = self.cfg
         C = cfg.num_candidates_model
-        # mtet: cosine(raw span-avg mention repr, entity CLS/pooled text)
-        # (model.py:71-76; the final-repr fn is Avg -- no linear)
-        m = span_mean(mention_text_feature, mention_start_pos, mention_end_pos)  # [B, Dt]
+        # mtet: cosine(raw mention repr, entity CLS/pooled text)
+        # (model.py:71-76; the final-repr fn follows
+        # mention_final_representation: span-avg for drin's default
+        # "avg extract", max-pool otherwise — ghmfc.py:192-199)
+        if cfg.mention_final_representation == "max pool":
+            m = jnp.max(mention_text_feature, axis=1)  # [B, Dt]
+        else:
+            m = span_mean(mention_text_feature, mention_start_pos, mention_end_pos)  # [B, Dt]
         if cfg.entity_pooling_cached:
             e = entity_text_feature[:, :, 1]  # precomputed CLS slot
         elif entity_text_feature.ndim == 4:

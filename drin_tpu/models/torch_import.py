@@ -101,19 +101,34 @@ def _transformer_encoder(sd: Mapping, prefix: str, num_layers: int) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def drin_params_from_torch(sd: Mapping, num_gcn_layers: int = 2, edge_vector: bool = False) -> Dict:
-    """Reference DRIN state_dict -> our DRIN flax params (model.py:156-209)."""
-    params: Dict = {
-        "vertex_encoder": {
-            # MentionEncoder(final=AvgLinear) -> AvgLinear.linear
-            "mention_text_encoder": {
-                "linear": _wrapped_linear(sd, "vertex_encoder.mention_text_encoder.final_layer.linear")
-            },
-            "entity_text_encoder": _wrapped_linear(sd, "vertex_encoder.entity_text_encoder.final_layer"),
-            "mention_image_linear": _wrapped_linear(sd, "vertex_encoder.mention_image_linear"),
-            "entity_image_linear": _wrapped_linear(sd, "vertex_encoder.entity_image_linear"),
-        }
+def drin_params_from_torch(sd: Mapping, num_gcn_layers: int = 2, edge_vector: bool = False,
+                           transformer_num_layers: int = 8) -> Dict:
+    """Reference DRIN state_dict -> our DRIN flax params (model.py:156-209).
+
+    The text-vertex encoders are GHMFC's Mention/EntityEncoder (reference
+    model.py:21-22); their sub-structure is detected from the state_dict
+    (linear / transformer / none)."""
+    ve: Dict = {
+        "mention_image_linear": _wrapped_linear(sd, "vertex_encoder.mention_image_linear"),
+        "entity_image_linear": _wrapped_linear(sd, "vertex_encoder.entity_image_linear"),
     }
+    if "vertex_encoder.mention_text_encoder.final_layer.linear.weight" in sd:
+        ve["mention_text_encoder"] = {
+            "final_layer": {
+                "linear": _wrapped_linear(sd, "vertex_encoder.mention_text_encoder.final_layer.linear")
+            }
+        }
+    elif "vertex_encoder.mention_text_encoder.intermediate_layer.transformer.layers.0.linear1.weight" in sd:
+        ve["mention_text_encoder"] = {
+            "intermediate_layer": _transformer_encoder(
+                sd, "vertex_encoder.mention_text_encoder.intermediate_layer.transformer",
+                transformer_num_layers)
+        }
+    if "vertex_encoder.entity_text_encoder.final_layer.weight" in sd:
+        ve["entity_text_encoder"] = {
+            "final_layer": _wrapped_linear(sd, "vertex_encoder.entity_text_encoder.final_layer")
+        }
+    params: Dict = {"vertex_encoder": ve}
     for i in range(num_gcn_layers):
         p = f"gcn_layers.{i}"
         layer = {

@@ -65,10 +65,18 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
     mask for static-shape ragged batches.
     """
     topk = tuple(cfg.metrics_topk)
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     def loss_and_metrics(params, batch, valid, mstate):
         feats, answer = batch[:-1], batch[-1]
-        scores = apply_fn(params, feats)
+        if compute_dtype != jnp.float32:
+            # mixed precision: f32 master params + bf16 model body; the
+            # casts are differentiable so grads/optimizer stay f32
+            cast = lambda x: x.astype(compute_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+            feats = tuple(cast(x) for x in feats)
+            scores = apply_fn(jax.tree.map(cast, params), feats).astype(jnp.float32)
+        else:
+            scores = apply_fn(params, feats)
         loss = triplet_loss(answer, scores, cfg.triplet_margin, valid)
         mstate = M.update(mstate, scores, answer, topk, valid)
         return loss, mstate
