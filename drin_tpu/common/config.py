@@ -153,6 +153,12 @@ class Config:
     # is deterministic over frozen features).  The batch then carries
     # [B, C, 2, D] stacked (pooled, CLS) entity text.
     cache_entity_pooling: bool = True
+    # WikiMEL: keep the (pooled) global entity tables resident in device HBM
+    # and gather candidate rows INSIDE the jitted step — batches then carry a
+    # [B, C] int32 row-index matrix instead of ~90MB of gathered entity
+    # features (the pooled text+image+object tables are ~350MB in bf16 for
+    # the full 109k-entity store).  Requires cache_entity_pooling.
+    device_entity_tables: bool = True
     # Host-side input pipeline.
     prefetch_depth: int = 2
     # Frozen-encoder assets for the preprocessing stages (torch state_dicts

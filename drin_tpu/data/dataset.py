@@ -230,6 +230,40 @@ class MELFeatureDataset:
         )
 
     # ------------------------------------------------------------------
+    def drin_rows_batch(self, idx: np.ndarray):
+        """DRIN batch carrying [B, C] entity row indices instead of gathered
+        entity features (device-resident tables, data/device_store.py)."""
+        from drin_tpu.data.device_store import DrinRowsBatch
+
+        assert self.entity_row_idx is not None, "rows batches need the wikimel qid join"
+        return DrinRowsBatch(
+            mention_text_feature=np.asarray(self.mention_text_feature[idx]),
+            mention_text_mask=np.asarray(self.mention_text_mask[idx]),
+            mention_start_pos=self.start_pos[idx] + 1,
+            mention_end_pos=self.end_pos[idx] + 1,
+            mention_image_feature=np.asarray(self.mention_image_feature[idx]),
+            mention_object_feature=np.asarray(self.mention_object_feature[idx]),
+            mention_object_score=np.asarray(self.mention_object_score[idx]),
+            entity_rows=self.entity_row_idx[idx],
+            miet_similarity=np.asarray(self.miet_similarity[idx]),
+            mtei_similarity=np.asarray(self.mtei_similarity[idx]),
+            answer=self.onehot[self.answer[idx]],
+        )
+
+    def baseline_rows_batch(self, idx: np.ndarray):
+        from drin_tpu.data.device_store import BaselineRowsBatch
+
+        assert self.entity_row_idx is not None, "rows batches need the wikimel qid join"
+        return BaselineRowsBatch(
+            mention_text_feature=np.asarray(self.mention_text_feature[idx]),
+            mention_text_mask=np.asarray(self.mention_text_mask[idx]),
+            mention_start_pos=self.start_pos[idx] + 1,
+            mention_end_pos=self.end_pos[idx] + 1,
+            mention_image_feature=np.asarray(self.mention_image_feature[idx]),
+            entity_rows=self.entity_row_idx[idx],
+            answer=self.onehot[self.answer[idx]],
+        )
+
     def batches(
         self,
         batch_size: int,
@@ -245,7 +279,12 @@ class MELFeatureDataset:
         :func:`padded_batches` instead when needed."""
         n = len(self)
         order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
-        make = self.drin_batch if kind == "drin" else self.baseline_batch
+        make = {
+            "drin": self.drin_batch,
+            "baseline": self.baseline_batch,
+            "drin_rows": self.drin_rows_batch,
+            "baseline_rows": self.baseline_rows_batch,
+        }[kind]
         for i in range(0, n, batch_size):
             idx = order[i : i + batch_size]
             if len(idx) < batch_size:

@@ -57,18 +57,23 @@ class StepFns(NamedTuple):
 
 def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransformation,
                    mesh=None, batch_fields: Optional[tuple] = None,
-                   example_batch: Optional[tuple] = None) -> StepFns:
+                   example_batch: Optional[tuple] = None,
+                   feats_fn: Optional[Callable] = None) -> StepFns:
     """Compile-ready step functions.
 
     ``apply_fn(params, feats) -> scores [B, C]``.  Steps take the full batch
     tuple (answer last, reference contract train.py:32-33) plus a [B] valid
-    mask for static-shape ragged batches.
+    mask for static-shape ragged batches.  ``feats_fn`` maps the raw batch
+    features to model features inside jit (e.g. the device-resident entity
+    table gather, data/device_store.py).
     """
     topk = tuple(cfg.metrics_topk)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     def loss_and_metrics(params, batch, valid, mstate):
         feats, answer = batch[:-1], batch[-1]
+        if feats_fn is not None:
+            feats = feats_fn(feats)
         if compute_dtype != jnp.float32:
             # mixed precision: f32 master params + bf16 model body; the
             # casts are differentiable so grads/optimizer stay f32
@@ -134,14 +139,16 @@ class Trainer:
 
     def __init__(self, cfg: Config, apply_fn: Callable, params, mesh=None,
                  batch_fields: Optional[tuple] = None, example_batch: Optional[tuple] = None,
-                 log=print, output_test_result_path: str = "test-result.txt"):
+                 feats_fn: Optional[Callable] = None, log=print,
+                 output_test_result_path: str = "test-result.txt"):
         self.cfg = cfg
         self.apply_fn = apply_fn
+        self.feats_fn = feats_fn
         self.mesh = mesh
         self.log = log
         state, tx = create_train_state(params, cfg)
         self.state = state
-        self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch)
+        self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch, feats_fn)
         self.epoch = 0
         self._ckpt_mgr = None
         self._test_result_path = output_test_result_path
@@ -263,7 +270,10 @@ class Trainer:
         """Write raw score vectors + labels (reference train.py:16-17,40-43) —
         the golden-output hook for parity diffing."""
         cfg = self.cfg
-        apply_jit = jax.jit(self.apply_fn)
+        ff = self.feats_fn
+        score = (self.apply_fn if ff is None
+                 else (lambda p, f: self.apply_fn(p, ff(f))))
+        apply_jit = jax.jit(score)
         with open(self._test_result_path, "w") as f:
             for batch in dataset.batches(cfg.batch_size, kind=kind):
                 scores = np.asarray(apply_jit(self.state.params, tuple(jnp.asarray(np.asarray(x)) for x in batch[:-1])))

@@ -40,17 +40,32 @@ def main(argv=None) -> None:
     root_key = jax.random.key(cfg.seed)
 
     model, kind = get_model(cfg)
+    feats_fn = None
     if kind == "online":
         from drin_tpu.data.online import OnlineMELDataset
 
         train_ds, valid_ds, test_ds = (OnlineMELDataset(cfg, s) for s in ("train", "valid", "test"))
     else:
         train_ds, valid_ds, test_ds = create_datasets(cfg)
+        if (cfg.device_entity_tables and cfg.entity_pooling_cached
+                and cfg.dataset_name == "wikimel"):
+            # device-resident entity tables: ship [B, C] row indices per
+            # batch and gather in HBM (data/device_store.py)
+            from drin_tpu.data.device_store import DeviceEntityStore
+            from drin_tpu.parallel.mesh import make_mesh, replicated
+
+            sharding = None
+            if cfg.num_devices > 1:
+                sharding = replicated(make_mesh(cfg))
+            store = DeviceEntityStore(cfg, train_ds.tables, sharding=sharding)
+            feats_fn = store.drin_feats_fn() if kind == "drin" else store.baseline_feats_fn()
+            kind = kind + "_rows"
+            print(f"device entity tables resident: {store.nbytes / 1e6:.0f} MB")
 
     mesh = make_mesh(cfg) if cfg.num_devices > 1 else None
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
     feats = tuple(np.asarray(x) for x in example[:-1])
-    params = model.init(root_key, feats)["params"]
+    params = model.init(root_key, feats if feats_fn is None else feats_fn(feats))["params"]
     if kind == "online" and cfg.bert_checkpoint:
         # load the pretrained BERT tower (the reference downloads
         # bert-base-cased at model build, ghmfc.py:13-18)
@@ -64,7 +79,8 @@ def main(argv=None) -> None:
 
     apply_fn = lambda p, f: model.apply({"params": p}, f)
     trainer = Trainer(cfg, apply_fn, params, mesh,
-                      batch_fields=type(example)._fields, example_batch=example)
+                      batch_fields=type(example)._fields, example_batch=example,
+                      feats_fn=feats_fn)
 
     if cfg.test_only:
         trainer.test(test_ds, kind=kind)
