@@ -1,0 +1,173 @@
+# -*- coding: utf-8 -*-
+"""Serving: load a trained checkpoint and rank candidates for mention
+batches — the deployment path the reference lacks entirely (SURVEY §0: no
+serving, no checkpointing).
+
+Two layers:
+
+  * :class:`Ranker` — programmatic API.  Entity tables live in device HBM
+    (bf16 by default); requests carry mention-side features plus candidate
+    row indices; one jitted program scores and returns top-k.  A
+    ``retrieve`` mode scores a mention representation against the FULL
+    entity table (brute-force cosine over HBM, the stage-1 retrieval the
+    reference folds into ``acc_correction`` instead of running).
+  * :func:`serve_http` — a minimal stdlib JSON-over-HTTP wrapper for smoke
+    deployments (POST /rank with base64 npz payloads).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drin_tpu.common.config import Config
+from drin_tpu.data.device_store import DeviceEntityStore
+from drin_tpu.models import get_model
+from drin_tpu.ops.core import cosine_similarity
+
+
+class Ranker:
+    """Checkpoint-backed mention-candidate ranking service."""
+
+    def __init__(self, cfg: Config, params=None, entity_tables: Optional[dict] = None,
+                 checkpoint_dir: Optional[str] = None, step: Optional[int] = None):
+        self.cfg = cfg
+        self.model, self.kind = get_model(cfg)
+        if params is None:
+            params = self._restore(checkpoint_dir or cfg.checkpoint_dir, step)
+        dt = jnp.dtype(cfg.compute_dtype)
+        cast = lambda x: x.astype(dt) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x)
+        self.params = jax.device_put(jax.tree.map(cast, params))
+        self.store = None
+        self._feats_fn = None
+        if entity_tables is not None and cfg.entity_pooling_cached:
+            self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt)
+            self._feats_fn = (self.store.drin_feats_fn() if self.kind == "drin"
+                              else self.store.baseline_feats_fn())
+
+        def score(params, feats):
+            if self._feats_fn is not None:
+                feats = tuple(cast(x) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                              else jnp.asarray(x) for x in feats)
+                feats = self._feats_fn(feats)
+            else:
+                feats = tuple(cast(x) for x in feats)
+            return self.model.apply({"params": params}, feats).astype(jnp.float32)
+
+        self._score = jax.jit(score)
+        self._topk = jax.jit(
+            lambda params, feats, k: jax.lax.top_k(score(params, feats), k),
+            static_argnums=2,
+        )
+
+    def _restore(self, checkpoint_dir: str, step: Optional[int]):
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {checkpoint_dir}")
+        restored = mgr.restore(step)
+        return restored["params"]
+
+    # ------------------------------------------------------------------
+    def score(self, feats) -> np.ndarray:
+        """Raw candidate scores [B, C] for a feature tuple (model batch
+        without the answer; rows-batch features when entity tables are
+        device-resident)."""
+        return np.asarray(self._score(self.params, tuple(feats)))
+
+    def rank(self, feats, k: int = 5):
+        """(top-k scores, top-k candidate indices) per mention."""
+        scores, idx = self._topk(self.params, tuple(feats), k)
+        return np.asarray(scores), np.asarray(idx)
+
+    def retrieve(self, mention_repr: np.ndarray, k: int = 100):
+        """Stage-1 retrieval: cosine top-k of ``mention_repr`` [B, D]
+        against the full pooled entity-text table."""
+        assert self.store is not None, "retrieve() needs device entity tables"
+        table = self.store.text[:, 0]  # pooled slot [N, D]
+
+        @jax.jit
+        def _retrieve(q):
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+            t = table / jnp.linalg.norm(table, axis=-1, keepdims=True)
+            sims = q @ t.T
+            return jax.lax.top_k(sims, k)
+
+        scores, idx = _retrieve(jnp.asarray(mention_repr, table.dtype))
+        return np.asarray(scores), np.asarray(idx)
+
+
+# ---------------------------------------------------------------------------
+# minimal HTTP wrapper
+
+
+def _encode_arrays(arrays: dict) -> str:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _decode_arrays(payload: str) -> dict:
+    data = np.load(io.BytesIO(base64.b64decode(payload)), allow_pickle=False)
+    return {k: data[k] for k in data.files}
+
+
+def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
+               feat_fields: Optional[list] = None):
+    """Start a blocking JSON-over-HTTP server.
+
+    POST /rank    {"features": <b64 npz of the batch feature fields>, "k": 5}
+                  -> {"scores": [[...]], "indices": [[...]]}
+    GET  /health  -> {"status": "ok"}
+    Returns the server object (call ``.shutdown()`` from another thread)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    fields = feat_fields
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"status": "ok", "model": ranker.cfg.model_type})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/rank":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                arrays = _decode_arrays(req["features"])
+                order = fields or sorted(arrays)
+                feats = tuple(arrays[name] for name in order)
+                scores, idx = ranker.rank(feats, int(req.get("k", 5)))
+                self._reply(200, {"scores": scores.tolist(), "indices": idx.tolist()})
+            except Exception as e:  # serving must not die on a bad request
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

@@ -1,0 +1,115 @@
+# -*- coding: utf-8 -*-
+"""Serving tests: checkpoint-backed Ranker, full-table retrieval, and the
+HTTP wrapper driven over a real socket."""
+
+import json
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from drin_tpu.data.dataset import MELFeatureDataset, load_wikimel_entity_tables
+from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+from drin_tpu.models.drin import DRIN
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve-store"))
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=d).replace(compute_dtype="float32")
+    make_synthetic_store(cfg, n_mentions=10, n_entities=25, seed=13)
+    tables = load_wikimel_entity_tables(cfg)
+    ds = MELFeatureDataset(cfg, "train", tables)
+    batch = next(ds.batches(4, kind="drin_rows"))
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(0), _dense(ds, np.arange(4)))["params"]
+    return cfg, tables, ds, params, batch
+
+
+def _dense(ds, idx):
+    return ds.drin_batch(idx)[:-1]
+
+
+def test_ranker_scores_match_model(served):
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    scores = r.score(batch[:-1])
+    model = DRIN(cfg)
+    want = np.asarray(model.apply({"params": params}, _dense(ds, np.arange(4))))
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)
+    top_scores, top_idx = r.rank(batch[:-1], k=3)
+    assert top_idx.shape == (4, 3)
+    np.testing.assert_allclose(top_scores[:, 0], scores.max(-1), rtol=1e-6)
+
+
+def test_ranker_checkpoint_roundtrip(served, tmp_path):
+    import orbax.checkpoint as ocp
+
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    mgr = ocp.CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, args=ocp.args.StandardSave({"params": params}))
+    mgr.wait_until_finished()
+    r = Ranker(cfg, entity_tables=tables, checkpoint_dir=str(tmp_path / "ckpt"))
+    scores = r.score(batch[:-1])
+    want = Ranker(cfg, params=params, entity_tables=tables).score(batch[:-1])
+    np.testing.assert_allclose(scores, want, rtol=1e-6)
+
+
+def test_retrieve_full_table(served):
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    # query = an entity's own pooled text -> it must retrieve itself first
+    table = np.asarray(tables["entity_text_feature"][:, 0])
+    q = table[[3, 17]]
+    scores, idx = r.retrieve(q, k=5)
+    assert idx.shape == (2, 5)
+    assert idx[0, 0] == 3 and idx[1, 0] == 17
+    assert np.allclose(scores[:, 0], 1.0, atol=1e-3)
+
+
+def test_http_server_rank_and_health(served):
+    from drin_tpu.serve import Ranker, serve_http, _encode_arrays
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    fields = list(type(batch)._fields[:-1])
+    server = serve_http(r, port=0, feat_fields=fields)  # port 0: OS-assigned
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+
+        payload = _encode_arrays({name: np.asarray(v) for name, v in zip(fields, batch[:-1])})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank",
+            data=json.dumps({"features": payload, "k": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            out = json.loads(resp.read())
+        got = np.asarray(out["scores"])
+        want, _ = r.rank(batch[:-1], k=3)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        # bad request -> 400 with an error message, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank", data=b'{"features": "!!!"}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as resp:
+            assert resp.status == 200
+    finally:
+        server.shutdown()
