@@ -128,6 +128,20 @@ class OnlineMELDataset:
         enc = tok([str(t) for t in self.mention_text[idx]], padding="max_length",
                   truncation=True, max_length=cfg.max_bert_len)
         mention_ids, mention_mask = enc["input_ids"], enc["attention_mask"]
+        start_pos = self.start_pos[idx] + 1  # CLS shift (baselines/data.py:162)
+        end_pos = self.end_pos[idx] + 1
+        if cfg.pre_extract_mention:
+            # mention tokens re-packed into standalone [CLS mention SEP]
+            # sentences (reference baselines/data.py:154-156)
+            new_ids = np.zeros_like(mention_ids)
+            new_mask = np.zeros_like(mention_mask)
+            s = np.ones((B,), np.int64)
+            e = np.ones((B,), np.int64)
+            for b in range(B):
+                new_ids[b], new_mask[b], s[b], e[b] = extract_mention(
+                    mention_ids[b], int(self.start_pos[idx[b]]), int(self.end_pos[idx[b]]),
+                    cfg.max_bert_len, tok.cls_id, tok.sep_id)
+            mention_ids, mention_mask, start_pos, end_pos = new_ids, new_mask, s, e
 
         if cfg.num_entity_sentence:
             S = cfg.num_entity_sentence
@@ -152,8 +166,8 @@ class OnlineMELDataset:
         return OnlineBatch(
             mention_ids=mention_ids,
             mention_mask=mention_mask,
-            mention_start_pos=self.start_pos[idx] + 1,
-            mention_end_pos=self.end_pos[idx] + 1,
+            mention_start_pos=start_pos,
+            mention_end_pos=end_pos,
             mention_image_feature=mi,
             entity_ids=ids,
             entity_mask=mask,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import datetime
 import os
 import sys
+import threading
 import time
 from typing import Any, Callable, NamedTuple, Optional
 
@@ -243,20 +244,44 @@ class Trainer:
 
     def fit(self, train_ds, valid_ds, num_epochs: int, kind: str = "drin"):
         """One fit chunk: ``num_epochs`` epochs of train+valid (reference
-        create_trainer, train.py:112-122)."""
+        create_trainer, train.py:112-122).
+
+        Preemption safety (new capability; the reference has no failure
+        handling, SURVEY §5.3): with checkpointing enabled, SIGTERM/SIGINT
+        during fit triggers a checkpoint save before re-raising, so a
+        preempted run resumes from the last completed epoch."""
+        import signal
+
         cfg = self.cfg
         results = []
         profiling = cfg.profiling
         if profiling:
             os.makedirs(cfg.profile_dir, exist_ok=True)
             jax.profiler.start_trace(cfg.profile_dir)
+
+        interrupted = {}
+        prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            interrupted["signum"] = signum
+
+        in_main = threading.current_thread() is threading.main_thread()
+        if self._ckpt_mgr is not None and in_main:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
         try:
             for _ in range(num_epochs):
                 self._run_epoch(train_ds, "train", True, kind)
                 results.append(self._run_epoch(valid_ds, "valid", False, kind))
                 self.epoch += 1
                 self.save()
+                if interrupted:
+                    self.log(f"signal {interrupted['signum']} received: checkpoint "
+                             f"saved at epoch {self.epoch}, stopping")
+                    raise KeyboardInterrupt
         finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
             if profiling:
                 jax.profiler.stop_trace()
         return results

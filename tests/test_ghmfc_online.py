@@ -168,3 +168,61 @@ def test_extract_mention_matches_reference():
     np.testing.assert_array_equal(ids, ref_dict["input_ids"].numpy())
     np.testing.assert_array_equal(mask, ref_dict["attention_mask"].numpy())
     assert (s, e) == (rs, re_)
+
+
+def test_pre_extract_mention_matches_reference_batchwise():
+    """pre_extract_mention packs each mention into its own [CLS mention SEP]
+    sentence with start=1 (baselines/data.py:154-156); our columnar batch
+    assembly must equal the reference's per-sample extract_mention."""
+    import tempfile
+
+    import torch
+
+    args = load_reference("wikimel", "ghmfc")
+    args.max_bert_len = 32
+    ref_data = ref_import("baselines.data")
+
+    from drin_tpu.data.online import OnlineMELDataset
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.text.wordpiece import BertTokenizer, build_tiny_vocab
+    from drin_tpu.common import npy_io
+    import json, os
+
+    # fabricate an intermediate store with raw mentions + qid candidates
+    d = tempfile.mkdtemp()
+    sentences = ["Alpha beta gamma delta epsilon", "Zeta eta theta iota kappa"]
+    vocab = build_tiny_vocab(sentences + ["name Q0", "name Q1", "attr text"])
+    tok = BertTokenizer(vocab=vocab, model_max_length=32)
+    # align the reference's hard-coded special-token ids (args.py:46-47)
+    # with the tiny vocab so its extract_mention packs the same bytes
+    args.CLS, args.SEP = ref_data.CLS, ref_data.SEP = tok.cls_id, tok.sep_id
+    npy_io.save_field(d, "mention_text_raw", np.asarray(sentences), "train")
+    npy_io.save_field(d, "start_pos", np.asarray([1, 2]), "train")
+    npy_io.save_field(d, "end_pos", np.asarray([3, 4]), "train")
+    npy_io.save_field(d, "answer", np.asarray([0, 1]), "train")
+    C = 3
+    npy_io.save_field(d, "entity_name_raw", np.asarray([f"Q{i % 2}" for i in range(2 * C)]), "train")
+    with open(os.path.join(d, "qid2ne.json"), "w") as f:
+        json.dump({"Q0": "name Q0", "Q1": "name Q1"}, f)
+    with open(os.path.join(d, "qid2abs.json"), "w") as f:
+        json.dump({"Q0": "attr text", "Q1": "attr text"}, f)
+
+    cfg = tiny_config("wikimel", "ghmfc", preprocess_dir=d).replace(
+        num_candidates_data=C - 1, online_bert=True, pre_extract_mention=True,
+        max_bert_len=32, num_entity_sentence=2,
+        mention_final_layer_name="linear",  # no image loading
+        entity_final_layer_name="linear",
+        qid2entity_path=os.path.join(d, "qid2ne.json"),
+        qid2attr_path=os.path.join(d, "qid2abs.json"),
+    )
+    ds = OnlineMELDataset(cfg, "train", tokenizer=tok)
+    batch = ds.online_batch(np.arange(2))
+
+    # oracle: tokenizer + reference extract_mention per sample
+    full = tok(sentences, padding="max_length", truncation=True, max_length=32)
+    for b in range(2):
+        ref_dict, rs, re_ = ref_data.extract_mention(
+            torch.as_tensor(full["input_ids"][b]), [1, 2][b], [3, 4][b])
+        np.testing.assert_array_equal(batch.mention_ids[b], ref_dict["input_ids"].numpy())
+        np.testing.assert_array_equal(batch.mention_mask[b], ref_dict["attention_mask"].numpy())
+        assert batch.mention_start_pos[b] == rs and batch.mention_end_pos[b] == re_

@@ -146,3 +146,38 @@ def test_output_test_result_dump(tmp_path, wd_cfg):
     assert len(lines) == len(test_ds)
     first = lines[0].split("|")
     assert len(first[0].split()) == cfg.num_candidates_model
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path, wd_cfg):
+    """Preemption safety: SIGTERM during fit finishes the epoch, saves a
+    checkpoint, and stops with KeyboardInterrupt; a fresh trainer resumes."""
+    import os
+    import signal
+
+    cfg = wd_cfg.replace(enable_checkpointing=True,
+                         checkpoint_dir=str(tmp_path / "ckpt-sig"))
+    tr, (train_ds, valid_ds, _), kind = _make_trainer(cfg)
+
+    class SignalingDataset:
+        """Delivers SIGTERM after the first train batch of the first epoch."""
+
+        def __init__(self, ds):
+            self.ds = ds
+            self.sent = False
+
+        def batches(self, *a, **kw):
+            for batch in self.ds.batches(*a, **kw):
+                yield batch
+                if not self.sent:
+                    self.sent = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        def __len__(self):
+            return len(self.ds)
+
+    with pytest.raises(KeyboardInterrupt):
+        tr.fit(SignalingDataset(train_ds), valid_ds, 5, kind=kind)
+    assert tr.epoch == 1  # stopped after the epoch in flight
+
+    tr2, _, _ = _make_trainer(cfg)  # resumes from the saved checkpoint
+    assert tr2.epoch == 1
