@@ -28,8 +28,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 B = 64
-N_WARMUP = 3
-N_ITERS = 100
+N_WARMUP = 2
+N_ITERS = 15
+UNROLL = 20  # forwards per dispatch (amortizes transport overhead)
 BASELINE_CACHE = os.path.join(REPO, "baseline_measured.json")
 
 
@@ -57,16 +58,22 @@ def measure_ours() -> float:
     dt = jnp.bfloat16
     cast = lambda x: x.astype(dt) if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x)
 
-    # Chain iterations through a scalar data dependency so the device MUST
-    # execute every forward sequentially, and fetch once at the end.  (Naive
-    # per-call block_until_ready is unreliable through remote-relay
-    # transports and over-reports; a host fetch per call under-reports by
-    # one network roundtrip per iteration.)
-    def score_sum(params, feats, eps):
-        f = (feats[0] + eps.astype(feats[0].dtype) * 1e-12,) + feats[1:]
-        return jnp.sum(model.apply({"params": params}, f).astype(jnp.float32))
+    # Timing methodology for high-latency transports (e.g. remote relays):
+    #   * naive per-call block_until_ready over-reports (completion signals
+    #     return early),
+    #   * one dispatch per forward under-reports (each dispatch costs
+    #     ~0.5-1.3ms of transport overhead vs ~0.7ms of device compute).
+    # So: unroll K forwards inside ONE jitted program, chained through a
+    # scalar so the device must execute them sequentially, and fetch once.
+    K = UNROLL
 
-    fn = jax.jit(score_sum)
+    def chain(params, feats, eps):
+        for _ in range(K):
+            f = (feats[0] + eps.astype(feats[0].dtype) * 1e-12,) + feats[1:]
+            eps = jnp.sum(model.apply({"params": params}, f).astype(jnp.float32)) * 1e-9 + eps
+        return eps
+
+    fn = jax.jit(chain)
     dev_feats = tuple(jax.device_put(cast(x)) for x in feats)
     dev_params = jax.device_put(jax.tree.map(cast, params))
     log(f"devices: {jax.devices()}")
@@ -78,8 +85,9 @@ def measure_ours() -> float:
         eps = fn(dev_params, dev_feats, eps)
     np.asarray(eps)  # single device->host fetch closes the chain
     dt = time.perf_counter() - t0
-    pairs = N_ITERS * B * cfg.num_candidates_model
-    log(f"ours: {N_ITERS} iters in {dt:.3f}s ({dt / N_ITERS * 1e3:.2f} ms/iter)")
+    n_fwd = N_ITERS * K
+    pairs = n_fwd * B * cfg.num_candidates_model
+    log(f"ours: {n_fwd} forwards in {dt:.3f}s ({dt / n_fwd * 1e3:.3f} ms/forward)")
     return pairs / dt
 
 
