@@ -52,6 +52,76 @@ def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float, top_k: int) -
     return out
 
 
+def generate_anchors(feature_size: tuple, stride: int, sizes=(32, 64, 128),
+                     aspect_ratios=(0.5, 1.0, 2.0)) -> jax.Array:
+    """Anchor grid for one feature level, torchvision AnchorGenerator
+    semantics: centered zero-area-preserving (x1, y1, x2, y2) boxes at every
+    feature cell.  Returns [H*W*A, 4] with A = len(sizes)*len(aspect_ratios).
+    """
+    H, W = feature_size
+    sizes = jnp.asarray(sizes, jnp.float32)
+    ratios = jnp.asarray(aspect_ratios, jnp.float32)
+    h_r = jnp.sqrt(ratios)
+    w_r = 1.0 / h_r
+    ws = (w_r[:, None] * sizes[None, :]).reshape(-1)  # [A]
+    hs = (h_r[:, None] * sizes[None, :]).reshape(-1)
+    base = jnp.stack([-ws, -hs, ws, hs], axis=1) / 2.0  # [A, 4]
+    base = jnp.round(base)  # torchvision rounds base anchors
+    shift_x = jnp.arange(W, dtype=jnp.float32) * stride
+    shift_y = jnp.arange(H, dtype=jnp.float32) * stride
+    sx, sy = jnp.meshgrid(shift_x, shift_y, indexing="xy")
+    shifts = jnp.stack([sx.reshape(-1), sy.reshape(-1)] * 2, axis=1)  # [H*W, 4]
+    return (shifts[:, None, :] + base[None, :, :]).reshape(-1, 4)
+
+
+def decode_boxes(deltas: jax.Array, anchors: jax.Array,
+                 weights=(1.0, 1.0, 1.0, 1.0), clip: float = 4.135) -> jax.Array:
+    """Apply (dx, dy, dw, dh) regression deltas to anchors — torchvision
+    BoxCoder.decode semantics (clip = log(1000/16) bounds the exp)."""
+    wx, wy, ww, wh = weights
+    widths = anchors[:, 2] - anchors[:, 0]
+    heights = anchors[:, 3] - anchors[:, 1]
+    cx = anchors[:, 0] + 0.5 * widths
+    cy = anchors[:, 1] + 0.5 * heights
+    dx, dy, dw, dh = (deltas[:, 0] / wx, deltas[:, 1] / wy,
+                      jnp.minimum(deltas[:, 2] / ww, clip),
+                      jnp.minimum(deltas[:, 3] / wh, clip))
+    pcx = dx * widths + cx
+    pcy = dy * heights + cy
+    pw = jnp.exp(dw) * widths
+    ph = jnp.exp(dh) * heights
+    return jnp.stack([pcx - 0.5 * pw, pcy - 0.5 * ph, pcx + 0.5 * pw, pcy + 0.5 * ph], axis=1)
+
+
+def encode_boxes(boxes: jax.Array, anchors: jax.Array,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> jax.Array:
+    """Inverse of :func:`decode_boxes` (BoxCoder.encode)."""
+    wx, wy, ww, wh = weights
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    acx = anchors[:, 0] + 0.5 * aw
+    acy = anchors[:, 1] + 0.5 * ah
+    bw = boxes[:, 2] - boxes[:, 0]
+    bh = boxes[:, 3] - boxes[:, 1]
+    bcx = boxes[:, 0] + 0.5 * bw
+    bcy = boxes[:, 1] + 0.5 * bh
+    return jnp.stack([
+        wx * (bcx - acx) / aw,
+        wy * (bcy - acy) / ah,
+        ww * jnp.log(bw / aw),
+        wh * jnp.log(bh / ah),
+    ], axis=1)
+
+
+def clip_boxes(boxes: jax.Array, height: float, width: float) -> jax.Array:
+    return jnp.stack([
+        jnp.clip(boxes[:, 0], 0, width),
+        jnp.clip(boxes[:, 1], 0, height),
+        jnp.clip(boxes[:, 2], 0, width),
+        jnp.clip(boxes[:, 3], 0, height),
+    ], axis=1)
+
+
 def roi_align(features: jax.Array, boxes: jax.Array, output_size: tuple,
               spatial_scale: float = 1.0, sampling_ratio: int = 2,
               aligned: bool = True) -> jax.Array:

@@ -226,3 +226,89 @@ def test_pre_extract_mention_matches_reference_batchwise():
         np.testing.assert_array_equal(batch.mention_ids[b], ref_dict["input_ids"].numpy())
         np.testing.assert_array_equal(batch.mention_mask[b], ref_dict["attention_mask"].numpy())
         assert batch.mention_start_pos[b] == rs and batch.mention_end_pos[b] == re_
+
+
+def test_ghmfc_online_direct_parity():
+    """num_entity_sentence=0: the reference encodes each candidate separately
+    (ghmfc.py:227-236, per-candidate BERT calls + per-sample token pooling);
+    ours is one batched [B*C, Le] BERT call + masked einsum."""
+    import torch
+
+    from drin_tpu.encoders.bert import bert_params_from_torch, config_from_torch
+    from drin_tpu.models.ghmfc import GHMFCOnline
+    from drin_tpu.models.torch_import import _multimodal_fusion, _wrapped_linear
+
+    B, C = 2, 5
+    D, Dr, R = 16, 24, 4
+    Le, max_len = 16, 64
+    args = load_reference("wikimel", "ghmfc")
+    args.online_bert = True
+    args.finetune_bert = False
+    args.num_candidates_data = C - 1
+    args.num_candidates_model = C
+    args.num_entity_sentence = 0  # direct mode
+    args.bert_embed_dim = D
+    args.resnet_embed_dim = Dr
+    args.max_bert_len = max_len
+    args.max_mention_sentence_len = 32
+    args.entity_final_pooling = "avg"
+
+    hf_bert, hf_cfg = _tiny_hf_bert(hidden=D, max_len=max_len)
+    ref_mod = ref_import("baselines.ghmfc")
+    ref_mod.bert_model = lambda: hf_bert
+    torch.manual_seed(5)
+    ref = ref_mod.Model().eval()
+
+    rng = np.random.default_rng(23)
+    V = hf_cfg.vocab_size
+    mention_ids = np.zeros((B, max_len), np.int64)
+    mention_mask = np.zeros((B, max_len), np.int64)
+    for b in range(B):
+        n = rng.integers(10, 30)
+        mention_ids[b, 0], mention_ids[b, 1 : n - 1] = 101, rng.integers(5, V, n - 2)
+        mention_ids[b, n - 1] = 102
+        mention_mask[b, :n] = 1
+    start, end = np.array([2, 3]), np.array([4, 5])
+    mention_image = rng.standard_normal((B, R, Dr), np.float32)
+    eids = np.zeros((B, C, Le), np.int64)
+    emask = np.zeros((B, C, Le), np.int64)
+    for b in range(B):
+        for c in range(C):
+            n = rng.integers(4, Le)
+            eids[b, c, 0], eids[b, c, 1 : n - 1] = 101, rng.integers(5, V, n - 2)
+            eids[b, c, n - 1] = 102
+            emask[b, c, :n] = 1
+
+    ref_batch = [
+        {"input_ids": torch.as_tensor(mention_ids),
+         "token_type_ids": torch.zeros_like(torch.as_tensor(mention_ids)),
+         "attention_mask": torch.as_tensor(mention_mask)},
+        torch.as_tensor(start), torch.as_tensor(end), torch.as_tensor(mention_image),
+        {"input_ids": torch.as_tensor(eids),
+         "token_type_ids": torch.zeros_like(torch.as_tensor(eids)),
+         "attention_mask": torch.as_tensor(emask)},
+        torch.as_tensor(np.zeros((B,), np.int64)), torch.zeros(B),
+    ]
+    with torch.no_grad():
+        ref_out = ref(ref_batch).numpy()
+
+    cfg = make_config("ghmfc", "wikimel", dataset_root="/tmp/unused",
+                      num_candidates_data=C - 1, num_entity_sentence=0,
+                      bert_embed_dim=D, resnet_embed_dim=Dr, max_bert_len=max_len,
+                      max_mention_sentence_len=32, online_bert=True, finetune_bert=False)
+    bert_cfg = config_from_torch(hf_cfg)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "bert": bert_params_from_torch({k: v.numpy() for k, v in hf_bert.state_dict().items()}, bert_cfg),
+        "mention_encoder": {
+            "intermediate_layer": _multimodal_fusion(sd, "mention_encoder.intermediate_layer", D, Dr)
+        },
+        "entity_final_layer": _wrapped_linear(sd, "entity_encoder.final_layer"),
+    }
+    model = GHMFCOnline(cfg, bert_cfg)
+    ours = np.asarray(model.apply(
+        {"params": params},
+        (mention_ids, mention_mask, start, end, mention_image,
+         eids, emask, np.zeros((B,), np.int64), np.zeros(B))))
+    assert ours.shape == ref_out.shape == (B, C)
+    np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-4)

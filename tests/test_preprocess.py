@@ -343,3 +343,39 @@ def test_prepare_and_bert_wikimel(tmp_path):
     with open(os.path.join(cfg.preprocess_dir, "qid2idx.json")) as f:
         qid2idx = json.load(f)
     assert len(qid2idx) == 6
+
+
+def test_box_encode_decode_roundtrip(rng):
+    from drin_tpu.ops.detection import decode_boxes, encode_boxes
+
+    xy = rng.uniform(0, 100, (30, 2)).astype(np.float32)
+    wh = rng.uniform(5, 50, (30, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1)
+    axy = rng.uniform(0, 100, (30, 2)).astype(np.float32)
+    awh = rng.uniform(10, 60, (30, 2)).astype(np.float32)
+    anchors = np.concatenate([axy, axy + awh], -1)
+    deltas = encode_boxes(boxes, anchors)
+    back = np.asarray(decode_boxes(np.asarray(deltas), anchors))
+    np.testing.assert_allclose(back, boxes, rtol=1e-4, atol=1e-3)
+    # zero deltas decode to the anchors themselves
+    zero = np.asarray(decode_boxes(np.zeros_like(deltas), anchors))
+    np.testing.assert_allclose(zero, anchors, rtol=1e-5, atol=1e-3)
+
+
+def test_anchor_grid():
+    from drin_tpu.ops.detection import generate_anchors
+
+    a = np.asarray(generate_anchors((2, 3), stride=16, sizes=(32,), aspect_ratios=(1.0,)))
+    assert a.shape == (6, 4)
+    # cell (0,0): centered 32x32 box at origin
+    np.testing.assert_allclose(a[0], [-16, -16, 16, 16])
+    # moving one cell right shifts by the stride in x
+    np.testing.assert_allclose(a[1] - a[0], [16, 0, 16, 0])
+    # moving one row down shifts by the stride in y
+    np.testing.assert_allclose(a[3] - a[0], [0, 16, 0, 16])
+    # aspect ratio 0.5 halves height relative to width at equal area
+    b = np.asarray(generate_anchors((1, 1), stride=16, sizes=(32,), aspect_ratios=(0.5, 2.0)))
+    w0, h0 = b[0, 2] - b[0, 0], b[0, 3] - b[0, 1]
+    w1, h1 = b[1, 2] - b[1, 0], b[1, 3] - b[1, 1]
+    assert w0 > h0 and w1 < h1
+    np.testing.assert_allclose(w0 * h0, w1 * h1, rtol=0.1)  # ~equal area
