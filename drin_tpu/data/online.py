@@ -58,6 +58,12 @@ def zip_entities(token_lists: List[List[int]], num_sentences: int, max_len: int,
         cur = 0
         for j, sample in enumerate(group):
             body = sample[1:]  # drop CLS, keep trailing SEP
+            if cur + 1 + len(body) > max_len:
+                raise ValueError(
+                    f"zipped candidate texts overflow max_bert_len={max_len} "
+                    f"(sentence {i}, candidate {j}); raise num_entity_sentence "
+                    f"or max_bert_len, or shorten max_entity_attr_char_len"
+                )
             ids[i, cur + 1 : cur + 1 + len(body)] = body
             cur += len(body)
             sep_idx[i, j] = cur
@@ -78,9 +84,31 @@ def extract_mention(tokens: np.ndarray, start: int, end: int, max_len: int,
     return ids, mask, 1, end - start + 1
 
 
+_WORKER_TOK = None
+
+
+def _init_tok_worker(vocab, max_len):
+    global _WORKER_TOK
+    from drin_tpu.text.wordpiece import BertTokenizer
+
+    _WORKER_TOK = BertTokenizer(vocab=vocab, model_max_length=max_len)
+
+
+def _zip_row(args):
+    texts, S, max_len = args
+    tok = _WORKER_TOK
+    token_lists = [tok.encode(str(t), truncation=True) for t in texts]
+    return zip_entities(token_lists, S, max_len, tok.cls_id)
+
+
 class OnlineMELDataset:
     """Columnar online dataset over the intermediate store (raw texts +
-    precomputed image features)."""
+    precomputed image features).
+
+    Tokenization is pure Python (GIL-bound), so ``cfg.dataloader_workers``
+    processes (fork pool) parallelize the per-row candidate packing — the
+    reference uses DataLoader worker processes for the same reason
+    (args.py:105)."""
 
     def __init__(self, cfg: Config, split: str, tokenizer=None):
         from drin_tpu.text.wordpiece import BertTokenizer
@@ -116,6 +144,27 @@ class OnlineMELDataset:
             self.mention_image = npy_io.load_field(d, "mention_image_feature", split, cfg.mention_mmap)
         if cfg.entity_final_layer_name == "multimodal":
             self.entity_image = npy_io.load_field(d, "entity_image_feature", split, cfg.entity_mmap)
+        self._pool = None
+        # a fork pool only pays off with real cores to spread the GIL-bound
+        # tokenizer over (verified: on a 1-core host IPC overhead makes it a
+        # net loss; batches are bit-identical either way)
+        if (cfg.num_entity_sentence and cfg.dataloader_workers > 0
+                and hasattr(os, "fork") and (os.cpu_count() or 1) > 1):
+            import atexit
+            import multiprocessing as mp
+
+            self._pool = mp.get_context("fork").Pool(
+                min(cfg.dataloader_workers, os.cpu_count()),
+                initializer=_init_tok_worker,
+                initargs=(self.tokenizer.vocab, cfg.max_bert_len),
+            )
+            atexit.register(self.close)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
 
     def __len__(self):
         return len(self.answer)
@@ -149,9 +198,14 @@ class OnlineMELDataset:
             ids = np.zeros((B, S, cfg.max_bert_len), np.int64)
             mask = np.zeros((B, S, cfg.max_bert_len), np.int64)
             sep = np.zeros((B, S, per), np.int64)
-            for b in range(B):
-                token_lists = [tok.encode(str(t), truncation=True) for t in self.entity_text[idx[b]]]
-                ids[b], mask[b], sep[b] = zip_entities(token_lists, S, cfg.max_bert_len, tok.cls_id)
+            if self._pool is not None:
+                jobs = [(list(self.entity_text[idx[b]]), S, cfg.max_bert_len) for b in range(B)]
+                for b, (i_, m_, s_) in enumerate(self._pool.map(_zip_row, jobs)):
+                    ids[b], mask[b], sep[b] = i_, m_, s_
+            else:
+                for b in range(B):
+                    token_lists = [tok.encode(str(t), truncation=True) for t in self.entity_text[idx[b]]]
+                    ids[b], mask[b], sep[b] = zip_entities(token_lists, S, cfg.max_bert_len, tok.cls_id)
         else:
             flat = [str(t) for t in self.entity_text[idx].reshape(-1)]
             e = tok(flat, padding="max_length", truncation=True, max_length=cfg.max_entity_attr_token_len)

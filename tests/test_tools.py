@@ -71,3 +71,55 @@ def test_prefetcher_transform_exception():
     assert next(it) == 1
     with pytest.raises(ZeroDivisionError):
         list(it)
+
+
+def test_online_parallel_tokenization_identical(tmp_path):
+    """The fork-pool tokenization path must produce bit-identical batches to
+    the sequential path (exercised via a forced pool even on 1-core hosts)."""
+    import json
+
+    from drin_tpu.common import npy_io
+    from drin_tpu.data import online as ol
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.text.wordpiece import BertTokenizer, build_tiny_vocab
+
+    d = str(tmp_path)
+    N, C = 8, 5
+    sentences = [f"Sentence number {i} mentions alpha beta" for i in range(N)]
+    vocab = build_tiny_vocab(sentences + [f"name Q{i} attr words" for i in range(6)])
+    npy_io.save_field(d, "mention_text_raw", np.asarray(sentences), "train")
+    npy_io.save_field(d, "start_pos", np.full(N, 1), "train")
+    npy_io.save_field(d, "end_pos", np.full(N, 3), "train")
+    npy_io.save_field(d, "answer", np.zeros(N, np.int64), "train")
+    npy_io.save_field(d, "entity_name_raw", np.asarray([f"Q{i % 6}" for i in range(N * C)]), "train")
+    with open(f"{d}/ne.json", "w") as f:
+        json.dump({f"Q{i}": f"name Q{i}" for i in range(6)}, f)
+    with open(f"{d}/abs.json", "w") as f:
+        json.dump({f"Q{i}": "attr words" for i in range(6)}, f)
+
+    cfg = tiny_config("wikimel", "ghmfc", preprocess_dir=d).replace(
+        num_candidates_data=C - 1, online_bert=True, max_bert_len=64,
+        num_entity_sentence=2, mention_final_layer_name="linear",
+        entity_final_layer_name="linear",
+        qid2entity_path=f"{d}/ne.json", qid2attr_path=f"{d}/abs.json")
+    tk = lambda: BertTokenizer(vocab=vocab, model_max_length=64)
+    seq = ol.OnlineMELDataset(cfg.replace(dataloader_workers=0), "train", tk())
+    par = ol.OnlineMELDataset(cfg.replace(dataloader_workers=2), "train", tk())
+    if par._pool is None:  # 1-core host: force the pool to cover the code path
+        import multiprocessing as mp
+
+        par._pool = mp.get_context("fork").Pool(
+            2, initializer=ol._init_tok_worker, initargs=(vocab, 64))
+    idx = np.arange(N)
+    b_seq, b_par = seq.online_batch(idx), par.online_batch(idx)
+    for a, b in zip(b_seq, b_par):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    par.close()
+
+
+def test_zip_overflow_is_actionable():
+    from drin_tpu.data.online import zip_entities
+
+    long_tokens = [[101] + list(range(5, 40)) + [102]] * 4
+    with pytest.raises(ValueError, match="num_entity_sentence"):
+        zip_entities(long_tokens, 2, 32, 101)
