@@ -42,6 +42,49 @@ class WholeImageDetector:
         return boxes, scores
 
 
+class FRCNNDetector:
+    """TPU Faster R-CNN (``drin_tpu.encoders.frcnn``) behind the detector
+    interface.  Input images are [B, H, W, 3] in [0, 1] (the reference's
+    ObjectProcessor convention, resnet.py:79-84); they are resized to the
+    model's ``min_size`` square internally and boxes are returned in input
+    coordinates, top-k padded with default_box/0 like torchvision's consumer
+    (resnet.py:117-120)."""
+
+    def __init__(self, cfg: Config, params, frcnn_cfg=None):
+        import jax
+        import jax.numpy as jnp
+
+        from drin_tpu.encoders.frcnn import FasterRCNN, FRCNNConfig
+
+        self.cfg = cfg
+        self.frcnn_cfg = frcnn_cfg or FRCNNConfig()
+        model = FasterRCNN(self.frcnn_cfg)
+        size = self.frcnn_cfg.min_size
+        default_box = jnp.asarray(cfg.default_box, jnp.float32)
+
+        def detect_one(image, topk):
+            H, W = image.shape[:2]
+            resized = jax.image.resize(image, (size, size, 3), "bilinear")
+            boxes, scores, _ = model.apply({"params": params}, resized)
+            k = min(topk, boxes.shape[0])
+            top_s, top_i = jax.lax.top_k(scores, k)
+            boxes = boxes[top_i] * jnp.asarray([W / size, H / size, W / size, H / size])
+            valid = top_s > 0
+            b = jnp.where(valid[:, None], boxes, default_box[None])
+            s = jnp.where(valid, top_s, 0.0)
+            if k < topk:
+                b = jnp.concatenate([b, jnp.tile(default_box[None], (topk - k, 1))])
+                s = jnp.concatenate([s, jnp.zeros((topk - k,))])
+            return b, s
+
+        self._fn = jax.jit(lambda imgs, topk: jax.vmap(lambda im: detect_one(im, topk))(imgs),
+                           static_argnums=1)
+
+    def __call__(self, images, topk: int):
+        b, s = self._fn(images, topk)
+        return np.asarray(b), np.asarray(s)
+
+
 class JaxDetector:
     """Proposal-based detector head on TPU.
 

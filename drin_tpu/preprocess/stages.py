@@ -185,13 +185,22 @@ class ResnetStage:
         w.reshape([-1, topk, *w.shape]).close()
 
     def detect(self, image_paths: Sequence[str], topk: int):
-        """Top-k boxes/scores padded with default_box/0 (resnet.py:112-123)."""
+        """Top-k boxes/scores padded with default_box/0 (resnet.py:112-123).
+
+        The detector receives resized [0, 1] images — the reference's
+        ObjectProcessor convention (resnet.py:79-84), NOT ImageNet-normalized
+        tensors; torchvision-style models normalize internally."""
         cfg = self.cfg
         B_ = cfg.preprocess_batch_size
+
+        def raw01(im):
+            im = im.resize(cfg.image_input_size)
+            return np.asarray(im, dtype=np.float32) / 255.0
+
         all_boxes, all_scores = [], []
         for i in range(0, len(image_paths), B_):
             chunk = image_paths[i : i + B_]
-            x = self.batcher.load_batch(chunk, lambda im: resnet_preprocess(im, cfg.image_input_size))
+            x = self.batcher.load_batch(chunk, raw01)
             b, s = self.detector(x, topk)
             all_boxes.append(np.asarray(b))
             all_scores.append(np.asarray(s))
