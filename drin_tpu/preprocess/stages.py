@@ -285,23 +285,51 @@ class ClipStage:
             out.append(np.asarray(self._image_jit(self.params, x)))
         return np.concatenate(out, 0)
 
+    def _wikimel_sources(self, split: str):
+        """WikiMEL: mention images by mention id, entity text/images by qid
+        (behavioral equivalent of the reference's legacy MIETDataWM/EIMTDataWM,
+        clip.py:30-80 — its current main() only covers wikidiverse even
+        though wikimel training requires these similarity files)."""
+        cfg = self.cfg
+        d = cfg.preprocess_dir
+        C_ = cfg.num_candidates_model
+        with open(cfg.mention_text_path % split) as f:
+            mention_text = json.load(f)
+        mention_images = [
+            os.path.join(cfg.mention_image_dir, k.split("-")[0])
+            for k, v in mention_text.items()
+            if v["mentions"] in v["sentence"]
+        ]
+        qids = load_field(d, "entity_name_raw", split).reshape(-1, C_)
+        with open(cfg.qid2entity_path) as f:
+            qid2name = json.load(f)
+        with open(cfg.qid2attr_path) as f:
+            qid2attr = json.load(f)
+        entity_texts = np.vectorize(
+            lambda q: qid2name[q] + ". " + str(qid2attr[q]).replace(".", ";")
+        )(qids)
+        entity_images = np.vectorize(lambda q: os.path.join(cfg.entity_image_dir, q))(qids)
+        return np.asarray(mention_images), entity_texts, entity_images
+
     def run(self, splits=("valid", "train", "test")):
         """Cross-modal similarity matrices (reference clip.py:158-172).
 
         The reference embeds the mention image C times (once per candidate,
         batch pinned to 1); here each unique image/text is embedded once and
         the [N, C] logit matrices are one batched einsum row-wise."""
-        import jax.numpy as jnp
-
         cfg = self.cfg
         d = cfg.preprocess_dir
         C_ = cfg.num_candidates_model
         scale = float(np.exp(np.asarray(self.params["logit_scale"])))
         for split in splits:
-            target = os.path.join(d, f"similarity-miet_{split}.npy")
-            if not os.path.exists(target):  # resumable, like the reference
+            if cfg.dataset_name == "wikimel":
+                mention_images, entity_texts, entity_images = self._wikimel_sources(split)
+            else:
                 mention_images = load_field(d, "mention_image_path", split)
                 entity_texts = load_field(d, "entity_attr_raw", split).reshape(-1, C_)
+                entity_images = load_field(d, "entity_image_path", split).reshape(-1, C_)
+            target = os.path.join(d, f"similarity-miet_{split}.npy")
+            if not os.path.exists(target):  # resumable, like the reference
                 v = self._embed_images(mention_images)  # [N, P]
                 t = self._embed_texts(entity_texts.reshape(-1))  # [N*C, P]
                 t = t.reshape(len(v), C_, -1)
@@ -309,7 +337,6 @@ class ClipStage:
                 np.save(target, sims.astype(np.float32))
             target = os.path.join(d, f"similarity-eimt_{split}.npy")
             if not os.path.exists(target):
-                entity_images = load_field(d, "entity_image_path", split).reshape(-1, C_)
                 mention_texts = load_field(d, "mention_text_raw", split)
                 t = self._embed_texts(mention_texts)  # [N, P]
                 v = self._embed_images(entity_images.reshape(-1)).reshape(len(t), C_, -1)

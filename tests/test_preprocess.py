@@ -379,3 +379,90 @@ def test_anchor_grid():
     w1, h1 = b[1, 2] - b[1, 0], b[1, 3] - b[1, 1]
     assert w0 > h0 and w1 < h1
     np.testing.assert_allclose(w0 * h0, w1 * h1, rtol=0.1)  # ~equal area
+
+
+def test_full_pipeline_wikimel(tmp_path):
+    """WikiMEL end-to-end: prepare -> bert (global table) -> resnet (mention
+    by id, entity by qid) -> clip (qid-joined sources; the reference's main()
+    never covered wikimel even though training needs these files) -> dataset
+    -> DRIN forward."""
+    rng = np.random.default_rng(17)
+    root = tmp_path
+    (root / "mimg").mkdir()
+    (root / "eimg").mkdir()
+    qids = [f"Q{i}" for i in range(6)]
+    qid2name = {q: f"name {q}" for q in qids}
+    qid2attr = {q: f"attribute text for {q}. more" for q in qids}
+    (root / "qid2ne.json").write_text(json.dumps(qid2name))
+    (root / "qid2abs.json").write_text(json.dumps(qid2attr))
+    n_cand = 2
+    mentions = {
+        "m1-x": {"sentence": "Alpha beta gamma delta", "mentions": "beta", "answer": "Q1"},
+        "m2-x": {"sentence": "Epsilon zeta eta theta", "mentions": "zeta", "answer": "Q5"},
+    }
+    for split in ("train", "valid", "test"):
+        (root / f"WIKIMEL_{split}.json").write_text(json.dumps(mentions))
+    (root / "cands.tsv").write_text("m1-x\tQ0\tQ1\nm2-x\tQ2\tQ3")
+    _write_image(root / "default.jpg", rng)
+    for mid in ("m1", "m2"):
+        _write_image(root / "mimg" / f"{mid}.jpg", rng)
+    for q in qids[:4]:  # some entity images missing -> default fallback
+        _write_image(root / "eimg" / f"{q}.jpg", rng)
+
+    texts = [m["sentence"] for m in mentions.values()] + list(qid2attr.values()) + list(qid2name.values())
+    assets = _tiny_encoders(texts)
+    vocab_path = str(root / "vocab.txt")
+    inv = {v: k for k, v in assets["vocab"].items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=str(root / "store")).replace(
+        num_candidates_data=n_cand,
+        metrics_topk=(1,),
+        bert_embed_dim=16,
+        resnet_embed_dim=24,
+        gcn_embed_dim=16,
+        mention_final_output_dim=16,
+        entity_final_output_dim=16,
+        image_input_size=(64, 64),
+        resnet_num_region=4,
+        mention_text_path=str(root / "WIKIMEL_%s.json"),
+        candidate_path=str(root / "cands.tsv"),
+        qid2entity_path=str(root / "qid2ne.json"),
+        qid2attr_path=str(root / "qid2abs.json"),
+        mention_image_dir=str(root / "mimg"),
+        entity_image_dir=str(root / "eimg"),
+        default_image=str(root / "default.jpg"),
+        bert_vocab=vocab_path,
+        preprocess_batch_size=4,
+        max_entity_attr_token_len=8,
+        max_mention_sentence_len=12,
+    )
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+
+    from drin_tpu.preprocess.prepare import run_prepare
+    from drin_tpu.preprocess.stages import BertStage, ClipStage, ResnetStage
+    from tests.test_preprocess import _init_clip_stage  # self-module helper
+
+    run_prepare(cfg)
+    BertStage(cfg, assets["bert_params"], assets["bert_cfg"]).run()
+    ResnetStage(cfg, assets["resnet_params"], assets["resnet_cfg"]).run()
+    clip_stage = ClipStage.__new__(ClipStage)
+    _init_clip_stage(clip_stage, cfg, assets)
+    clip_stage.run()
+
+    from drin_tpu.common.npy_io import load_field
+
+    assert load_field(cfg.preprocess_dir, "similarity_miet", "train").shape == (2, n_cand + 1)
+    assert load_field(cfg.preprocess_dir, "entity_image_feature", "all").shape[0] == 6
+
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.models.drin import DRIN
+
+    train, valid, test = create_datasets(cfg)
+    batch = next(train.batches(2, kind="drin"))
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(0), batch[:-1])["params"]
+    scores = model.apply({"params": params}, batch[:-1])
+    assert np.all(np.isfinite(np.asarray(scores)))
