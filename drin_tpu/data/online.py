@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import numpy as np
 

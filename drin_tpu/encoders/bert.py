@@ -15,7 +15,7 @@ finfo-min fill — matching HF BertModel in eval mode (dropout off).
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping
 
 import jax.numpy as jnp
 import numpy as np

@@ -32,7 +32,6 @@ import numpy as np
 from flax import linen as nn
 
 from drin_tpu.ops.detection import (
-    box_iou,
     clip_boxes,
     decode_boxes,
     generate_anchors,

@@ -26,14 +26,13 @@ from flax import linen as nn
 
 from drin_tpu.common.config import Config
 from drin_tpu.nn.layers import (
-    AvgLinear,
     LayerNorm,
     Linear,
     get_activation,
     torch_linear_bias_init,
     torch_linear_kernel_init,
 )
-from drin_tpu.ops.core import cosine_similarity, object_pair_similarity, span_mean, token_span_mean
+from drin_tpu.ops.core import cosine_similarity, object_pair_similarity, span_mean
 
 
 class VertexEncoder(nn.Module):

@@ -23,7 +23,6 @@ from drin_tpu.nn.layers import (
     Avg,
     AvgLinear,
     CrossAttention,
-    Identity,
     Linear,
     MaxPool,
     MultilayerTransformer,

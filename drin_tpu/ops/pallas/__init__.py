@@ -1,0 +1,4 @@
+# -*- coding: utf-8 -*-
+"""Pallas TPU kernels (einsum/XLA fallbacks kept alongside each kernel)."""
+
+from drin_tpu.ops.pallas.gcn import fused_vertex_update, vertex_update_reference  # noqa: F401

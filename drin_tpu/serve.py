@@ -31,7 +31,6 @@ import numpy as np
 from drin_tpu.common.config import Config
 from drin_tpu.data.device_store import DeviceEntityStore
 from drin_tpu.models import get_model
-from drin_tpu.ops.core import cosine_similarity
 
 
 class Ranker:
