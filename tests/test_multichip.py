@@ -4,6 +4,7 @@ training step must equal the single-device step bit-for-bit (same program,
 different layout), and the driver dry-run entry must pass."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -109,3 +110,20 @@ def test_metric_psum():
     st = per_device_counts(x)
     assert float(st["correct_1"]) == x.sum()
     assert float(st["total"]) == 16.0
+
+
+@pytest.mark.parametrize("nd,nm", [(8, 1), (2, 4)])
+def test_other_mesh_shapes(nd, nm):
+    """Pure-DP and candidate-heavy mesh shapes compile and run the full
+    train step (the 4x2 default is covered above)."""
+    cfg, model, batch, params, apply_fn = _setup(B=8)
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=nd, model=nm)
+    state, tx = create_train_state(jax.tree.map(jnp.asarray, jax.device_get(params)), cfg)
+    fns = build_step_fns(apply_fn, cfg, tx, mesh, FIELDS, batch)
+    put = pmesh.put_batch(batch, fns.batch_shardings)
+    m = jax.device_put(M.init_state(cfg.metrics_topk), fns.replicated)
+    state = jax.device_put(state, fns.replicated)
+    valid = jax.device_put(np.ones((cfg.batch_size,), np.float32), fns.valid_sharding)
+    _, loss, m = fns.train_step(state, put, valid, m)
+    assert np.isfinite(float(loss))
+    assert int(jax.device_get(m["total"])) == cfg.batch_size
