@@ -93,6 +93,27 @@ def test_dryrun_multichip_entry():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_contract():
+    """Run ``python __graft_entry__.py multichip 8`` as a fresh subprocess
+    WITHOUT this suite's conftest env (no XLA_FLAGS / JAX_PLATFORMS) — exactly
+    how the driver invokes it. dryrun_multichip itself must force the cpu
+    platform and the virtual device count before touching any jax API."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")}
+    proc = subprocess.run(
+        [sys.executable, str(repo / "__graft_entry__.py"), "multichip", "8"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(repo),
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip ok" in proc.stdout
+
+
 def test_metric_psum():
     """psum_state over the data axis == summing per-device counters."""
     from functools import partial
