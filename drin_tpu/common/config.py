@@ -161,6 +161,11 @@ class Config:
     device_entity_tables: bool = True
     # Host-side input pipeline.
     prefetch_depth: int = 2
+    # Steps between status-line refreshes.  Each refresh fetches the on-device
+    # metric state to the host (the reference prints every step, train.py:31-39;
+    # we keep the same \r protocol but only sync at this cadence so the device
+    # queue never drains on a blocking per-step transfer).
+    log_interval_steps: int = 50
     # Frozen-encoder assets for the preprocessing stages (torch state_dicts
     # converted on load; tokenizer vocab/merges files).  The reference
     # downloads these from the HF hub at run time (bert.py:87, resnet.py:130,
@@ -171,6 +176,11 @@ class Config:
     clip_checkpoint: str = ""
     clip_vocab: str = ""
     clip_merges: str = ""
+    # torch state_dict of the detection model named by drin_object_detector
+    # (fasterrcnn_resnet50_fpn or maskrcnn_resnet50_fpn; both convert through
+    # encoders.frcnn — the pipeline consumes only boxes+scores, so the mask
+    # branch of a mask_rcnn checkpoint is ignored, reference resnet.py:117-120)
+    detector_checkpoint: str = ""
     # preprocessing batch size (the reference pins resnet/clip to 1,
     # resnet.py:19, clip.py:18; TPU stages use real batches)
     preprocess_batch_size: int = 64

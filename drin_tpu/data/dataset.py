@@ -119,12 +119,15 @@ class MELFeatureDataset:
 
         if cfg.dataset_name == "wikidiverse":
             # mention-aligned entity arrays, reshaped over the candidate dim
-            # (drin/data.py:30-38)
-            eaf = ld("entity_attr_feature", cfg.entity_mmap)
+            # (drin/data.py:30-38); the text-feature field is parameterized by
+            # entity_text_type like the reference's offline baseline loader
+            # (baselines/data.py:100-105: entity-{attr|name|brief}-feature)
+            text_field = f"entity_{cfg.entity_text_type}_feature"
+            eaf = ld(text_field, cfg.entity_mmap)
             n_rows = len(self.answer) * C
             if len(eaf) != n_rows:
                 raise ValueError(
-                    f"entity_attr_feature_{split} has {len(eaf)} rows; expected "
+                    f"{text_field}_{split} has {len(eaf)} rows; expected "
                     f"{len(self.answer)} mentions x {C} candidates = {n_rows} — "
                     f"check num_candidates_data against the store"
                 )
@@ -320,8 +323,11 @@ def load_wikimel_entity_tables(cfg: Config) -> dict:
     (drin/data.py:163-187).  With ``cfg.cache_entity_pooling`` the token-level
     text table is replaced by its (pooled, CLS) cache."""
     d = cfg.preprocess_dir
-    etf = npy_io.load_field(d, "entity_attr_feature", mmap=cfg.entity_mmap)
-    etm = npy_io.load_field(d, "entity_attr_mask")
+    # global text table field carries entity_text_type (reference
+    # baselines/data.py:97-101; drin/data.py:164 hard-codes attr — the
+    # default here — but the store surface supports name/brief too)
+    etf = npy_io.load_field(d, f"entity_{cfg.entity_text_type}_feature", mmap=cfg.entity_mmap)
+    etm = npy_io.load_field(d, f"entity_{cfg.entity_text_type}_mask")
     tables = {
         "entity_text_feature": etf,
         "entity_text_mask": etm,

@@ -67,8 +67,10 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
 
         if cfg.dataset_name == "wikidiverse":
             # entity features stored mention-aligned and flattened over the
-            # candidate dim (reference drin/data.py:30-38)
-            _save(f"entity-attr-feature_{split}", rng.standard_normal((n * C, D), dtype=np.float32))
+            # candidate dim (reference drin/data.py:30-38); the text-feature
+            # field name carries entity_text_type (baselines/data.py:100-105)
+            _save(f"entity-{cfg.entity_text_type}-feature_{split}",
+                  rng.standard_normal((n * C, D), dtype=np.float32))
             _save(f"entity-image-feature_{split}", rng.standard_normal((n * C, 1, Dr), dtype=np.float32))
             _save(f"entity-object-feature_{split}", rng.standard_normal((n * C, Te, 1, Dr), dtype=np.float32))
             _save(f"entity-object-score_{split}", rng.uniform(0, 1, size=(n * C, Te)).astype(np.float32))
@@ -79,10 +81,11 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
     if cfg.dataset_name == "wikimel":
         # global entity table + qid2idx join key (reference bert.py:60-63,
         # drin/data.py:41-46, :164-175)
-        _save("entity-attr-feature", rng.standard_normal((n_entities, Lm, D), dtype=np.float32))
+        _save(f"entity-{cfg.entity_text_type}-feature",
+              rng.standard_normal((n_entities, Lm, D), dtype=np.float32))
         elens = rng.integers(3, Lm, size=n_entities)
         emask = (np.arange(Lm)[None, :] < elens[:, None]).astype(np.int64)
-        _save("entity-attr-mask", emask)
+        _save(f"entity-{cfg.entity_text_type}-mask", emask)
         _save("entity-image-feature_all", rng.standard_normal((n_entities, 1, Dr), dtype=np.float32))
         _save("entity-object-feature_all", rng.standard_normal((n_entities, Te, 1, Dr), dtype=np.float32))
         _save("entity-object-score_all", rng.uniform(0, 1, size=(n_entities, Te)).astype(np.float32))

@@ -334,7 +334,15 @@ def frcnn_params_from_torch(sd: Mapping, cfg: FRCNNConfig) -> dict:
     """torchvision ``fasterrcnn_resnet50_fpn().state_dict()`` -> flax params.
 
     Handles both the <0.13 (``fpn.inner_blocks.0.weight``) and >=0.13
-    Conv2dNormActivation (``fpn.inner_blocks.0.0.weight``) spellings."""
+    Conv2dNormActivation (``fpn.inner_blocks.0.0.weight``) spellings.
+
+    ``maskrcnn_resnet50_fpn`` state_dicts convert through here unchanged:
+    the backbone/RPN/box-branch keys are identical and the extra
+    ``roi_heads.mask_head.* / mask_predictor.*`` entries are simply not read.
+    That is behaviorally complete for this pipeline — the reference consumes
+    only boxes+scores from either detector (resnet.py:117-120, selection at
+    resnet.py:134-141); use :func:`detector_params_from_torch` to select by
+    the ``drin_object_detector`` config knob with validation."""
     body: dict = {
         "conv1": _conv(sd, "backbone.body.conv1.weight"),
         "bn1": _bn(sd, "backbone.body.bn1"),
@@ -378,3 +386,22 @@ def frcnn_params_from_torch(sd: Mapping, cfg: FRCNNConfig) -> dict:
             "bbox_pred": _dense(sd, "roi_heads.box_predictor.bbox_pred"),
         },
     }
+
+
+def detector_params_from_torch(sd: Mapping, cfg: FRCNNConfig, arch: str = "faster_rcnn") -> dict:
+    """Convert a torchvision detection state_dict selected by the
+    ``drin_object_detector`` config knob (reference resnet.py:134-141).
+
+    arch == "mask_rcnn" additionally validates that the checkpoint really is
+    a Mask R-CNN (has the mask branch) before dropping that branch — the
+    pipeline only ever consumes boxes+scores (resnet.py:117-120)."""
+    if arch not in ("faster_rcnn", "mask_rcnn"):
+        raise ValueError(f"unknown drin_object_detector {arch!r}")
+    has_mask = any(k.startswith("roi_heads.mask_") for k in sd)
+    if arch == "mask_rcnn" and not has_mask:
+        raise ValueError("drin_object_detector='mask_rcnn' but the checkpoint "
+                         "has no roi_heads.mask_* keys (a Faster R-CNN state_dict?)")
+    if arch == "faster_rcnn" and has_mask:
+        raise ValueError("drin_object_detector='faster_rcnn' but the checkpoint "
+                         "has roi_heads.mask_* keys (a Mask R-CNN state_dict?)")
+    return frcnn_params_from_torch(sd, cfg)

@@ -42,6 +42,25 @@ class WholeImageDetector:
         return boxes, scores
 
 
+def make_detector(cfg: Config, frcnn_cfg=None):
+    """Build the detector the ``drin_object_detector`` knob names (reference
+    resnet.py:134-141 selects fasterrcnn/maskrcnn there).
+
+    With ``cfg.detector_checkpoint`` set, loads + converts the torch
+    state_dict (mask_rcnn checkpoints share the box branch; their mask head
+    is unused since the pipeline consumes boxes+scores only).  Without a
+    checkpoint, falls back to :class:`WholeImageDetector`."""
+    if not cfg.detector_checkpoint:
+        return WholeImageDetector(cfg)
+    from drin_tpu.encoders.checkpoints import load_torch_state_dict
+    from drin_tpu.encoders.frcnn import FRCNNConfig, detector_params_from_torch
+
+    fc = frcnn_cfg or FRCNNConfig()
+    sd, _ = load_torch_state_dict(cfg.detector_checkpoint)
+    params = detector_params_from_torch(sd, fc, cfg.drin_object_detector)
+    return FRCNNDetector(cfg, params, fc)
+
+
 class FRCNNDetector:
     """TPU Faster R-CNN (``drin_tpu.encoders.frcnn``) behind the detector
     interface.  Input images are [B, H, W, 3] in [0, 1] (the reference's

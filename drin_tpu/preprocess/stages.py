@@ -106,21 +106,30 @@ class BertStage:
             np.save(os.path.join(d, f"mention-text-feature_{split}.npy"), features)
             np.save(os.path.join(d, f"mention-text-mask_{split}.npy"), mask)
             if cfg.dataset_name == "wikidiverse":
-                texts = load_field(d, "entity_attr_raw", split)
+                # entity text source + output field follow entity_text_type
+                # (the reference's loader surface, baselines/data.py:100-105;
+                # its bert.py only ever produces the attr variant, bert.py:99-101)
+                tt = cfg.entity_text_type
+                raw_field = "entity_name_raw" if tt == "name" else "entity_attr_raw"
+                texts = load_field(d, raw_field, split)
                 feats = self.encode_texts(texts, "pooler_output", cfg.max_entity_attr_token_len)
-                np.save(os.path.join(d, f"entity-attr-feature_{split}.npy"), feats)
+                np.save(os.path.join(d, f"entity-{tt}-feature_{split}.npy"), feats)
         if cfg.dataset_name == "wikimel":
+            tt = cfg.entity_text_type
             with open(cfg.qid2entity_path) as f:
                 qid2name = json.load(f)
             with open(cfg.qid2attr_path) as f:
                 qid2attr = json.load(f)
             items = list(qid2attr.items())
-            texts = [qid2name[qid] + ". " + str(attr).replace(".", ";") for qid, attr in items]
+            if tt == "name":
+                texts = [qid2name[qid] for qid, _ in items]
+            else:  # attr: "name. attrs" with periods collapsed (bert.py text recipe)
+                texts = [qid2name[qid] + ". " + str(attr).replace(".", ";") for qid, attr in items]
             with open(os.path.join(d, "qid2idx.json"), "w") as f:
                 json.dump({qid: i for i, (qid, _) in enumerate(items)}, f)
             features, mask = self.encode_texts(texts, "last_hidden_state", cfg.max_entity_attr_token_len)
-            np.save(os.path.join(d, "entity-attr-feature.npy"), features)
-            np.save(os.path.join(d, "entity-attr-mask.npy"), mask)
+            np.save(os.path.join(d, f"entity-{tt}-feature.npy"), features)
+            np.save(os.path.join(d, f"entity-{tt}-mask.npy"), mask)
 
 
 # ---------------------------------------------------------------------------
@@ -145,11 +154,12 @@ class ResnetStage:
         self._jit = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
         self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
         # object detector: callable [B,H,W,3]->(boxes [B,K,4], scores [B,K]);
-        # defaults to the whole-image detector (drin_tpu.preprocess.detector)
+        # defaults to whatever cfg.drin_object_detector/_checkpoint select
+        # (drin_tpu.preprocess.detector.make_detector)
         if detector is None:
-            from drin_tpu.preprocess.detector import WholeImageDetector
+            from drin_tpu.preprocess.detector import make_detector
 
-            detector = WholeImageDetector(cfg)
+            detector = make_detector(cfg)
         self.detector = detector
 
     def _run_images(self, paths, crops, output: str, writer: NpyWriter):

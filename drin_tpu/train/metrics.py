@@ -23,7 +23,22 @@ MetricState = Dict[str, jax.Array]  # {"correct_{k}": [], "total": []}
 def init_state(topk: Sequence[int]) -> MetricState:
     state = {f"correct_{k}": jnp.zeros((), jnp.float32) for k in topk}
     state["total"] = jnp.zeros((), jnp.float32)
+    # running loss lives on-device with the counters so the train loop never
+    # blocks on a per-step host fetch (it reads the state at log time only)
+    state["loss_sum"] = jnp.zeros((), jnp.float32)
+    state["n_batches"] = jnp.zeros((), jnp.float32)
     return state
+
+
+def add_loss(state: MetricState, loss: jax.Array) -> MetricState:
+    new = dict(state)
+    new["loss_sum"] = state["loss_sum"] + loss
+    new["n_batches"] = state["n_batches"] + 1.0
+    return new
+
+
+def mean_loss(state: MetricState) -> jax.Array:
+    return state["loss_sum"] / jnp.maximum(state["n_batches"], 1.0)
 
 
 def update(state: MetricState, y_pred: jax.Array, y_true: jax.Array, topk: Sequence[int],

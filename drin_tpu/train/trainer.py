@@ -84,11 +84,11 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
         else:
             scores = apply_fn(params, feats)
         loss = triplet_loss(answer, scores, cfg.triplet_margin, valid)
-        mstate = M.update(mstate, scores, answer, topk, valid)
-        return loss, mstate
+        mstate = M.add_loss(M.update(mstate, scores, answer, topk, valid), loss)
+        return loss, (mstate, scores)
 
     def train_step(state: TrainState, batch, valid, mstate):
-        (loss, mstate), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+        (loss, (mstate, _)), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
             state.params, batch, valid, mstate
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -96,7 +96,10 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
         return TrainState(params, opt_state, state.step + 1), loss, mstate
 
     def eval_step(params, batch, valid, mstate):
-        return loss_and_metrics(params, batch, valid, mstate)
+        # also returns the raw [B, C] score matrix so the test-result dump
+        # (reference train.py:40-43) shares this one compiled program
+        loss, (mstate, scores) = loss_and_metrics(params, batch, valid, mstate)
+        return loss, mstate, scores
 
     if mesh is None:
         return StepFns(
@@ -120,7 +123,7 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
     eval_jit = jax.jit(
         eval_step,
         in_shardings=(rep, bspecs, vshard, rep),
-        out_shardings=(rep, rep),
+        out_shardings=(rep, rep, vshard),
         donate_argnums=(3,),
     )
     return StepFns(train_jit, eval_jit, bspecs, vshard, rep)
@@ -206,7 +209,7 @@ class Trainer:
         if self.mesh is not None:
             mstate = jax.device_put(mstate, self.fns.replicated)
         self.log(f"{_now()} {split} epoch {self.epoch} start")
-        losses, n_batches = 0.0, 0
+        n_batches = 0
         t0 = time.time()
         shuffle = train and cfg.shuffle_train_data and not cfg.debug
         from drin_tpu.data.prefetch import Prefetcher
@@ -217,30 +220,35 @@ class Trainer:
 
         source = dataset.batches(cfg.batch_size, shuffle=shuffle,
                                  seed=cfg.seed + self.epoch, kind=kind)
+        # The running loss rides inside the donated on-device metric state;
+        # the loop never blocks on a per-step host fetch — the only syncs are
+        # the status-line refreshes every ``log_interval_steps``.
+        log_every = 1 if cfg.debug else max(cfg.log_interval_steps, 1)
         for batch, valid in Prefetcher(source, assemble, depth=cfg.prefetch_depth):
             if train:
-                self.state, loss, mstate = self.fns.train_step(self.state, batch, valid, mstate)
+                self.state, _, mstate = self.fns.train_step(self.state, batch, valid, mstate)
             else:
-                loss, mstate = self.fns.eval_step(self.state.params, batch, valid, mstate)
-            losses += float(loss)
+                _, mstate, _ = self.fns.eval_step(self.state.params, batch, valid, mstate)
             n_batches += 1
-            if n_batches % 10 == 0 or cfg.debug:
-                accs = M.compute(jax.device_get(mstate), cfg.metrics_topk, correction)
+            if n_batches % log_every == 0:
+                m = jax.device_get(mstate)
+                accs = M.compute(m, cfg.metrics_topk, correction)
                 acc_str = ", ".join(f"top{k}: {float(v):.4f}" for k, v in accs.items())
-                print(f"\r{split} loss: {losses / n_batches:.4f}, {acc_str}",
+                print(f"\r{split} loss: {float(M.mean_loss(m)):.4f}, {acc_str}",
                       end="", file=sys.stderr, flush=True)
         dt = time.time() - t0
         mstate = jax.device_get(mstate)
         accs = {k: float(v) for k, v in M.compute(mstate, cfg.metrics_topk, correction).items()}
         total = float(mstate["total"])
+        mean_loss = float(M.mean_loss(mstate))
         pairs_per_sec = total * cfg.num_candidates_model / max(dt, 1e-9)
         print("", file=sys.stderr)
         acc_str = ", ".join(f"top{k}: {v:.4f}" for k, v in accs.items())
         self.log(
-            f"{_now()} {split} epoch {self.epoch} done: loss {losses / max(n_batches, 1):.4f}, "
+            f"{_now()} {split} epoch {self.epoch} done: loss {mean_loss:.4f}, "
             f"{acc_str} ({total:.0f} mentions, {pairs_per_sec:,.0f} pairs/s)"
         )
-        return {"loss": losses / max(n_batches, 1), "accs": accs, "pairs_per_sec": pairs_per_sec}
+        return {"loss": mean_loss, "accs": accs, "pairs_per_sec": pairs_per_sec}
 
     def fit(self, train_ds, valid_ds, num_epochs: int, kind: str = "drin"):
         """One fit chunk: ``num_epochs`` epochs of train+valid (reference
@@ -293,15 +301,20 @@ class Trainer:
 
     def _dump_test_results(self, dataset, kind: str):
         """Write raw score vectors + labels (reference train.py:16-17,40-43) —
-        the golden-output hook for parity diffing."""
+        the golden-output hook for parity diffing.  Shares the compiled
+        ``eval_step`` (mesh shardings, padded static-shape batches), so the
+        dump adds no extra XLA programs and no ragged-tail recompiles."""
         cfg = self.cfg
-        ff = self.feats_fn
-        score = (self.apply_fn if ff is None
-                 else (lambda p, f: self.apply_fn(p, ff(f))))
-        apply_jit = jax.jit(score)
+        mstate = M.init_state(cfg.metrics_topk)
+        if self.mesh is not None:
+            mstate = jax.device_put(mstate, self.fns.replicated)
         with open(self._test_result_path, "w") as f:
             for batch in dataset.batches(cfg.batch_size, kind=kind):
-                scores = np.asarray(apply_jit(self.state.params, tuple(jnp.asarray(np.asarray(x)) for x in batch[:-1])))
+                b = len(batch[0])
+                padded, valid = pmesh.pad_batch_to(batch, cfg.batch_size)
+                put, vput = self._put(padded, valid)
+                _, mstate, scores = self.fns.eval_step(self.state.params, put, vput, mstate)
+                scores = np.asarray(jax.device_get(scores))[:b]
                 labels = np.argmax(batch[-1], axis=-1)
                 for row, lab in zip(scores, labels):
                     f.write(" ".join(f"{v:.6f}" for v in row) + f" | {lab}\n")

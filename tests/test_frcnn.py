@@ -74,9 +74,10 @@ def test_frcnn_smoke_forward():
     assert np.all(boxes[~found] == 0) and np.all(labels[~found] == 0)
 
 
-def _fabricate_torchvision_sd(cfg: FRCNNConfig, new_style: bool):
+def _fabricate_torchvision_sd(cfg: FRCNNConfig, new_style: bool, mask_rcnn: bool = False):
     """torchvision fasterrcnn_resnet50_fpn state_dict key layout with random
-    values at TINY dims (both pre/post-0.13 FPN/RPN spellings)."""
+    values at TINY dims (both pre/post-0.13 FPN/RPN spellings); mask_rcnn
+    adds the maskrcnn_resnet50_fpn mask-branch keys."""
     rng = np.random.default_rng(3)
     sd = {}
 
@@ -132,7 +133,39 @@ def _fabricate_torchvision_sd(cfg: FRCNNConfig, new_style: bool):
     dense("roi_heads.box_head.fc7", R, R)
     dense("roi_heads.box_predictor.cls_score", cfg.num_classes, R)
     dense("roi_heads.box_predictor.bbox_pred", cfg.num_classes * 4, R)
+    if mask_rcnn:
+        # maskrcnn_resnet50_fpn extras: 4-conv mask head + deconv predictor
+        for i in range(1, 5):
+            conv(f"roi_heads.mask_head.mask_fcn{i}", F, F, 3)
+            sd[f"roi_heads.mask_head.mask_fcn{i}.bias"] = np.zeros(F, np.float32)
+        conv("roi_heads.mask_predictor.conv5_mask", F, F, 2)
+        sd["roi_heads.mask_predictor.conv5_mask.bias"] = np.zeros(F, np.float32)
+        conv("roi_heads.mask_predictor.mask_fcn_logits", cfg.num_classes, F, 1)
+        sd["roi_heads.mask_predictor.mask_fcn_logits.bias"] = np.zeros(cfg.num_classes, np.float32)
     return sd
+
+
+def test_mask_rcnn_conversion():
+    """A maskrcnn-shaped state_dict converts cleanly (box branch used, mask
+    branch dropped) and arch/state-dict mismatches are rejected (reference
+    selects the detector at resnet.py:134-141)."""
+    from drin_tpu.encoders.frcnn import detector_params_from_torch
+
+    sd = _fabricate_torchvision_sd(TINY, new_style=True, mask_rcnn=True)
+    params = detector_params_from_torch(sd, TINY, "mask_rcnn")
+    model = FasterRCNN(TINY)
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    ref_shapes = jax.tree.map(lambda x: x.shape, model.init(jax.random.key(0), img)["params"])
+    assert jax.tree.map(lambda x: np.asarray(x).shape, params) == ref_shapes
+    boxes, _, _ = model.apply({"params": params}, img)
+    assert np.all(np.isfinite(np.asarray(boxes)))
+    with pytest.raises(ValueError, match="no roi_heads.mask"):
+        detector_params_from_torch(_fabricate_torchvision_sd(TINY, True), TINY, "mask_rcnn")
+    with pytest.raises(ValueError, match="has roi_heads.mask"):
+        detector_params_from_torch(sd, TINY, "faster_rcnn")
+    with pytest.raises(ValueError, match="unknown"):
+        detector_params_from_torch(sd, TINY, "yolo")
 
 
 @pytest.mark.parametrize("new_style", [False, True])

@@ -344,6 +344,17 @@ def test_prepare_and_bert_wikimel(tmp_path):
         qid2idx = json.load(f)
     assert len(qid2idx) == 6
 
+    # entity_text_type="name": the stage embeds names only and writes the
+    # name-parameterized store fields (reference loader surface,
+    # baselines/data.py:100-105)
+    cfg_name = cfg.replace(entity_text_type="name")
+    BertStage(cfg_name, assets["bert_params"], assets["bert_cfg"]).run(splits=())
+    nfeats = load_field(cfg.preprocess_dir, "entity_name_feature")
+    nmask = load_field(cfg.preprocess_dir, "entity_name_mask")
+    assert nfeats.shape == feats.shape and nmask.shape == mask.shape
+    # names are shorter than "name. attrs" texts -> strictly fewer live tokens
+    assert nmask.sum() < mask.sum()
+
 
 def test_box_encode_decode_roundtrip(rng):
     from drin_tpu.ops.detection import decode_boxes, encode_boxes

@@ -38,6 +38,22 @@ def test_fit_reduces_loss(wd_cfg):
     assert np.isfinite(out["loss"])
 
 
+@pytest.mark.parametrize("dataset_name", ["wikidiverse", "wikimel"])
+def test_entity_text_type_name_offline(tmp_path, dataset_name):
+    """entity_text_type='name' must flow through the offline store surface:
+    synthetic store writes entity-name-feature and the loader reads it
+    (reference baselines/data.py:100-105 parameterizes the field name)."""
+    import os
+
+    cfg = tiny_config(dataset_name, "drin", preprocess_dir=str(tmp_path)).replace(
+        entity_text_type="name")
+    make_synthetic_store(cfg, n_mentions=8, n_entities=20, seed=3)
+    assert not any("attr" in f for f in os.listdir(tmp_path)), "store must be name-typed"
+    tr, (train_ds, valid_ds, test_ds), kind = _make_trainer(cfg)
+    res = tr.fit(train_ds, valid_ds, 1, kind=kind)
+    assert np.isfinite(res[0]["loss"])
+
+
 @pytest.mark.parametrize("model_type", ["ghmfc", "melhi"])
 def test_baselines_train_end_to_end(tmp_path, model_type):
     cfg = tiny_config("wikidiverse", model_type, preprocess_dir=str(tmp_path))
