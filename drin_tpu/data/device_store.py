@@ -9,19 +9,30 @@ which fits TPU HBM; this module uploads them once and rewrites the step's
 feature tuple so batches carry only a [B, C] int32 row-index matrix — the
 gather runs on-device as part of the jitted step.
 
-On a mesh the tables are replicated (they are small post-pooling); XLA turns
-the per-batch gathers into local lookups.
+Two mesh layouts:
+
+  * **replicated** (default for the pooled ~350MB case): every device holds
+    the full tables; the per-batch gather is a local HBM lookup.
+  * **row-sharded** (``shard_rows=True``): the row axis is split over the
+    ``model`` mesh axis, so the non-pooled token-level WikiMEL table (~20GB
+    f32, SURVEY §7 hard-part 3) fits at 20GB/n_model per chip.  The in-step
+    gather resolves each requested row to its owning shard: every rank
+    looks up the rows it owns (zeros elsewhere) and one reduce-scatter
+    (``psum_scatter`` over the candidate dim when C divides the axis, else a
+    ``psum``) assembles the batch — the activations ride ICI, the table
+    never moves.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from drin_tpu.common.config import Config
+from drin_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 class DrinRowsBatch(NamedTuple):
@@ -50,45 +61,153 @@ class BaselineRowsBatch(NamedTuple):
     answer: np.ndarray
 
 
-class DeviceEntityStore:
-    """Upload the global (pooled) entity tables once; build a ``feats_fn``
-    that reconstructs the model's full feature tuple inside jit."""
+def _owner_gather(table: jax.Array, rows: jax.Array, axis: str) -> jax.Array:
+    """Per-rank piece of the sharded-table gather (runs inside shard_map).
 
-    def __init__(self, cfg: Config, tables: dict, dtype=None, sharding=None):
-        assert cfg.entity_pooling_cached, "device tables require the pooled entity cache"
+    ``table`` is this rank's [N/n, ...] row block; each rank resolves which
+    requested rows it owns, gathers those locally and contributes exact
+    zeros for the rest, so the cross-rank sum reconstructs the full gather
+    bit-for-bit (exactly one nonzero term per element)."""
+    nl = table.shape[0]
+    me = jax.lax.axis_index(axis)
+    owner = rows // nl
+    mine = owner == me
+    vals = table[jnp.where(mine, rows - owner * nl, 0)]
+    keep = mine.reshape(rows.shape + (1,) * (vals.ndim - rows.ndim))
+    return jnp.where(keep, vals, jnp.zeros((), vals.dtype))
+
+
+def _make_sharded_gather(mesh, n_tables: int, C: int):
+    """shard_map'd multi-table gather: tables row-sharded over ``model``,
+    rows sharded over ``data``.  When the candidate dim divides the model
+    axis the combine is a reduce-scatter over C (each rank keeps its C/n
+    slice — half the ICI traffic of a psum and the output lands already
+    laid out like ``parallel.mesh.batch_specs``); otherwise a psum leaves
+    the gathered tensors replicated along ``model``."""
+    from jax.sharding import PartitionSpec as P
+
+    nm = mesh.shape[MODEL_AXIS]
+    scatter = nm > 1 and C % nm == 0
+    out_spec = P(DATA_AXIS, MODEL_AXIS) if scatter else P(DATA_AXIS)
+
+    def fn(*args):
+        *tbls, rows = args
+        outs = []
+        for t in tbls:
+            v = _owner_gather(t, rows, MODEL_AXIS)
+            if scatter:
+                v = jax.lax.psum_scatter(v, MODEL_AXIS, scatter_dimension=1, tiled=True)
+            else:
+                v = jax.lax.psum(v, MODEL_AXIS)
+            outs.append(v)
+        return tuple(outs)
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(P(MODEL_AXIS) for _ in range(n_tables)) + (P(DATA_AXIS),),
+        out_specs=tuple(out_spec for _ in range(n_tables)),
+    )
+
+
+class DeviceEntityStore:
+    """Upload the global entity tables once; build a ``feats_fn`` that
+    reconstructs the model's full feature tuple inside jit.
+
+    ``shard_rows=True`` (requires ``mesh``) splits every table's row axis
+    over the ``model`` mesh axis and gathers collectively in-step; this is
+    what makes the non-pooled token-level table usable (it exceeds a single
+    chip's HBM).  Default is full replication (pooled tables are small)."""
+
+    def __init__(self, cfg: Config, tables: dict, dtype=None, sharding=None,
+                 mesh=None, shard_rows: bool = False):
+        assert cfg.entity_pooling_cached or shard_rows, (
+            "non-pooled token-level tables exceed one chip's HBM; use "
+            "shard_rows=True on a mesh (or enable the pooled entity cache)")
+        self.pooled = cfg.entity_pooling_cached
+        self.sharded = shard_rows
+        self.mesh = mesh
         dt = jnp.dtype(dtype or cfg.compute_dtype)
-        put = lambda x: jax.device_put(
-            jnp.asarray(x, dt if np.issubdtype(np.asarray(x).dtype, np.floating) else None),
-            sharding,
-        )
-        self.text = put(tables["entity_text_feature"])  # [N, 2, D]
+        if shard_rows:
+            assert mesh is not None, "shard_rows needs the device mesh"
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nm = mesh.shape[MODEL_AXIS]
+            sharding = NamedSharding(mesh, P(MODEL_AXIS))
+
+            def put(x):
+                x = np.asarray(x)
+                if x.shape[0] % nm:  # pad rows so the shard split is even;
+                    # indices never address the padding (rows < N)
+                    pad = nm - x.shape[0] % nm
+                    x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                if np.issubdtype(x.dtype, np.floating):
+                    x = x.astype(dt)
+                return jax.device_put(x, sharding)
+        else:
+            def put(x):
+                x = np.asarray(x)
+                if np.issubdtype(x.dtype, np.floating):
+                    x = x.astype(dt)
+                return jax.device_put(jnp.asarray(x), sharding)
+
+        self.text = put(tables["entity_text_feature"])  # [N, 2, D] pooled / [N, Le, D]
+        self.text_mask = None if self.pooled else put(tables["entity_text_mask"])  # [N, Le]
         self.image = put(tables["entity_image_feature"])  # [N, 1, Dr]
         self.obj = put(tables["entity_object_feature"])  # [N, Te, 1, Dr]
         self.obj_score = put(tables["entity_object_score"])  # [N, Te]
         self.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
-                          for t in (self.text, self.image, self.obj, self.obj_score))
+                          for t in self._tables())
 
-    def drin_feats_fn(self):
-        text, image, obj, obj_score = self.text, self.image, self.obj, self.obj_score
+    def _tables(self):
+        ts = [self.text, self.image, self.obj, self.obj_score]
+        if self.text_mask is not None:
+            ts.insert(1, self.text_mask)
+        return tuple(ts)
+
+    def _gather_fn(self, n_tables: int, C: int):
+        """(tables..., rows [B, C]) -> gathered [B, C, ...] per table."""
+        if not self.sharded:
+            return lambda *args: tuple(t[args[-1]] for t in args[:-1])
+        return _make_sharded_gather(self.mesh, n_tables, C)
+
+    def drin_feats_fn(self, num_candidates: Optional[int] = None):
+        tables = self._tables()
+        gather = None
 
         def feats_fn(feats):
+            nonlocal gather
             (mtf, mtm, sp, ep, mif, mof, mos, rows, miet, mtei) = feats
-            etm = jnp.zeros((rows.shape[0],), jnp.int32)  # mask consumed at pooling
+            if gather is None:
+                gather = self._gather_fn(len(tables), rows.shape[1])
+            got = gather(*tables, rows)
+            if self.pooled:
+                etf, eif, eof, eos = got
+                etm = jnp.zeros((rows.shape[0],), jnp.int32)  # consumed at pooling
+            else:
+                etf, etm, eif, eof, eos = got
             return (mtf, mtm, sp, ep, mif, mof, mos,
-                    text[rows], etm, image[rows], obj[rows], obj_score[rows],
-                    miet, mtei)
+                    etf, etm, eif, eof, eos, miet, mtei)
 
         return feats_fn
 
     def baseline_feats_fn(self):
-        text, image = self.text, self.image
+        text, mask, image = self.text, self.text_mask, self.image
+        tables = (text, image) if self.pooled else (text, mask, image)
+        gather = None
 
         def feats_fn(feats):
+            nonlocal gather
             (mtf, mtm, sp, ep, mif, rows) = feats
-            etm = jnp.zeros((rows.shape[0],), jnp.int32)
-            eif = image[rows]
+            if gather is None:
+                gather = self._gather_fn(len(tables), rows.shape[1])
+            got = gather(*tables, rows)
+            if self.pooled:
+                etf, eif = got
+                etm = jnp.zeros((rows.shape[0],), jnp.int32)
+            else:
+                etf, etm, eif = got
             if eif.ndim == 4:  # [B, C, 1, Dr] pooler rows -> [B, C, Dr]
                 eif = eif.reshape(eif.shape[0], eif.shape[1], -1)
-            return (mtf, mtm, sp, ep, mif, text[rows], etm, eif)
+            return (mtf, mtm, sp, ep, mif, etf, etm, eif)
 
         return feats_fn

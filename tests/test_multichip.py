@@ -87,6 +87,105 @@ def test_entity_tensors_actually_sharded():
     assert sh[7].shard_shape(etf.shape)[1] == etf.shape[1] // 2
 
 
+def _entity_tables(cfg, N, rng, pooled=True):
+    D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
+    Le = cfg.max_entity_attr_token_len
+    t = {
+        "entity_text_feature": rng.standard_normal(
+            (N, 2, D) if pooled else (N, Le, D)).astype(np.float32),
+        "entity_image_feature": rng.standard_normal((N, 1, Dr)).astype(np.float32),
+        "entity_object_feature": rng.standard_normal((N, Te, 1, Dr)).astype(np.float32),
+        "entity_object_score": rng.uniform(0, 1, (N, Te)).astype(np.float32),
+    }
+    if not pooled:
+        lens = rng.integers(2, Le, size=N)
+        t["entity_text_mask"] = (np.arange(Le)[None] < lens[:, None]).astype(np.int64)
+    return t
+
+
+def test_sharded_entity_tables_match_replicated():
+    """Row-sharded entity tables (P('model') on the row axis + in-step
+    owner-gather/reduce-scatter) must be demonstrably sharded AND produce the
+    same train step as the replicated tables."""
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    cfg, model, batch, params, apply_fn = _setup(B=8)
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    C = cfg.num_candidates_model
+    N = 31  # odd: exercises the row-padding path
+    rng = np.random.default_rng(4)
+    tables = _entity_tables(cfg, N, rng)
+    rows = rng.integers(0, N, (8, C)).astype(np.int32)
+    rows_fields = FIELDS[:7] + ("entity_rows", "miet_similarity", "mtei_similarity", "answer")
+    rows_batch = batch[:7] + (rows, batch[12], batch[13], batch[14])
+    host_params = jax.device_get(params)
+
+    results = {}
+    for shard in (False, True):
+        store = DeviceEntityStore(
+            cfg, tables, dtype=np.float32, mesh=mesh, shard_rows=shard,
+            sharding=None if shard else pmesh.replicated(mesh))
+        if shard:
+            # each model-rank holds half the (padded) rows — a real split
+            assert store.text.sharding.shard_shape(store.text.shape)[0] == 16
+        else:
+            assert store.text.shape[0] == N
+        ff = store.drin_feats_fn()
+        st, tx = create_train_state(jax.tree.map(jnp.asarray, host_params), cfg)
+        fns = build_step_fns(apply_fn, cfg, tx, mesh, rows_fields, rows_batch, ff)
+        put = pmesh.put_batch(rows_batch, fns.batch_shardings)
+        m = jax.device_put(M.init_state(cfg.metrics_topk), fns.replicated)
+        st = jax.device_put(st, fns.replicated)
+        valid = jax.device_put(np.ones((8,), np.float32), fns.valid_sharding)
+        st, loss, m = fns.train_step(st, put, valid, m)
+        results[shard] = (float(loss), jax.device_get(st.params))
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(results[False][1]), jax.tree.leaves(results[True][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_nonpooled_table_gather_exact():
+    """The non-pooled token-level table (the ~20GB case the sharding exists
+    for) gathers bit-exactly vs a host-side fancy-index, including the
+    text mask, and supports a full train step on the mesh."""
+    from drin_tpu.data.device_store import DeviceEntityStore
+    import __graft_entry__ as g
+
+    cfg = tiny_config("wikimel", "drin").replace(
+        num_candidates_data=7, batch_size=8, metrics_topk=(1, 5),
+        cache_entity_pooling=False)
+    assert not cfg.entity_pooling_cached
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    C = cfg.num_candidates_model
+    rng = np.random.default_rng(5)
+    N = 26
+    tables = _entity_tables(cfg, N, rng, pooled=False)
+    store = DeviceEntityStore(cfg, tables, dtype=np.float32, mesh=mesh, shard_rows=True)
+    feats, answer = g._random_drin_batch(cfg, B=8, rng=rng)
+    rows = rng.integers(0, N, (8, C)).astype(np.int32)
+    rows_batch = feats[:7] + (rows, feats[12], feats[13])
+    got = store.drin_feats_fn()(tuple(jnp.asarray(np.asarray(x)) for x in rows_batch))
+    np.testing.assert_array_equal(np.asarray(got[7]), tables["entity_text_feature"][rows])
+    np.testing.assert_array_equal(np.asarray(got[8]), tables["entity_text_mask"][rows])
+    np.testing.assert_array_equal(np.asarray(got[9]), tables["entity_image_feature"][rows])
+    np.testing.assert_array_equal(np.asarray(got[10]), tables["entity_object_feature"][rows])
+    np.testing.assert_array_equal(np.asarray(got[11]), tables["entity_object_score"][rows])
+
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(0), got)["params"]
+    st, tx = create_train_state(params, cfg)
+    rows_fields = FIELDS[:7] + ("entity_rows", "miet_similarity", "mtei_similarity", "answer")
+    full = rows_batch + (answer,)
+    fns = build_step_fns(lambda p, f: model.apply({"params": p}, f), cfg, tx,
+                         mesh, rows_fields, full, store.drin_feats_fn())
+    put = pmesh.put_batch(full, fns.batch_shardings)
+    m = jax.device_put(M.init_state(cfg.metrics_topk), fns.replicated)
+    st = jax.device_put(st, fns.replicated)
+    valid = jax.device_put(np.ones((8,), np.float32), fns.valid_sharding)
+    _, loss, m = fns.train_step(st, put, valid, m)
+    assert np.isfinite(float(loss))
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 

@@ -40,6 +40,7 @@ def main(argv=None) -> None:
     root_key = jax.random.key(cfg.seed)
 
     model, kind = get_model(cfg)
+    mesh = make_mesh(cfg) if cfg.num_devices > 1 else None
     feats_fn = None
     if kind == "online":
         from drin_tpu.data.online import OnlineMELDataset
@@ -47,22 +48,24 @@ def main(argv=None) -> None:
         train_ds, valid_ds, test_ds = (OnlineMELDataset(cfg, s) for s in ("train", "valid", "test"))
     else:
         train_ds, valid_ds, test_ds = create_datasets(cfg)
-        if (cfg.device_entity_tables and cfg.entity_pooling_cached
-                and cfg.dataset_name == "wikimel"):
-            # device-resident entity tables: ship [B, C] row indices per
-            # batch and gather in HBM (data/device_store.py)
+        # device-resident entity tables: ship [B, C] row indices per batch
+        # and gather in HBM (data/device_store.py).  Pooled tables replicate
+        # (small); the non-pooled token-level table row-shards over the
+        # 'model' mesh axis — it exceeds one chip's HBM at full scale.
+        shard_rows = (not cfg.entity_pooling_cached and mesh is not None
+                      and mesh.shape["model"] > 1)
+        if (cfg.device_entity_tables and cfg.dataset_name == "wikimel"
+                and (cfg.entity_pooling_cached or shard_rows)):
             from drin_tpu.data.device_store import DeviceEntityStore
-            from drin_tpu.parallel.mesh import make_mesh, replicated
+            from drin_tpu.parallel.mesh import replicated
 
-            sharding = None
-            if cfg.num_devices > 1:
-                sharding = replicated(make_mesh(cfg))
-            store = DeviceEntityStore(cfg, train_ds.tables, sharding=sharding)
+            store = DeviceEntityStore(
+                cfg, train_ds.tables, mesh=mesh, shard_rows=shard_rows,
+                sharding=replicated(mesh) if (mesh is not None and not shard_rows) else None)
             feats_fn = store.drin_feats_fn() if kind == "drin" else store.baseline_feats_fn()
             kind = kind + "_rows"
-            print(f"device entity tables resident: {store.nbytes / 1e6:.0f} MB")
-
-    mesh = make_mesh(cfg) if cfg.num_devices > 1 else None
+            print(f"device entity tables resident: {store.nbytes / 1e6:.0f} MB"
+                  + (" (row-sharded over the model axis)" if shard_rows else ""))
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
     feats = tuple(np.asarray(x) for x in example[:-1])
     params = model.init(root_key, feats if feats_fn is None else feats_fn(feats))["params"]
