@@ -134,6 +134,12 @@ class Config:
     # over 'model'.  (1, 1) means single chip.
     mesh_data: int = 1
     mesh_model: int = 1
+    # Multi-process (multi-host) cluster: one process per host, same program
+    # on every host (parallel/distributed.py).  All three must be set (or a
+    # TPU-pod runtime must provide them) for num_processes > 1.
+    coordinator_address: str = ""
+    num_processes: int = 1
+    process_id: int = 0
     # Checkpointing is NEW capability (reference disables it, train.py:115).
     enable_checkpointing: bool = False
     checkpoint_dir: str = "checkpoints"
@@ -147,6 +153,8 @@ class Config:
     # maintained + tested for larger-C workloads where per-sample blocking
     # wins.
     use_pallas: bool = False
+    # batch-tile rows per fused-GCN-layer kernel program (ops/pallas/gcn_layer)
+    pallas_block_b: int = 4
     # WikiMEL: pool the frozen global entity-text table ONCE at load instead
     # of streaming [B, C, Le, D] token features through every batch (32x less
     # entity-side HBM traffic; numerically identical — the per-batch pooling

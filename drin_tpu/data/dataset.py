@@ -267,6 +267,24 @@ class MELFeatureDataset:
             answer=self.onehot[self.answer[idx]],
         )
 
+    def labels(self, idx: np.ndarray) -> np.ndarray:
+        """Gold candidate index per mention, matching argmax over the one-hot
+        answer row (the 'answer absent' sentinel row is all-zero, so argmax
+        — like the reference's test-result dump — reports 0 for it)."""
+        a = np.asarray(self.answer[idx])
+        return np.where(a >= self.onehot.shape[0] - 1, 0, a)
+
+    def make_batch(self, idx: np.ndarray, kind: str = "drin"):
+        """Assemble the batch for explicit mention indices (the hook the
+        trainer's host-sharded iterator uses: each process builds only the
+        rows its devices own, parallel/distributed.py)."""
+        return {
+            "drin": self.drin_batch,
+            "baseline": self.baseline_batch,
+            "drin_rows": self.drin_rows_batch,
+            "baseline_rows": self.baseline_rows_batch,
+        }[kind](idx)
+
     def batches(
         self,
         batch_size: int,
@@ -282,12 +300,6 @@ class MELFeatureDataset:
         :func:`padded_batches` instead when needed."""
         n = len(self)
         order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
-        make = {
-            "drin": self.drin_batch,
-            "baseline": self.baseline_batch,
-            "drin_rows": self.drin_rows_batch,
-            "baseline_rows": self.baseline_rows_batch,
-        }[kind]
         for i in range(0, n, batch_size):
             idx = order[i : i + batch_size]
             if len(idx) < batch_size:
@@ -295,7 +307,7 @@ class MELFeatureDataset:
                     return
                 if pad_to_full:
                     idx = np.concatenate([idx, order[: batch_size - len(idx)]])
-            yield make(idx)
+            yield self.make_batch(idx, kind)
 
 
 def pool_entity_table(features: np.ndarray, mask: np.ndarray, chunk: int = 4096) -> np.ndarray:

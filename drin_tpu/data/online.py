@@ -230,6 +230,18 @@ class OnlineMELDataset:
             answer=self.onehot[self.answer[idx]],
         )
 
+    def labels(self, idx: np.ndarray) -> np.ndarray:
+        """Gold candidate index per mention (argmax of the one-hot answer;
+        the all-zero 'answer absent' row argmaxes to 0)."""
+        a = np.asarray(self.answer[idx])
+        return np.where(a >= self.onehot.shape[0] - 1, 0, a)
+
+    def make_batch(self, idx: np.ndarray, kind: str = "online"):
+        """Assemble the batch for explicit mention indices (the hook the
+        trainer's host-sharded iterator uses: each process builds only the
+        rows its devices own, parallel/distributed.py)."""
+        return self.online_batch(idx)
+
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 kind: str = "online", drop_remainder: bool = False, pad_to_full: bool = False):
         n = len(self)

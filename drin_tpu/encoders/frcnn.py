@@ -53,7 +53,9 @@ class FRCNNConfig:
         rpn_nms_thresh: float = 0.7,
         box_score_thresh: float = 0.05,
         box_nms_thresh: float = 0.5,
+        box_min_size: float = 1e-2,
         detections_per_img: int = 100,
+        pre_class_nms_topk: int = 4096,
         num_classes: int = 91,
         representation_size: int = 1024,
         min_size: int = 800,
@@ -70,7 +72,9 @@ class FRCNNConfig:
         self.rpn_nms_thresh = rpn_nms_thresh
         self.box_score_thresh = box_score_thresh
         self.box_nms_thresh = box_nms_thresh
+        self.box_min_size = box_min_size
         self.detections_per_img = detections_per_img
+        self.pre_class_nms_topk = pre_class_nms_topk
         self.num_classes = num_classes
         self.representation_size = representation_size
         self.min_size = min_size
@@ -266,23 +270,41 @@ class FasterRCNN(nn.Module):
         cls_logits, box_deltas = self.box_predictor(rep)
         probs = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]  # drop background
         box_deltas = box_deltas.reshape(-1, c.num_classes, 4)[:, 1:]
+        return self._postprocess_detections(probs, box_deltas, proposals, H, W)
 
-        # best class per proposal (the pipeline keeps class-agnostic top
-        # objects; reference uses only boxes+scores, resnet.py:117-120)
-        best = jnp.argmax(probs, axis=-1)
-        rows = jnp.arange(probs.shape[0])
-        scores = probs[rows, best]
-        boxes = decode_boxes(box_deltas[rows, best], proposals,
-                             weights=(10.0, 10.0, 5.0, 5.0))
+    def _postprocess_detections(self, probs, box_deltas, proposals, H, W):
+        """torchvision ``postprocess_detections`` semantics with static
+        shapes: every (proposal, class) pair is decoded, clipped, filtered by
+        score/min-size, and suppressed by per-class *batched* NMS — realized
+        as one greedy NMS over boxes offset by ``class_id * (max_coord + 2)``
+        so different classes can never overlap.  The dynamic candidate set
+        becomes a static pre-NMS top-``pre_class_nms_topk`` cut (exact
+        whenever the above-threshold count fits, which it does at
+        torchvision's 0.05 threshold for these workloads)."""
+        c = self.cfg
+        N, K = probs.shape  # K = num_classes - 1
+        flat_deltas = box_deltas.reshape(-1, 4)  # [(N*K), 4] class-major rows
+        flat_props = jnp.repeat(proposals, K, axis=0)
+        boxes = decode_boxes(flat_deltas, flat_props, weights=(10.0, 10.0, 5.0, 5.0))
         boxes = clip_boxes(boxes, H, W)
-        scores = jnp.where(scores >= c.box_score_thresh, scores, -jnp.inf)
-        keep = nms(boxes, scores, c.box_nms_thresh, c.detections_per_img)
+        scores = probs.reshape(-1)
+        labels = jnp.tile(jnp.arange(1, K + 1), N)
+        # score + degenerate-box filters (torchvision score_thresh / min_size)
+        ok = (scores >= c.box_score_thresh)
+        ok &= (boxes[:, 2] - boxes[:, 0]) >= c.box_min_size
+        ok &= (boxes[:, 3] - boxes[:, 1]) >= c.box_min_size
+        scores = jnp.where(ok, scores, -jnp.inf)
+        m = min(c.pre_class_nms_topk, scores.shape[0])
+        top_s, top_i = jax.lax.top_k(scores, m)
+        boxes, labels = boxes[top_i], labels[top_i]
+        offset = labels.astype(boxes.dtype) * (jnp.maximum(H, W) + 2.0)
+        keep = nms(boxes + offset[:, None], top_s, c.box_nms_thresh, c.detections_per_img)
         kv = keep >= 0
         safe = jnp.maximum(keep, 0)
         return (
             jnp.where(kv[:, None], boxes[safe], 0.0),
-            jnp.where(kv, scores[safe], 0.0),
-            jnp.where(kv, best[safe] + 1, 0),
+            jnp.where(kv, top_s[safe], 0.0),
+            jnp.where(kv, labels[safe], 0),
         )
 
     def _multiscale_roi_align(self, feats, boxes, output_size):
@@ -373,12 +395,21 @@ def frcnn_params_from_torch(sd: Mapping, cfg: FRCNNConfig) -> dict:
         "cls_logits": _conv_b(sd, "rpn.head.cls_logits"),
         "bbox_pred": _conv_b(sd, "rpn.head.bbox_pred"),
     }
+    # fc6 consumes the flattened RoI features: torch flattens [K, C, P, P]
+    # (channel-major) but the flax model flattens [K, P, P, C] (NHWC), so the
+    # kernel's input axis must be permuted CPP -> PPC to keep the same map
+    fc6 = _dense(sd, "roi_heads.box_head.fc6")
+    cin = cfg.fpn_channels
+    pp = fc6["kernel"].shape[0] // cin  # P*P (7*7 for torchvision)
+    p = int(round(pp ** 0.5))
+    fc6["kernel"] = np.ascontiguousarray(
+        fc6["kernel"].reshape(cin, p, p, -1).transpose(1, 2, 0, 3).reshape(pp * cin, -1))
     return {
         "body": body,
         "fpn": fpn,
         "rpn_head": rpn,
         "box_head": {
-            "fc6": _dense(sd, "roi_heads.box_head.fc6"),
+            "fc6": fc6,
             "fc7": _dense(sd, "roi_heads.box_head.fc7"),
         },
         "box_predictor": {

@@ -157,40 +157,42 @@ class GCNLayer(nn.Module):
                 return jnp.mean(ef * v, axis=1)
             return ef * v[:, None, :]  # entity <- mention: broadcast
 
-        # optional Pallas fusion for the entity-side updates (scalar edges):
-        # aggregation + W_h matmul + LayerNorm + activation in one kernel
-        use_fused = (
+        # Pallas full-layer fusion (scalar edges): ALL 4 vertex updates + the
+        # 4 folded dynamic edge updates in one kernel, so et/ei read HBM once
+        # per layer (ops/pallas/gcn_layer.py; grads via its custom VJP whose
+        # backward is the XLA math below)
+        dynamic_scalar = cfg.gcn_edge_type == "dynamic" and not vector
+        if dynamic_scalar:
+            ku = self.param("w_u_kernel", torch_linear_kernel_init, (D, D))
+            bu = self.param("w_u_bias", torch_linear_bias_init(D), (D,))
+            kv = self.param("w_v_kernel", torch_linear_kernel_init, (D, D))
+            bv = self.param("w_v_bias", torch_linear_bias_init(D), (D,))
+        use_layer_fused = (
             cfg.use_pallas
             and not vector
             and jax.default_backend() == "tpu"
+            and not self.is_initializing()
             and cfg.gcn_vertex_activation in ("gelu", "relu", "tanh", "sigmoid")
+            and cfg.gcn_edge_activation in ("sigmoid", "tanh", "relu", "identity")
         )
-        fused = None
-        if use_fused:
-            from drin_tpu.ops.pallas.gcn import fused_vertex_update
+        if use_layer_fused:
+            from drin_tpu.ops.pallas.gcn_layer import fused_gcn_layer_ad
 
-            # the shared W_h / LayerNorm parameters, materialized once
-            dummy = jnp.zeros((1, D), vertexes[0].dtype)
-            _ = vact(layer_norm(w_h(dummy)))  # ensure params exist
-            wh_p = self.variables["params"]["w_h"]["Dense_0"] if not self.is_initializing() else None
-            ln_p = self.variables["params"]["layer_norm"] if not self.is_initializing() else None
-            if wh_p is not None:
-                dt = vertexes[0].dtype
-                fused = lambda v, e1, m1, e2, m2: fused_vertex_update(
-                    v, e1, m1, e2, m2,
-                    wh_p["kernel"].astype(dt), wh_p["bias"].astype(dt),
-                    ln_p["scale"].astype(dt), ln_p["bias"].astype(dt),
-                    act=cfg.gcn_vertex_activation,
-                )
+            dt = vertexes[2].dtype
+            wh_p = self.variables["params"]["w_h"]["Dense_0"]
+            ln_p = self.variables["params"]["layer_norm"]
+            return fused_gcn_layer_ad(
+                vertexes, edges,
+                wh_p["kernel"].astype(dt), wh_p["bias"].astype(dt),
+                ln_p["scale"].astype(dt), ln_p["bias"].astype(dt),
+                *((ku.astype(dt), bu.astype(dt), kv.astype(dt), bv.astype(dt))
+                  if dynamic_scalar else (None, None, None, None)),
+                vact=cfg.gcn_vertex_activation, eact=cfg.gcn_edge_activation,
+                dynamic=dynamic_scalar, block_b=cfg.pallas_block_b,
+            )
 
         new_vertexes = []
         for u, neighbors in zip(vertexes, self.vertex_graph):
-            if fused is not None and u.ndim == 3:
-                (e1, v1), (e2, v2) = neighbors
-                new_vertexes.append(
-                    fused(u, edges[e1], vertexes[v1], edges[e2], vertexes[v2])
-                )
-                continue
             agg = u
             for ei_, vi in neighbors:
                 agg = agg + conv_vertex(edges[ei_], vertexes[vi])
@@ -219,10 +221,7 @@ class GCNLayer(nn.Module):
                 # — one [B, D] projection + a dot instead of a full
                 # [B, C, D] x [D, D] matmul per edge (~30x fewer FLOPs,
                 # bit-compatible up to float reassociation).
-                ku = self.param("w_u_kernel", torch_linear_kernel_init, (D, D))
-                bu = self.param("w_u_bias", torch_linear_bias_init(D), (D,))
-                kv = self.param("w_v_kernel", torch_linear_kernel_init, (D, D))
-                bv = self.param("w_v_bias", torch_linear_bias_init(D), (D,))
+                # (ku/bu/kv/bv were declared above, shared with the fused path)
                 proj = {}
                 for ui in (0, 1):  # the two mention vertices
                     a = vertexes[ui] @ ku + bu  # [B, D]

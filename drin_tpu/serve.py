@@ -91,18 +91,20 @@ class Ranker:
 
     def retrieve(self, mention_repr: np.ndarray, k: int = 100):
         """Stage-1 retrieval: cosine top-k of ``mention_repr`` [B, D]
-        against the full pooled entity-text table."""
+        against the full pooled entity-text table.  The row-normalized table
+        is computed once on first use and cached in HBM, so each query costs
+        one [B, D] x [D, N] matmul + top-k."""
         assert self.store is not None, "retrieve() needs device entity tables"
-        table = self.store.text[:, 0]  # pooled slot [N, D]
-
-        @jax.jit
-        def _retrieve(q):
-            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-            t = table / jnp.linalg.norm(table, axis=-1, keepdims=True)
-            sims = q @ t.T
-            return jax.lax.top_k(sims, k)
-
-        scores, idx = _retrieve(jnp.asarray(mention_repr, table.dtype))
+        if getattr(self, "_retrieval_table", None) is None:
+            table = self.store.text[:, 0]  # pooled slot [N, D]
+            self._retrieval_table = jax.jit(
+                lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(table)
+            self._retrieve_jit = jax.jit(
+                lambda q, t, k: jax.lax.top_k(
+                    (q / jnp.linalg.norm(q, axis=-1, keepdims=True)) @ t.T, k),
+                static_argnums=2)
+        table = self._retrieval_table
+        scores, idx = self._retrieve_jit(jnp.asarray(mention_repr, table.dtype), table, k)
         return np.asarray(scores), np.asarray(idx)
 
 

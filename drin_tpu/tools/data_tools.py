@@ -3,10 +3,11 @@
 ``dataset/data_tools.py``): disguise zip archives as MP4 files for webdrive
 sharing and verify md5 on decode.
 
-Container format (data_tools.py:8-24): the file's first 32 bytes are swapped
-with a standard MP4 header; the original 32 bytes are appended at EOF.
-Decoding restores them and truncates.  ``md5.json`` written beside the
-archives records the pre-encode checksums.
+Container format (data_tools.py:8-24) — these constants ARE the on-disk
+format and must match to decode existing archives: the file's first 32 bytes
+are swapped with a standard MP4 header, and the displaced 32 original bytes
+are stashed at EOF.  Decoding swaps them back and truncates.  A ``md5.json``
+beside the archives records pre-encode checksums.
 
 CLI: ``python -m drin_tpu.tools.data_tools [--encode] --dir D
 --raw_files a.zip --encoded_files a.mp4 [--skip_checksum]``.
@@ -33,68 +34,66 @@ def md5(filename: str) -> str:
     return h.hexdigest()
 
 
-def mimic_header(filename: str) -> None:
-    """zip -> fake mp4 (data_tools.py:45-51)."""
-    with open(filename, "br+") as f:
-        original = f.read(HEADER_LEN)
-        f.seek(0)
-        f.write(MP4_HEADER)
-        f.seek(0, io.SEEK_END)
-        f.write(original)
+def _swap_head(filename: str, to_mp4: bool) -> None:
+    """Swap the archive's leading 32 bytes with the MP4 signature.
 
-
-def recover_header(filename: str) -> None:
-    """fake mp4 -> zip (data_tools.py:54-61)."""
+    Encoding stashes the displaced bytes at EOF; decoding pulls them back
+    from EOF and truncates.  Both directions are exact inverses."""
     with open(filename, "br+") as f:
-        f.seek(-HEADER_LEN, io.SEEK_END)
-        original = f.read(HEADER_LEN)
-        f.seek(0)
-        f.write(original)
-        f.seek(-HEADER_LEN, io.SEEK_END)
-        f.truncate()
+        if to_mp4:
+            displaced = f.read(HEADER_LEN)
+            f.seek(0)
+            f.write(MP4_HEADER)
+            f.seek(0, io.SEEK_END)
+            f.write(displaced)
+        else:
+            f.seek(-HEADER_LEN, io.SEEK_END)
+            displaced = f.read(HEADER_LEN)
+            f.seek(0)
+            f.write(displaced)
+            f.seek(-HEADER_LEN, io.SEEK_END)
+            f.truncate()
 
 
 def encode(dir: str, raw_files, encoded_files, skip_checksum: bool = False, log=print):
-    md5_dict = {}
-    for raw_name, encoded_name in zip(raw_files, encoded_files):
-        raw_path = os.path.join(dir, raw_name)
-        encoded_path = os.path.join(dir, encoded_name)
-        if not os.path.exists(raw_path):
-            log(f"{raw_path} not found, skipping...")
+    """zip archives -> mp4-disguised; returns the checksum manifest."""
+    checksums = {}
+    for src, dst in zip(raw_files, encoded_files):
+        src_path, dst_path = os.path.join(dir, src), os.path.join(dir, dst)
+        if not os.path.exists(src_path):
+            log(f"skip (missing): {src_path}")
             continue
         if not skip_checksum:
-            md5_dict[raw_name] = md5(raw_path)
-        os.rename(raw_path, encoded_path)
-        mimic_header(encoded_path)
-        log(f"Encode {raw_path} -> {encoded_path} successfully.")
+            checksums[src] = md5(src_path)
+        os.rename(src_path, dst_path)
+        _swap_head(dst_path, to_mp4=True)
+        log(f"encoded {src} as {dst}")
     if not skip_checksum:
         with open(os.path.join(dir, MD5_FILENAME), "w") as f:
-            json.dump(md5_dict, f)
-    return md5_dict
+            json.dump(checksums, f)
+    return checksums
 
 
 def decode(dir: str, raw_files, encoded_files, skip_checksum: bool = False, log=print):
-    """Returns {raw_name: checksum_ok}."""
-    md5_dict = {}
+    """mp4-disguised -> zip archives; returns {raw_name: checksum_ok}."""
+    manifest = {}
     if not skip_checksum:
         with open(os.path.join(dir, MD5_FILENAME)) as f:
-            md5_dict = json.load(f)
+            manifest = json.load(f)
     results = {}
-    for raw_name, encoded_name in zip(raw_files, encoded_files):
-        raw_path = os.path.join(dir, raw_name)
-        encoded_path = os.path.join(dir, encoded_name)
-        if not os.path.exists(encoded_path):
-            log(f"{encoded_path} not found, skipping...")
+    for src, dst in zip(raw_files, encoded_files):
+        src_path, dst_path = os.path.join(dir, src), os.path.join(dir, dst)
+        if not os.path.exists(dst_path):
+            log(f"skip (missing): {dst_path}")
             continue
-        os.rename(encoded_path, raw_path)
-        recover_header(raw_path)
-        log(f"Decode {encoded_path} -> {raw_path} successfully.")
-        if not skip_checksum:
-            ok = md5_dict.get(raw_name) == md5(raw_path)
-            results[raw_name] = ok
-            log(f"MD5 checksum verification {'PASSED' if ok else 'FAILED'} for {raw_path}.")
+        os.rename(dst_path, src_path)
+        _swap_head(src_path, to_mp4=False)
+        log(f"decoded {dst} back to {src}")
+        if skip_checksum:
+            results[src] = True
         else:
-            results[raw_name] = True
+            results[src] = manifest.get(src) == md5(src_path)
+            log(f"checksum {'ok' if results[src] else 'MISMATCH'}: {src}")
     return results
 
 

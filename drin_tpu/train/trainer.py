@@ -114,6 +114,9 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
     bspecs = pmesh.batch_shardings(mesh, batch_fields, example_batch)
     rep = pmesh.replicated(mesh)
     vshard = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+    # multi-process: the dump path fetches scores on every host, so they must
+    # come back replicated (a batch-sharded array is not fully addressable)
+    score_shard = rep if jax.process_count() > 1 else vshard
     train_jit = jax.jit(
         train_step,
         in_shardings=(rep, bspecs, vshard, rep),
@@ -123,7 +126,7 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
     eval_jit = jax.jit(
         eval_step,
         in_shardings=(rep, bspecs, vshard, rep),
-        out_shardings=(rep, rep, vshard),
+        out_shardings=(rep, rep, score_shard),
         donate_argnums=(3,),
     )
     return StepFns(train_jit, eval_jit, bspecs, vshard, rep)
@@ -154,6 +157,16 @@ class Trainer:
         self.state = state
         self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch, feats_fn)
         self.epoch = 0
+        # multi-process SPMD: every host runs this same loop; each assembles
+        # only the global-batch rows its devices own (parallel/distributed.py)
+        self._proc_rows = None
+        self._is_main = jax.process_index() == 0
+        if mesh is not None and jax.process_count() > 1:
+            from drin_tpu.parallel import distributed as dist
+
+            self._proc_rows = dist.process_row_range(self.fns.valid_sharding, cfg.batch_size)
+        if not self._is_main:
+            self.log = lambda *a, **k: None
         self._ckpt_mgr = None
         self._test_result_path = output_test_result_path
         if cfg.enable_checkpointing:
@@ -196,10 +209,37 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _put(self, batch, valid):
+        """Host batch (this process's rows) -> device arrays for the step."""
         if self.mesh is None:
             return tuple(jnp.asarray(np.asarray(x)) for x in batch), jnp.asarray(valid)
+        if self._proc_rows is not None:
+            from drin_tpu.parallel import distributed as dist
+
+            B = self.cfg.batch_size
+            put = dist.put_global_batch(batch, self.fns.batch_shardings, B)
+            (vput,) = dist.put_global_batch([valid], (self.fns.valid_sharding,), B)
+            return put, vput
         put = pmesh.put_batch(batch, self.fns.batch_shardings)
         return put, jax.device_put(valid, self.fns.valid_sharding)
+
+    def _index_batches(self, n: int, shuffle: bool, seed: int):
+        """Global batch indices + valid mask, identical on every process
+        (same seed -> same permutation); ragged tails repeat the tail's
+        first index so shapes stay static for jit."""
+        B = self.cfg.batch_size
+        order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+        for i in range(0, n, B):
+            idx = order[i : i + B]
+            valid = np.zeros((B,), np.float32)
+            valid[: len(idx)] = 1.0
+            if len(idx) < B:
+                idx = np.concatenate([idx, np.broadcast_to(idx[:1], (B - len(idx),))])
+            yield idx, valid
+
+    def _assemble(self, dataset, kind: str, idx: np.ndarray, valid: np.ndarray):
+        rs, re = self._proc_rows or (0, self.cfg.batch_size)
+        batch = dataset.make_batch(idx[rs:re], kind)
+        return self._put(batch, valid[rs:re] if self._proc_rows is not None else valid)
 
     def _run_epoch(self, dataset, split: str, train: bool, kind: str):
         cfg = self.cfg
@@ -214,12 +254,10 @@ class Trainer:
         shuffle = train and cfg.shuffle_train_data and not cfg.debug
         from drin_tpu.data.prefetch import Prefetcher
 
-        def assemble(batch):
-            b, valid = pmesh.pad_batch_to(batch, cfg.batch_size)
-            return self._put(b, valid)
+        def assemble(args):
+            return self._assemble(dataset, kind, *args)
 
-        source = dataset.batches(cfg.batch_size, shuffle=shuffle,
-                                 seed=cfg.seed + self.epoch, kind=kind)
+        source = self._index_batches(len(dataset), shuffle, cfg.seed + self.epoch)
         # The running loss rides inside the donated on-device metric state;
         # the loop never blocks on a per-step host fetch — the only syncs are
         # the status-line refreshes every ``log_interval_steps``.
@@ -230,7 +268,7 @@ class Trainer:
             else:
                 _, mstate, _ = self.fns.eval_step(self.state.params, batch, valid, mstate)
             n_batches += 1
-            if n_batches % log_every == 0:
+            if n_batches % log_every == 0 and self._is_main:
                 m = jax.device_get(mstate)
                 accs = M.compute(m, cfg.metrics_topk, correction)
                 acc_str = ", ".join(f"top{k}: {float(v):.4f}" for k, v in accs.items())
@@ -242,7 +280,8 @@ class Trainer:
         total = float(mstate["total"])
         mean_loss = float(M.mean_loss(mstate))
         pairs_per_sec = total * cfg.num_candidates_model / max(dt, 1e-9)
-        print("", file=sys.stderr)
+        if self._is_main:
+            print("", file=sys.stderr)
         acc_str = ", ".join(f"top{k}: {v:.4f}" for k, v in accs.items())
         self.log(
             f"{_now()} {split} epoch {self.epoch} done: loss {mean_loss:.4f}, "
@@ -308,13 +347,18 @@ class Trainer:
         mstate = M.init_state(cfg.metrics_topk)
         if self.mesh is not None:
             mstate = jax.device_put(mstate, self.fns.replicated)
-        with open(self._test_result_path, "w") as f:
-            for batch in dataset.batches(cfg.batch_size, kind=kind):
-                b = len(batch[0])
-                padded, valid = pmesh.pad_batch_to(batch, cfg.batch_size)
-                put, vput = self._put(padded, valid)
+        f = open(self._test_result_path, "w") if self._is_main else None
+        try:
+            for idx, valid in self._index_batches(len(dataset), False, 0):
+                put, vput = self._assemble(dataset, kind, idx, valid)
                 _, mstate, scores = self.fns.eval_step(self.state.params, put, vput, mstate)
+                if f is None:
+                    continue
+                b = int(valid.sum())
                 scores = np.asarray(jax.device_get(scores))[:b]
-                labels = np.argmax(batch[-1], axis=-1)
+                labels = dataset.labels(idx[:b])
                 for row, lab in zip(scores, labels):
                     f.write(" ".join(f"{v:.6f}" for v in row) + f" | {lab}\n")
+        finally:
+            if f is not None:
+                f.close()

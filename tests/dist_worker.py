@@ -1,0 +1,75 @@
+# -*- coding: utf-8 -*-
+"""Worker for the multi-process SPMD test (not a test module).
+
+Runs 2 training epochs + a test epoch of tiny-DRIN over a shared synthetic
+store on a (4, 2) global mesh, either as one process owning all 8 virtual
+CPU devices (the oracle) or as one rank of an N-process cluster (4 devices
+per rank).  Writes the result JSON from process 0.
+
+Usage: python dist_worker.py <pid> <nproc> <store_dir> <out_json> <port>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc = int(sys.argv[1]), int(sys.argv[2])
+    store, out, port = sys.argv[3], sys.argv[4], sys.argv[5]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={8 // nproc}").strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if nproc > 1:
+        from drin_tpu.parallel import distributed as dist
+
+        dist.initialize(coordinator_address=f"localhost:{port}",
+                        num_processes=nproc, process_id=pid)
+    assert len(jax.devices()) == 8, jax.devices()
+
+    import numpy as np
+
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.models import get_model
+    from drin_tpu.parallel import mesh as pmesh
+    from drin_tpu.train.trainer import Trainer
+
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=store).replace(
+        batch_size=8, learning_rate=3e-3)
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    model, kind = get_model(cfg)
+    mesh = pmesh.make_mesh(devices=jax.devices(), data=4, model=2)
+    example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
+    params = model.init(jax.random.key(0), tuple(np.asarray(x) for x in example[:-1]))["params"]
+    tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params, mesh,
+                 batch_fields=type(example)._fields, example_batch=example,
+                 log=lambda *a: None)
+    losses = []
+    for _ in range(2):
+        losses.append(tr._run_epoch(train_ds, "train", True, kind)["loss"])
+        tr.epoch += 1
+    test_out = tr._run_epoch(test_ds, "test", False, kind)
+    p = jax.device_get(tr.state.params)
+    digest = float(sum(np.abs(x).sum() for x in jax.tree.leaves(p)))
+    if jax.process_index() == 0:
+        with open(out, "w") as f:
+            json.dump({"losses": losses, "test_loss": test_out["loss"],
+                       "test_accs": test_out["accs"], "params_l1": digest}, f)
+    if nproc > 1:
+        from drin_tpu.parallel import distributed as dist
+
+        dist.shutdown()
+
+
+if __name__ == "__main__":
+    main()
+    # the gloo CPU transport can linger after shutdown; exit hard once the
+    # result file is written
+    os._exit(0)

@@ -1,0 +1,76 @@
+# -*- coding: utf-8 -*-
+"""Multi-process SPMD: a 2-process CPU cluster (4 virtual devices each,
+one (4, 2) global mesh) must reproduce the single-process 8-device run —
+same epoch losses, same test metrics, same trained params (new capability;
+the reference is single-process, SURVEY §2.11)."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+WORKER = str(REPO / "tests" / "dist_worker.py")
+
+
+def _clean_env():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")}
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_worker(pid, nproc, store, out, port, timeout=420):
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(nproc), store, out, str(port)],
+        env=_clean_env(), cwd=str(REPO),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def test_two_process_matches_single_process(tmp_path):
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+
+    store = str(tmp_path / "store")
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=store).replace(batch_size=8)
+    make_synthetic_store(cfg, n_mentions=19, seed=6)  # ragged tail included
+
+    single_out = str(tmp_path / "single.json")
+    p = _run_worker(0, 1, store, single_out, 0)
+    so, se = p.communicate(timeout=420)
+    assert p.returncode == 0, f"single-process worker failed:\n{so}\n{se}"
+
+    multi_out = str(tmp_path / "multi.json")
+    w0 = _run_worker(0, 2, store, multi_out, 19739)
+    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), 19739)
+    o0, e0 = w0.communicate(timeout=420)
+    o1, e1 = w1.communicate(timeout=420)
+    assert w0.returncode == 0, f"rank0 failed:\n{o0}\n{e0}"
+    assert w1.returncode == 0, f"rank1 failed:\n{o1}\n{e1}"
+
+    with open(single_out) as f:
+        single = json.load(f)
+    with open(multi_out) as f:
+        multi = json.load(f)
+    np.testing.assert_allclose(single["losses"], multi["losses"], rtol=1e-5)
+    np.testing.assert_allclose(single["test_loss"], multi["test_loss"], rtol=1e-5)
+    assert single["test_accs"] == pytest.approx(multi["test_accs"], rel=1e-6)
+    np.testing.assert_allclose(single["params_l1"], multi["params_l1"], rtol=1e-5)
+
+
+def test_process_row_range_contiguity():
+    """Row ownership on the virtual mesh: a single process owns the whole
+    batch; the helper computes exact contiguous spans."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from drin_tpu.parallel import distributed as dist
+    from drin_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    sh = NamedSharding(mesh, P("data"))
+    assert dist.process_row_range(sh, 16) == (0, 16)

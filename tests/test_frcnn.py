@@ -184,3 +184,182 @@ def test_torchvision_conversion_and_forward(new_style):
     assert ref_shapes == got_shapes
     boxes, scores, labels = model.apply({"params": params}, img)
     assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+# ---------------------------------------------------------------------------
+# Composed RPN -> RoI numpy oracle: everything downstream of the conv towers
+# (anchors, decode/clip, NMS, top-k, multiscale RoIAlign, box head, per-class
+# batched-NMS postprocess) replicated in numpy with TORCH semantics — the
+# box-head weights are consumed in torch's channel-major flatten order, so
+# this also proves the converter's fc6 CPP->PPC permutation.
+
+
+def _np_anchors(feature_size, stride, sizes, ratios):
+    H, W = feature_size
+    sizes = np.asarray(sizes, np.float32)
+    ratios = np.asarray(ratios, np.float32)
+    h_r = np.sqrt(ratios)
+    w_r = 1.0 / h_r
+    ws = (w_r[:, None] * sizes[None, :]).reshape(-1)
+    hs = (h_r[:, None] * sizes[None, :]).reshape(-1)
+    base = np.round(np.stack([-ws, -hs, ws, hs], 1) / 2.0)
+    sx, sy = np.meshgrid(np.arange(W) * stride, np.arange(H) * stride, indexing="xy")
+    shifts = np.stack([sx.ravel(), sy.ravel()] * 2, 1).astype(np.float32)
+    return (shifts[:, None, :] + base[None]).reshape(-1, 4)
+
+
+def _np_decode(deltas, anchors, weights=(1, 1, 1, 1), clip=4.135):
+    wx, wy, ww, wh = weights
+    w = anchors[:, 2] - anchors[:, 0]
+    h = anchors[:, 3] - anchors[:, 1]
+    cx = anchors[:, 0] + 0.5 * w
+    cy = anchors[:, 1] + 0.5 * h
+    dx, dy = deltas[:, 0] / wx, deltas[:, 1] / wy
+    dw = np.minimum(deltas[:, 2] / ww, clip)
+    dh = np.minimum(deltas[:, 3] / wh, clip)
+    pcx, pcy = dx * w + cx, dy * h + cy
+    pw, ph = np.exp(dw) * w, np.exp(dh) * h
+    return np.stack([pcx - pw / 2, pcy - ph / 2, pcx + pw / 2, pcy + ph / 2], 1)
+
+
+def _np_clip(b, H, W):
+    return np.stack([np.clip(b[:, 0], 0, W), np.clip(b[:, 1], 0, H),
+                     np.clip(b[:, 2], 0, W), np.clip(b[:, 3], 0, H)], 1)
+
+
+def _np_iou(a, b):
+    aa = np.maximum(a[:, 2] - a[:, 0], 0) * np.maximum(a[:, 3] - a[:, 1], 0)
+    ab = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-9)
+
+
+def _np_nms(boxes, scores, thr, top_k):
+    iou = _np_iou(boxes, boxes)
+    alive = np.ones(len(boxes), bool)
+    out = np.full(top_k, -1, np.int64)
+    for i in range(top_k):
+        masked = np.where(alive, scores, -np.inf)
+        best = int(np.argmax(masked))
+        if masked[best] == -np.inf:
+            break
+        out[i] = best
+        alive &= ~((iou[best] > thr) | (np.arange(len(boxes)) == best))
+    return out
+
+
+def _np_roi_align(feat, boxes, out_size, scale, s=2):
+    H, W, C = feat.shape
+    oh, ow = out_size
+    outs = []
+    for box in boxes:
+        x1, y1, x2, y2 = box * scale - 0.5
+        bw, bh = (x2 - x1) / ow, (y2 - y1) / oh
+        iy = (np.arange(oh)[:, None] * bh + (np.arange(s)[None] + 0.5) * bh / s + y1).ravel()
+        ix = (np.arange(ow)[:, None] * bw + (np.arange(s)[None] + 0.5) * bw / s + x1).ravel()
+        yy = np.clip(iy, 0, H - 1)
+        xx = np.clip(ix, 0, W - 1)
+        y0 = np.floor(yy).astype(int); x0 = np.floor(xx).astype(int)
+        y1i = np.minimum(y0 + 1, H - 1); x1i = np.minimum(x0 + 1, W - 1)
+        wy = (yy - y0)[:, None, None]; wx = (xx - x0)[None, :, None]
+        v = (feat[y0][:, x0] * (1 - wy) * (1 - wx) + feat[y0][:, x1i] * (1 - wy) * wx
+             + feat[y1i][:, x0] * wy * (1 - wx) + feat[y1i][:, x1i] * wy * wx)
+        v = v.reshape(oh, s, ow, s, C).mean((1, 3))
+        outs.append(v)
+    return np.stack(outs)
+
+
+def test_composed_rpn_roi_numpy_oracle():
+    """End-to-end detection logic vs a numpy replica running in torch's data
+    layout.  Conv towers (body/FPN/RPN head) run once in flax and their
+    outputs feed both paths; everything after is independent code."""
+    cfg = TINY
+    sd = _fabricate_torchvision_sd(cfg, new_style=True)
+    params = frcnn_params_from_torch(sd, cfg)
+    model = FasterRCNN(cfg)
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    got_boxes, got_scores, got_labels = (np.asarray(x) for x in
+                                         model.apply({"params": params}, img))
+
+    # shared conv-tower outputs
+    bound = model.bind({"params": params})
+    H = W = 64
+    x = (img - np.asarray(cfg.image_mean)) / np.asarray(cfg.image_std)
+    feats = [np.asarray(f) for f in bound.fpn(bound.body(jnp.asarray(x)[None]))]
+    logits, deltas = bound.rpn_head([jnp.asarray(f) for f in feats])
+    logits = [np.asarray(l) for l in logits]
+    deltas = [np.asarray(d) for d in deltas]
+
+    # ---- numpy RPN ----
+    all_b, all_s = [], []
+    for lvl in range(5):
+        stride = 2 ** (lvl + 2)
+        anchors = _np_anchors(feats[lvl].shape[1:3], stride,
+                              cfg.anchor_sizes[lvl], cfg.aspect_ratios)
+        score = logits[lvl][0].reshape(-1)
+        delta = deltas[lvl][0].reshape(-1, 4)
+        k = min(cfg.pre_nms_topk, len(score))
+        top = np.argsort(-score, kind="stable")[:k]
+        boxes = _np_clip(_np_decode(delta[top], anchors[top]), H, W)
+        s = score[top].copy()
+        bad = ((boxes[:, 2] - boxes[:, 0]) <= 1e-3) | ((boxes[:, 3] - boxes[:, 1]) <= 1e-3)
+        s[bad] = -np.inf
+        keep = _np_nms(boxes, s, cfg.rpn_nms_thresh, min(cfg.post_nms_topk, k))
+        kv = keep >= 0
+        all_b.append(np.where(kv[:, None], boxes[np.maximum(keep, 0)], 0.0))
+        all_s.append(np.where(kv, s[np.maximum(keep, 0)], -np.inf))
+    props = np.concatenate(all_b)
+    pscores = np.concatenate(all_s)
+    k = min(cfg.post_nms_topk, len(props))
+    props = props[np.argsort(-pscores, kind="stable")[:k]]
+
+    # ---- numpy RoI heads in TORCH layout ----
+    area = np.maximum(props[:, 2] - props[:, 0], 0) * np.maximum(props[:, 3] - props[:, 1], 0)
+    lvl = np.clip(np.floor(4 + np.log2(np.sqrt(area) / 224.0 + 1e-6)), 2, 5).astype(int) - 2
+    pooled = np.stack([
+        _np_roi_align(feats[l][0], props[i:i + 1], (7, 7), 1.0 / 2 ** (l + 2))[0]
+        for i, l in enumerate(lvl)
+    ])  # [K, 7, 7, C] NHWC
+    flat_t = pooled.transpose(0, 3, 1, 2).reshape(len(props), -1)  # torch CPP order
+    fc6 = np.maximum(flat_t @ sd["roi_heads.box_head.fc6.weight"].T
+                     + sd["roi_heads.box_head.fc6.bias"], 0)
+    fc7 = np.maximum(fc6 @ sd["roi_heads.box_head.fc7.weight"].T
+                     + sd["roi_heads.box_head.fc7.bias"], 0)
+    cls = fc7 @ sd["roi_heads.box_predictor.cls_score.weight"].T \
+        + sd["roi_heads.box_predictor.cls_score.bias"]
+    reg = fc7 @ sd["roi_heads.box_predictor.bbox_pred.weight"].T \
+        + sd["roi_heads.box_predictor.bbox_pred.bias"]
+    probs = np.exp(cls - cls.max(-1, keepdims=True))
+    probs = (probs / probs.sum(-1, keepdims=True))[:, 1:]
+    reg = reg.reshape(len(props), cfg.num_classes, 4)[:, 1:]
+
+    # ---- numpy torchvision postprocess (per-class batched NMS) ----
+    K_ = probs.shape[1]
+    flat_d = reg.reshape(-1, 4)
+    flat_p = np.repeat(props, K_, axis=0)
+    boxes = _np_clip(_np_decode(flat_d, flat_p, weights=(10, 10, 5, 5)), H, W)
+    scores = probs.reshape(-1)
+    labels = np.tile(np.arange(1, K_ + 1), len(props))
+    ok = (scores >= cfg.box_score_thresh)
+    ok &= (boxes[:, 2] - boxes[:, 0]) >= cfg.box_min_size
+    ok &= (boxes[:, 3] - boxes[:, 1]) >= cfg.box_min_size
+    scores = np.where(ok, scores, -np.inf)
+    m = min(cfg.pre_class_nms_topk, len(scores))
+    top = np.argsort(-scores, kind="stable")[:m]
+    boxes, labels, scores = boxes[top], labels[top], scores[top]
+    off = labels[:, None] * (max(H, W) + 2.0)
+    keep = _np_nms(boxes + off, scores, cfg.box_nms_thresh, cfg.detections_per_img)
+    kv = keep >= 0
+    safe = np.maximum(keep, 0)
+    want_boxes = np.where(kv[:, None], boxes[safe], 0.0)
+    want_scores = np.where(kv, scores[safe], 0.0)
+    want_labels = np.where(kv, labels[safe], 0)
+
+    assert (got_scores > 0).sum() == (want_scores > 0).sum()
+    np.testing.assert_array_equal(got_labels, want_labels)
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-3, atol=1e-3)

@@ -60,3 +60,96 @@ def test_drin_pallas_flag_end_to_end(wd_cfg):
     s1 = np.asarray(m1.apply({"params": params}, batch[:-1]))
     s2 = np.asarray(m2.apply({"params": params}, batch[:-1]))
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def _gcn_layer_setup(seed=0, B=4, C=11, D=32, **cfg_kw):
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.models.drin import GCNLayer
+
+    cfg = tiny_config("wikidiverse", "drin").replace(
+        num_candidates_data=C - 1, gcn_embed_dim=D, **cfg_kw)
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.5
+    vertexes = [mk(B, D), mk(B, D), mk(B, C, D), mk(B, C, D)]
+    edges = [mk(B, C) for _ in range(4)]
+    layer = GCNLayer(cfg)
+    params = layer.init(jax.random.key(1), vertexes, edges)["params"]
+    return cfg, layer, params, vertexes, edges
+
+
+def _fused_from_params(cfg, params, vertexes, edges, dynamic):
+    import functools
+    from drin_tpu.ops.pallas import gcn_layer as G
+
+    wh = params["w_h"]["Dense_0"]
+    ln = params["layer_norm"]
+    extra = ((params["w_u_kernel"], params["w_u_bias"],
+              params["w_v_kernel"], params["w_v_bias"]) if dynamic
+             else (None, None, None, None))
+    return functools.partial(
+        G.fused_gcn_layer, vertexes, edges, wh["kernel"], wh["bias"],
+        ln["scale"], ln["bias"], *extra,
+        vact=cfg.gcn_vertex_activation, eact=cfg.gcn_edge_activation,
+        dynamic=dynamic)
+
+
+@pytest.mark.parametrize("edge_type", ["dynamic", "static"])
+def test_fused_gcn_layer_matches_gcnlayer(edge_type):
+    """The full-layer Pallas kernel (interpret mode) must reproduce the real
+    GCNLayer module's vertex AND edge outputs with the same params."""
+    cfg, layer, params, vertexes, edges = _gcn_layer_setup(gcn_edge_type=edge_type)
+    nv_ref, ne_ref = layer.apply({"params": params}, vertexes, edges)
+    nv, ne = _fused_from_params(cfg, params, vertexes, edges,
+                                dynamic=(edge_type == "dynamic"))(interpret=True)
+    for a, b in zip(nv_ref, nv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    for a, b in zip(ne_ref, ne):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_gcn_layer_respects_ablation_mask():
+    """gcn_edge_enabled zeroes edges BEFORE the kernel (done by the caller);
+    a masked fused layer equals the masked XLA layer."""
+    cfg, layer, params, vertexes, edges = _gcn_layer_setup(
+        seed=2, gcn_edge_enabled=(1, 0, 1, 0))
+    nv_ref, ne_ref = layer.apply({"params": params}, vertexes, edges)
+    masked = [e * m for e, m in zip(edges, cfg.gcn_edge_enabled)]
+    nv, ne = _fused_from_params(cfg, params, vertexes, masked, dynamic=True)(interpret=True)
+    for a, b in zip(nv_ref, nv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    for a, b in zip(ne_ref, ne):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_gcn_layer_grads_match_reference():
+    """Grads flow through the custom VJP (XLA-derived backward) and match
+    differentiating the pure-XLA reference directly."""
+    import functools
+    from drin_tpu.ops.pallas import gcn_layer as G
+
+    cfg, layer, params, vertexes, edges = _gcn_layer_setup(seed=3)
+    wh = params["w_h"]["Dense_0"]
+    ln = params["layer_norm"]
+    extra = (params["w_u_kernel"], params["w_u_bias"],
+             params["w_v_kernel"], params["w_v_bias"])
+    orig = G.fused_gcn_layer
+    G.fused_gcn_layer = functools.partial(orig, interpret=True)
+    try:
+        def loss_fused(k, et):
+            nv, ne = G.fused_gcn_layer_ad(
+                [vertexes[0], vertexes[1], et, vertexes[3]], edges,
+                k, wh["bias"], ln["scale"], ln["bias"], *extra)
+            return sum(jnp.sum(x * x) for x in nv) + sum(jnp.sum(e) for e in ne)
+
+        def loss_ref(k, et):
+            nv, ne = G.gcn_layer_reference(
+                [vertexes[0], vertexes[1], et, vertexes[3]], edges,
+                k, wh["bias"], ln["scale"], ln["bias"], *extra)
+            return sum(jnp.sum(x * x) for x in nv) + sum(jnp.sum(e) for e in ne)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(wh["kernel"], vertexes[2])
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(wh["kernel"], vertexes[2])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    finally:
+        G.fused_gcn_layer = orig

@@ -181,12 +181,12 @@ def test_sigterm_checkpoints_and_stops(tmp_path, wd_cfg):
             self.ds = ds
             self.sent = False
 
-        def batches(self, *a, **kw):
-            for batch in self.ds.batches(*a, **kw):
-                yield batch
-                if not self.sent:
-                    self.sent = True
-                    os.kill(os.getpid(), signal.SIGTERM)
+        def make_batch(self, idx, kind):
+            batch = self.ds.make_batch(idx, kind)
+            if not self.sent:
+                self.sent = True
+                os.kill(os.getpid(), signal.SIGTERM)
+            return batch
 
         def __len__(self):
             return len(self.ds)

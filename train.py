@@ -33,7 +33,17 @@ def main(argv=None) -> None:
     model_type = overrides.pop("model_type", "drin")
     dataset_name = overrides.pop("dataset_name", "wikidiverse")
     cfg = make_config(model_type, dataset_name, **overrides)
-    print(config_summary(cfg))
+
+    # multi-host: join the cluster before any device query.  Launch one
+    # process per host with e.g.  ``python train.py mesh_data=8 mesh_model=2
+    # coordinator_address=host0:9876 num_processes=2 process_id=$RANK``
+    # (parallel/distributed.py; the reference is single-process, SURVEY §2.11)
+    if cfg.num_processes > 1:
+        from drin_tpu.parallel import distributed as dist
+
+        dist.initialize(cfg)
+    if jax.process_index() == 0:
+        print(config_summary(cfg))
 
     # seed discipline (reference pl.seed_everything, train.py:134)
     np.random.seed(cfg.seed)
@@ -85,13 +95,19 @@ def main(argv=None) -> None:
                       batch_fields=type(example)._fields, example_batch=example,
                       feats_fn=feats_fn)
 
-    if cfg.test_only:
-        trainer.test(test_ds, kind=kind)
-        return
-    rounds = max(cfg.num_epoch // cfg.test_epoch_interval, 1)
-    for _ in range(rounds):  # reference fit/test chunks (train.py:141-144)
-        trainer.fit(train_ds, valid_ds, cfg.test_epoch_interval, kind=kind)
-        trainer.test(test_ds, kind=kind)
+    try:
+        if cfg.test_only:
+            trainer.test(test_ds, kind=kind)
+            return
+        rounds = max(cfg.num_epoch // cfg.test_epoch_interval, 1)
+        for _ in range(rounds):  # reference fit/test chunks (train.py:141-144)
+            trainer.fit(train_ds, valid_ds, cfg.test_epoch_interval, kind=kind)
+            trainer.test(test_ds, kind=kind)
+    finally:
+        if cfg.num_processes > 1:
+            from drin_tpu.parallel import distributed as dist
+
+            dist.shutdown()
 
 
 if __name__ == "__main__":
