@@ -89,6 +89,56 @@ class Ranker:
         scores, idx = self._topk(self.params, tuple(feats), k)
         return np.asarray(scores), np.asarray(idx)
 
+    def precompute_entity_reprs(self, chunk: int = 8192) -> np.ndarray:
+        """GHMFC serving fast path: the entity tower is mention-independent
+        (EntityEncoder consumes only entity features, ghmfc.py:202-251), so
+        at serving time — weights frozen — the whole global table can be
+        encoded ONCE into [N, D] model-space representations.  Per-request
+        cost then drops to mention encoding + a gather + cosine
+        (``rank_rows``), and stage-1 ``retrieve`` runs in the trained model
+        space instead of raw pooled-feature space."""
+        from drin_tpu.models.ghmfc import EntityEncoder, MentionEncoder
+
+        assert self.store is not None, "needs device entity tables"
+        assert self.cfg.model_type == "ghmfc", "entity precompute is the GHMFC fast path"
+        enc = EntityEncoder(self.cfg)
+        ep = {"params": self.params["entity_encoder"]}
+        text, image = self.store.text, self.store.image
+        fn = jax.jit(lambda t, i: enc.apply(ep, t[None], None, i[None])[0])
+        out = []
+        for i in range(0, text.shape[0], chunk):
+            out.append(np.asarray(fn(text[i : i + chunk], image[i : i + chunk])))
+        self._entity_reprs = jax.device_put(jnp.concatenate([jnp.asarray(o) for o in out]))
+        self._retrieval_table = None  # rebuild retrieval cache in model space
+
+        menc = MentionEncoder(self.cfg)
+        mp = {"params": self.params["mention_encoder"]}
+        reprs = self._entity_reprs
+
+        def rank_rows(mention_feats, rows, k):
+            from drin_tpu.ops.core import cosine_similarity
+
+            m = menc.apply(mp, *mention_feats)  # [B, D]
+            e = reprs[rows]  # [B, C, D]
+            scores = cosine_similarity(jnp.broadcast_to(m[:, None, :], e.shape), e)
+            return jax.lax.top_k(scores, k)
+
+        self._rank_rows = jax.jit(rank_rows, static_argnums=2)
+        return np.asarray(self._entity_reprs)
+
+    def rank_rows(self, mention_feats, rows: np.ndarray, k: int = 5):
+        """(top-k scores, candidate indices) using the precomputed entity
+        representations — call :meth:`precompute_entity_reprs` first."""
+        assert getattr(self, "_rank_rows", None) is not None, \
+            "call precompute_entity_reprs() first"
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        cast = lambda x: (jnp.asarray(x, dt)
+                          if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                          else jnp.asarray(x))
+        scores, idx = self._rank_rows(tuple(cast(x) for x in mention_feats),
+                                      jnp.asarray(rows), k)
+        return np.asarray(scores), np.asarray(idx)
+
     def retrieve(self, mention_repr: np.ndarray, k: int = 100):
         """Stage-1 retrieval: cosine top-k of ``mention_repr`` [B, D]
         against the full pooled entity-text table.  The row-normalized table
@@ -96,7 +146,9 @@ class Ranker:
         one [B, D] x [D, N] matmul + top-k."""
         assert self.store is not None, "retrieve() needs device entity tables"
         if getattr(self, "_retrieval_table", None) is None:
-            table = self.store.text[:, 0]  # pooled slot [N, D]
+            # prefer trained model-space reprs when precomputed (GHMFC)
+            reprs = getattr(self, "_entity_reprs", None)
+            table = reprs if reprs is not None else self.store.text[:, 0]  # [N, D]
             self._retrieval_table = jax.jit(
                 lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(table)
             self._retrieve_jit = jax.jit(

@@ -113,3 +113,35 @@ def test_http_server_rank_and_health(served):
             assert resp.status == 200
     finally:
         server.shutdown()
+
+
+def test_ghmfc_entity_precompute_matches_model(tmp_path):
+    """Serving fast path: precomputed [N, D] entity reprs + rank_rows must
+    equal the full GHMFC forward, and retrieve() switches to model space."""
+    from drin_tpu.serve import Ranker
+
+    d = str(tmp_path / "store")
+    cfg = tiny_config("wikimel", "ghmfc", preprocess_dir=d).replace(
+        compute_dtype="float32")
+    make_synthetic_store(cfg, n_mentions=10, n_entities=25, seed=14)
+    tables = load_wikimel_entity_tables(cfg)
+    ds = MELFeatureDataset(cfg, "train", tables)
+    from drin_tpu.models import get_model
+
+    model, kind = get_model(cfg)
+    assert kind == "baseline"
+    dense = ds.baseline_batch(np.arange(4))[:-1]
+    params = model.init(jax.random.key(2), dense)["params"]
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    reprs = r.precompute_entity_reprs(chunk=7)  # uneven chunks
+    assert reprs.shape[0] == 25
+
+    rows_batch = ds.baseline_rows_batch(np.arange(4))
+    scores, idx = r.rank_rows(rows_batch[:5], rows_batch.entity_rows, k=3)
+    want = np.asarray(model.apply({"params": params}, dense))
+    np.testing.assert_allclose(scores[:, 0], want.max(-1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx[:, 0], want.argmax(-1))
+
+    # retrieval now runs in model space: an entity's own repr retrieves itself
+    s2, i2 = r.retrieve(reprs[[5, 11]], k=3)
+    assert i2[0, 0] == 5 and i2[1, 0] == 11
