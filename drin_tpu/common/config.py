@@ -167,6 +167,12 @@ class Config:
     # features (the pooled text+image+object tables are ~350MB in bf16 for
     # the full 109k-entity store).  Requires cache_entity_pooling.
     device_entity_tables: bool = True
+    # Eval/serving: the batch's entity text slot 0 and entity image features
+    # arrive ALREADY projected through the trained entity-side linears (the
+    # frozen global tables are projected once per eval epoch/deployment —
+    # data/device_store.project_drin_tables).  Exact math: linear(gather(T))
+    # == gather(linear(T)); drops ~28 GFLOP from every eval forward.
+    entity_projected: bool = False
     # Host-side input pipeline.
     prefetch_depth: int = 2
     # Steps between status-line refreshes.  Each refresh fetches the on-device

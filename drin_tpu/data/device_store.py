@@ -211,3 +211,48 @@ class DeviceEntityStore:
             return (mtf, mtm, sp, ep, mif, etf, etm, eif)
 
         return feats_fn
+
+
+def project_drin_tables(cfg: Config, tables: dict, params, chunk: int = 16384) -> dict:
+    """Eval/serving cache: push the trained DRIN entity-side linears into the
+    frozen global tables ONCE, so every eval forward skips its two heaviest
+    entity matmuls (``cfg.entity_projected`` consumes the result).
+
+    Exact math — ``linear(gather(T)) == gather(linear(T))`` for row gathers —
+    the same hoisting argument as the pooled entity cache (equivalence test:
+    tests/test_entity_cache.py).  Projects the text slot the configured
+    pooling would select and keeps the raw CLS in slot 1 (the mtet edge reads
+    it un-projected, models/drin.py EdgeEncoder).  Requires
+    ``entity_final_output_dim == bert_embed_dim`` so both slots share one
+    table (true for the reference config: both 768)."""
+    assert cfg.entity_pooling_cached, "projection builds on the pooled cache layout"
+    assert cfg.entity_final_output_dim == cfg.bert_embed_dim, (
+        "projected slot 0 and raw-CLS slot 1 must share a table dim")
+    ve = params["vertex_encoder"]
+    tk = ve["entity_text_encoder"]["final_layer"]["Dense_0"]
+    ik = ve["entity_image_linear"]["Dense_0"]
+    text = tables["entity_text_feature"]  # [N, 2, D] (pooled, CLS)
+    img = tables["entity_image_feature"]  # [N, 1, Dr] or [N, Dr]
+    slot = 1 if cfg.entity_final_pooling == "bert default" else 0
+    N = text.shape[0]
+    t_out = np.empty((N, 2, cfg.bert_embed_dim), np.float32)
+    i_out = np.empty((N, cfg.gcn_embed_dim), np.float32)
+
+    @jax.jit
+    def proj(t, i):
+        tp = t[:, slot] @ jnp.asarray(tk["kernel"]) + jnp.asarray(tk["bias"])
+        if i.ndim == 3:
+            i = jnp.mean(i, axis=-2)
+        ip = i @ jnp.asarray(ik["kernel"]) + jnp.asarray(ik["bias"])
+        return tp, ip
+
+    for i in range(0, N, chunk):
+        tp, ip = proj(jnp.asarray(np.asarray(text[i : i + chunk]), jnp.float32),
+                      jnp.asarray(np.asarray(img[i : i + chunk]), jnp.float32))
+        t_out[i : i + chunk, 0] = np.asarray(tp)
+        t_out[i : i + chunk, 1] = np.asarray(text[i : i + chunk, 1])
+        i_out[i : i + chunk] = np.asarray(ip)
+    new = dict(tables)
+    new["entity_text_feature"] = t_out
+    new["entity_image_feature"] = i_out
+    return new

@@ -70,9 +70,14 @@ class VertexEncoder(nn.Module):
         mi = Linear(cfg.gcn_embed_dim, name="mention_image_linear")(
             jnp.mean(mention_image_feature, axis=-2)
         )
-        if entity_image_feature.ndim == 4:
-            entity_image_feature = jnp.mean(entity_image_feature, axis=-2)
-        ei = Linear(cfg.gcn_embed_dim, name="entity_image_linear")(entity_image_feature)
+        if cfg.entity_projected:
+            # [B, C, Dg]: pooled+projected once at table build
+            # (data/device_store.project_drin_tables)
+            ei = entity_image_feature
+        else:
+            if entity_image_feature.ndim == 4:
+                entity_image_feature = jnp.mean(entity_image_feature, axis=-2)
+            ei = Linear(cfg.gcn_embed_dim, name="entity_image_linear")(entity_image_feature)
         return [mt, mi, et, ei]
 
 

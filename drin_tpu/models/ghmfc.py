@@ -92,6 +92,10 @@ class EntityEncoder(nn.Module):
     @nn.compact
     def __call__(self, entity_feature, entity_mask, entity_image):
         cfg = self.cfg
+        if cfg.entity_projected and entity_feature.ndim == 4:
+            # slot 0 already went through pooling AND the final linear
+            # (project_drin_tables); nothing left to do here
+            return entity_feature[:, :, 0]
         if cfg.entity_pooling_cached and entity_feature.ndim == 4:
             # precomputed (pooled, CLS) cache — [B, C, 2, D]
             encoded = entity_feature[:, :, 1 if cfg.entity_final_pooling == "bert default" else 0]

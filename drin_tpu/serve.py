@@ -47,10 +47,16 @@ class Ranker:
         self.params = jax.device_put(jax.tree.map(cast, params))
         self.store = None
         self._feats_fn = None
+        self._tables = entity_tables
+        self._cast = cast
         if entity_tables is not None and cfg.entity_pooling_cached:
             self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt)
             self._feats_fn = (self.store.drin_feats_fn() if self.kind == "drin"
                               else self.store.baseline_feats_fn())
+        self._build_score_fns()
+
+    def _build_score_fns(self):
+        cast = self._cast
 
         def score(params, feats):
             if self._feats_fn is not None:
@@ -66,6 +72,25 @@ class Ranker:
             lambda params, feats, k: jax.lax.top_k(score(params, feats), k),
             static_argnums=2,
         )
+
+    def precompute_entity_projection(self):
+        """DRIN serving fast path: project the frozen entity tables through
+        the trained entity-side linears ONCE (device_store.
+        project_drin_tables — exact math, equivalence-tested) and re-jit
+        scoring with ``entity_projected=True``, dropping the two heaviest
+        entity matmuls from every request."""
+        from drin_tpu.data.device_store import project_drin_tables
+
+        assert self.cfg.model_type == "drin" and self._tables is not None, (
+            "projection is the DRIN fast path and needs entity tables")
+        proj = project_drin_tables(self.cfg, self._tables, jax.device_get(self.params))
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        self.cfg = self.cfg.replace(entity_projected=True)
+        self.model, _ = get_model(self.cfg)
+        self.store = DeviceEntityStore(self.cfg, proj, dtype=dt)
+        self._feats_fn = self.store.drin_feats_fn()
+        self._retrieval_table = None  # rebuild retrieval cache in model space
+        self._build_score_fns()
 
     def _restore(self, checkpoint_dir: str, step: Optional[int]):
         import orbax.checkpoint as ocp

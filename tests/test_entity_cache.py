@@ -67,3 +67,33 @@ def test_max_pooling_disables_cache(wm_store):
     assert not cfg.entity_pooling_cached  # cache cannot represent max pooling
     tables = load_wikimel_entity_tables(cfg)
     assert tables["entity_text_feature"].ndim == 3  # raw token table kept
+
+
+def test_projected_tables_match_raw_forward(tmp_path):
+    """Eval projection cache: pushing the trained entity-side linears into
+    the frozen tables (project_drin_tables + entity_projected=True) must
+    reproduce the raw-path scores — linear(gather(T)) == gather(linear(T))."""
+    from drin_tpu.data.dataset import MELFeatureDataset, load_wikimel_entity_tables
+    from drin_tpu.data.device_store import project_drin_tables
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+    from drin_tpu.models.drin import DRIN
+
+    d = str(tmp_path / "store")
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=d)
+    make_synthetic_store(cfg, n_mentions=8, n_entities=30, seed=21)
+    tables = load_wikimel_entity_tables(cfg)
+    ds = MELFeatureDataset(cfg, "train", tables)
+    batch = ds.drin_batch(np.arange(6))
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(3), batch[:-1])["params"]
+    want = np.asarray(model.apply({"params": params}, batch[:-1]))
+
+    proj = project_drin_tables(cfg, tables, params)
+    assert proj["entity_image_feature"].shape == (30, cfg.gcn_embed_dim)
+    rows = ds.entity_row_idx[np.arange(6)]
+    feats = list(batch[:-1])
+    feats[7] = proj["entity_text_feature"][rows]   # [B, C, 2, D]
+    feats[9] = proj["entity_image_feature"][rows]  # [B, C, Dg]
+    cfg_p = cfg.replace(entity_projected=True)
+    got = np.asarray(DRIN(cfg_p).apply({"params": params}, tuple(feats)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)

@@ -145,3 +145,19 @@ def test_ghmfc_entity_precompute_matches_model(tmp_path):
     # retrieval now runs in model space: an entity's own repr retrieves itself
     s2, i2 = r.retrieve(reprs[[5, 11]], k=3)
     assert i2[0, 0] == 5 and i2[1, 0] == 11
+
+
+def test_drin_entity_projection_matches(served):
+    """DRIN serving projection: precomputing the entity-side linears into
+    the tables must leave rows-batch scores unchanged."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r0 = Ranker(cfg, params=params, entity_tables=tables)
+    want = r0.score(batch[:-1])
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    r.precompute_entity_projection()
+    got = r.score(batch[:-1])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+    s, i = r.rank(batch[:-1], k=3)
+    np.testing.assert_allclose(s[:, 0], want.max(-1), rtol=1e-5)
