@@ -153,8 +153,9 @@ class Config:
     # maintained + tested for larger-C workloads where per-sample blocking
     # wins.
     use_pallas: bool = False
-    # batch-tile rows per fused-GCN-layer kernel program (ops/pallas/gcn_layer)
-    pallas_block_b: int = 4
+    # batch-tile rows per fused-GCN-layer kernel program (ops/pallas/gcn_layer;
+    # 8 measured best — BASELINE.md; 16 exceeds the 16MB scoped-VMEM limit)
+    pallas_block_b: int = 8
     # WikiMEL: pool the frozen global entity-text table ONCE at load instead
     # of streaming [B, C, Le, D] token features through every batch (32x less
     # entity-side HBM traffic; numerically identical — the per-batch pooling

@@ -152,6 +152,16 @@ class GCNLayer(nn.Module):
         # per-edge ablation mask (model.py:122)
         edges = [e * m for e, m in zip(edges, cfg.gcn_edge_enabled)]
 
+        # candidate padding (parallel/mesh.pad_candidates_to shards a prime C
+        # over the model axis): fake candidates' edges are zeroed every layer
+        # so they contribute nothing to the cross-candidate means below, and
+        # the mean divides by the REAL count — exactly the unpadded math
+        Cp = vertexes[2].shape[1]
+        if Cp > C:
+            cmask = (jnp.arange(Cp) < C).astype(edges[0].dtype)
+            cm = cmask[None, :, None] if vector else cmask[None, :]
+            edges = [e * cm for e in edges]
+
         w_h = Linear(D, name="w_h")
         layer_norm = LayerNorm(name="layer_norm")  # shared by all 4 updates
 
@@ -159,7 +169,7 @@ class GCNLayer(nn.Module):
             # scalar edges broadcast to D (model.py:139-146)
             ef = e if vector else e[..., None]
             if v.ndim == 3:  # mention <- entity: average message over candidates
-                return jnp.mean(ef * v, axis=1)
+                return jnp.sum(ef * v, axis=1) / C
             return ef * v[:, None, :]  # entity <- mention: broadcast
 
         # Pallas full-layer fusion (scalar edges): ALL 4 vertex updates + the
@@ -175,6 +185,7 @@ class GCNLayer(nn.Module):
         use_layer_fused = (
             cfg.use_pallas
             and not vector
+            and Cp == C  # the kernel's candidate mean assumes no padding
             and jax.default_backend() == "tpu"
             and not self.is_initializing()
             and cfg.gcn_vertex_activation in ("gelu", "relu", "tanh", "sigmoid")
@@ -297,4 +308,6 @@ class DRIN(nn.Module):
             vertexes, edges = GCNLayer(cfg, name=f"gcn_{i}")(vertexes, edges)
         mention, entity = vertexes[0], vertexes[2]
         mention = jnp.broadcast_to(mention[:, None, :], entity.shape)
-        return cosine_similarity(mention, entity)
+        # slice away padded fake candidates (pad_candidates_to): downstream
+        # loss/metrics always see the reference's [B, C] score contract
+        return cosine_similarity(mention, entity)[:, : cfg.num_candidates_model]

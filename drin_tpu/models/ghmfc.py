@@ -140,7 +140,8 @@ class GHMFC(nn.Module):
             entity_feature, entity_mask, entity_image
         )
         mention = jnp.broadcast_to(mention[:, None, :], entity.shape)
-        return cosine_similarity(mention, entity)
+        # slice away padded fake candidates (parallel/mesh.pad_candidates_to)
+        return cosine_similarity(mention, entity)[:, : cfg.num_candidates_model]
 
 
 class GHMFCOnline(nn.Module):

@@ -59,41 +59,61 @@ def _layer_kernel(mt_ref, mi_ref, et_ref, ei_ref,
     et, ei = et_ref[:], ei_ref[:]  # [BB, C, D]
     tt, ti = tt_ref[:], ti_ref[:]  # [BB, C, 1]
     it, ii = it_ref[:], ii_ref[:]
-    D = mt.shape[-1]
-
-    # ---- mention-side messages (means over candidates) --------------------
-    mtm_o[:] = (jnp.mean(tt * et, axis=1, keepdims=True)
-                + jnp.mean(ti * ei, axis=1, keepdims=True)).astype(mtm_o.dtype)
-    mim_o[:] = (jnp.mean(it * et, axis=1, keepdims=True)
-                + jnp.mean(ii * ei, axis=1, keepdims=True)).astype(mim_o.dtype)
-
-    # ---- entity vertex updates --------------------------------------------
+    C, D = et.shape[1], mt.shape[-1]
     dt = et.dtype
-    x_et = (et + tt * mt + it * mi).astype(dt)
-    x_ei = (ei + ti * mt + ii * mi).astype(dt)
-    for j in range(bb):  # static unroll: 2D matmuls per batch row
-        for x, out in ((x_et, et_o), (x_ei, ei_o)):
-            h = jnp.dot(x[j], wh_ref[:], preferred_element_type=f32) + bh_ref[0][None, :]
+
+    # Every cross-candidate/cross-channel reduction below runs on the MXU as
+    # a dot_general — VPU reductions over [C, D] blocks were the kernel's
+    # bottleneck (BASELINE.md round-2 notes):
+    #   messages  sum_c e_c * V_c  ==  [2, C] @ [C, D]
+    #   edge conv sum_d p_d * V_cd ==  [C, D] @ [D, 2]
+    contract_c = (((0,), (0,)), ((), ()))  # [C, 2] x [C, D] -> [2, D]
+    contract_d = (((1,), (1,)), ((), ()))  # [C, D] x [2, D] -> [C, 2]
+
+    if dynamic:
+        a_mt = (jax.lax.dot_general(mt, ku_ref[:], (((2,), (0,)), ((), ())),
+                                    preferred_element_type=f32) + bu_ref[0])  # [BB,1,D]
+        a_mi = (jax.lax.dot_general(mi, ku_ref[:], (((2,), (0,)), ((), ())),
+                                    preferred_element_type=f32) + bu_ref[0])
+        p_mt = jax.lax.dot_general(a_mt, kvt_ref[:], (((2,), (0,)), ((), ())),
+                                   preferred_element_type=f32)  # [BB,1,D]
+        p_mi = jax.lax.dot_general(a_mi, kvt_ref[:], (((2,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        s_mt = jnp.sum(a_mt * bv_ref[0], axis=-1, keepdims=True)  # [BB,1,1]
+        s_mi = jnp.sum(a_mi * bv_ref[0], axis=-1, keepdims=True)
+
+    for j in range(bb):  # static unroll: 2D MXU ops per batch row
+        E, F = et[j], ei[j]  # [C, D]
+        eE = jnp.concatenate([tt[j], it[j]], axis=1).astype(dt)  # [C, 2]
+        eF = jnp.concatenate([ti[j], ii[j]], axis=1).astype(dt)
+        # mention messages: rows are sum_c (edge * vertex) for (mt, mi)
+        msg = (jax.lax.dot_general(eE, E, contract_c, preferred_element_type=f32)
+               + jax.lax.dot_general(eF, F, contract_c, preferred_element_type=f32)) / C
+        mtm_o[j] = msg[0:1]
+        mim_o[j] = msg[1:2]
+
+        # entity vertex updates (per-row 2D matmuls: Mosaic schedules these
+        # better than one rank-3 contraction — measured, BASELINE.md)
+        x_E = (E + tt[j] * mt[j] + it[j] * mi[j]).astype(dt)
+        x_F = (F + ti[j] * mt[j] + ii[j] * mi[j]).astype(dt)
+        for x, out in ((x_E, et_o), (x_F, ei_o)):
+            h = jnp.dot(x, wh_ref[:], preferred_element_type=f32) + bh_ref[0][None, :]
             mu = jnp.mean(h, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
             ln = (h - mu) * jax.lax.rsqrt(var + eps)
             ln = ln * s_ref[0][None, :] + lb_ref[0][None, :]
             out[j] = _act(vact, ln).astype(out.dtype)
 
-    # ---- dynamic edge updates (read the OLD vertices) ----------------------
-    if dynamic:
-        for u, e_et, e_ei, out_et, out_ei in ((mt, tt, ti, tt_o, ti_o),
-                                              (mi, it, ii, it_o, ii_o)):
-            a = (jax.lax.dot_general(u, ku_ref[:], (((2,), (0,)), ((), ())),
-                                     preferred_element_type=f32) + bu_ref[0])  # [BB,1,D]
-            p = jax.lax.dot_general(a, kvt_ref[:], (((2,), (0,)), ((), ())),
-                                    preferred_element_type=f32)  # [BB,1,D]
-            s = jnp.sum(a * bv_ref[0], axis=-1, keepdims=True)  # [BB,1,1]
-            conv_et = (jnp.sum(p * et, axis=-1, keepdims=True) + s) / D  # [BB,C,1]
-            conv_ei = (jnp.sum(p * ei, axis=-1, keepdims=True) + s) / D
-            out_et[:] = _act(eact, conv_et + e_et).astype(out_et.dtype)
-            out_ei[:] = _act(eact, conv_ei + e_ei).astype(out_ei.dtype)
-    else:
+        # dynamic edge updates (OLD vertices): conv columns are (p_mt, p_mi)
+        if dynamic:
+            P = jnp.concatenate([p_mt[j], p_mi[j]], axis=0).astype(dt)  # [2, D]
+            cE = jax.lax.dot_general(E, P, contract_d, preferred_element_type=f32)  # [C, 2]
+            cF = jax.lax.dot_general(F, P, contract_d, preferred_element_type=f32)
+            tt_o[j] = _act(eact, (cE[:, 0:1] + s_mt[j]) / D + tt[j]).astype(tt_o.dtype)
+            it_o[j] = _act(eact, (cE[:, 1:2] + s_mi[j]) / D + it[j]).astype(it_o.dtype)
+            ti_o[j] = _act(eact, (cF[:, 0:1] + s_mt[j]) / D + ti[j]).astype(ti_o.dtype)
+            ii_o[j] = _act(eact, (cF[:, 1:2] + s_mi[j]) / D + ii[j]).astype(ii_o.dtype)
+    if not dynamic:
         tt_o[:], ti_o[:], it_o[:], ii_o[:] = tt, ti, it, ii
 
 

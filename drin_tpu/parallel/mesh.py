@@ -87,6 +87,34 @@ def put_batch(batch, shardings) -> tuple:
     return tuple(jax.device_put(np.asarray(x), s) for x, s in zip(batch, shardings))
 
 
+def padded_candidate_count(C: int, nm: int) -> int:
+    """Smallest multiple of the model-axis size >= C (C itself when it
+    already divides)."""
+    return ((C + nm - 1) // nm) * nm
+
+
+def pad_candidates_to(batch, batch_fields: Sequence[str], c_from: int, c_to: int):
+    """Pad the candidate dim (axis 1) of every candidate-carrying field from
+    ``c_from`` to ``c_to`` with zeros (row indices pad with 0 — a valid row;
+    its contributions are masked inside the model).
+
+    This is what lets WikiMEL's prime C=101 shard over the ``model`` axis:
+    the models mask the fake candidates at every cross-candidate reduction
+    and slice scores back to C (models/drin.py GCNLayer + score slice), so
+    the padded run is exactly equal to the unpadded one."""
+    if c_to == c_from:
+        return batch
+    out = []
+    for name, x in zip(batch_fields, batch):
+        x = np.asarray(x)
+        if (name.startswith("entity_") or name.endswith("_similarity")) and x.ndim >= 2 \
+                and x.shape[1] == c_from and name != "answer":
+            pad = np.zeros((x.shape[0], c_to - c_from) + x.shape[2:], x.dtype)
+            x = np.concatenate([x, pad], axis=1)
+        out.append(x)
+    return tuple(out) if type(batch) is tuple else type(batch)(*out)
+
+
 def pad_batch_to(batch, n: int):
     """Pad every field's leading dim to ``n`` rows by repeating row 0 and
     return (padded_batch, valid_mask[n]).  Keeps shapes static for jit when

@@ -153,6 +153,20 @@ class Trainer:
         self.feats_fn = feats_fn
         self.mesh = mesh
         self.log = log
+        # candidate padding: when C doesn't divide the model axis (WikiMEL's
+        # C=101 is prime) pad the candidate dim so entity tensors CAN shard;
+        # the models mask the fakes and slice scores back (mesh.pad_candidates_to)
+        self._fields = batch_fields
+        self._cand_pad = None
+        if mesh is not None and batch_fields is not None:
+            nm = mesh.shape[pmesh.MODEL_AXIS]
+            C = cfg.num_candidates_model
+            cp = pmesh.padded_candidate_count(C, nm)
+            if nm > 1 and cp != C:
+                self._cand_pad = (C, cp)
+                example_batch = pmesh.pad_candidates_to(example_batch, batch_fields, C, cp)
+                self.log(f"candidate dim padded {C} -> {cp} to shard over the "
+                         f"{nm}-way model axis")
         state, tx = create_train_state(params, cfg)
         self.state = state
         self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch, feats_fn)
@@ -239,6 +253,8 @@ class Trainer:
     def _assemble(self, dataset, kind: str, idx: np.ndarray, valid: np.ndarray):
         rs, re = self._proc_rows or (0, self.cfg.batch_size)
         batch = dataset.make_batch(idx[rs:re], kind)
+        if self._cand_pad is not None:
+            batch = pmesh.pad_candidates_to(batch, self._fields, *self._cand_pad)
         return self._put(batch, valid[rs:re] if self._proc_rows is not None else valid)
 
     def _run_epoch(self, dataset, split: str, train: bool, kind: str):
