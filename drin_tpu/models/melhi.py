@@ -91,6 +91,14 @@ class MELHI(nn.Module):
         sim_imie = cosine_similarity(
             jnp.broadcast_to(mention_image[:, None, :], entity_image.shape), entity_image
         )  # [B, C]
+        # candidate padding (mesh.pad_candidates_to): fake candidates' zero
+        # image vectors give cosine 0, below any positive threshold, so the
+        # any-candidate gate reduction is unaffected; mask anyway so
+        # non-positive thresholds stay correct too
+        Cp = entity_feature.shape[1]
+        if Cp > cfg.num_candidates_model:
+            cmask = jnp.arange(Cp) < cfg.num_candidates_model
+            sim_imie = jnp.where(cmask[None, :], sim_imie, -jnp.inf)
         gate = (sim_tmim > cfg.thres_tmim) & (jnp.sum(sim_imie > cfg.thres_imie, axis=-1) > 0)
         gate = gate.astype(mention_feature.dtype)
         mention_image_mapped = mention_image_mapped * gate[:, None]
@@ -112,4 +120,5 @@ class MELHI(nn.Module):
         mention = MentionEncoder(cfg, name="mention_encoder")(mention_cat, mention_mask, start, end)
         entity = Linear(cfg.bert_embed_dim, name="entity_final_map")(entity_cat)
         mention = jnp.broadcast_to(mention[:, None, :], entity.shape)
-        return cosine_similarity(mention, entity)
+        # slice away padded fake candidates (parallel/mesh.pad_candidates_to)
+        return cosine_similarity(mention, entity)[:, : cfg.num_candidates_model]

@@ -330,3 +330,39 @@ def test_trainer_autopads_candidates(wm_cfg):
     out = tr.test(test_ds, kind=kind)
     assert np.isfinite(out["loss"])
     assert any("padded 9 -> 12" in str(l) for l in logs)
+
+
+@pytest.mark.parametrize("model_type", ["ghmfc", "melhi"])
+def test_baseline_padding_on_mesh_matches_single(tmp_path, model_type):
+    """GHMFC/MELHI with a non-dividing candidate count: the auto-padded mesh
+    trainer reproduces the single-device epoch exactly."""
+    import tempfile
+
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.data.synthetic import make_synthetic_store
+    from drin_tpu.models import get_model
+    from drin_tpu.train.trainer import Trainer
+
+    cfg = tiny_config("wikidiverse", model_type, preprocess_dir=str(tmp_path)).replace(
+        num_candidates_data=9, metrics_topk=(1, 5), batch_size=4)  # C=10, axis=4
+    make_synthetic_store(cfg, n_mentions=8, seed=23)
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    model, kind = get_model(cfg)
+    example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
+    params = model.init(jax.random.key(0), tuple(np.asarray(x) for x in example[:-1]))["params"]
+    host_params = jax.device_get(params)
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+
+    results = []
+    for mesh in (None, pmesh.make_mesh(devices=jax.devices()[:8], data=2, model=4)):
+        tr = Trainer(cfg, apply_fn, jax.tree.map(jnp.asarray, host_params), mesh,
+                     batch_fields=type(example)._fields, example_batch=example,
+                     log=lambda *a: None)
+        if mesh is not None:
+            assert tr._cand_pad == (10, 12)
+        results.append(tr._run_epoch(train_ds, "train", True, kind))
+    # full-epoch comparison: Adam amplifies cross-device reduction-order
+    # drift, so this is float-tolerance (single-STEP bit-equality is covered
+    # by test_candidate_padding_matches_unpadded)
+    np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=2e-4)
+    assert results[0]["accs"] == pytest.approx(results[1]["accs"], rel=1e-6)
