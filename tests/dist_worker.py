@@ -41,8 +41,10 @@ def main():
     from drin_tpu.parallel import mesh as pmesh
     from drin_tpu.train.trainer import Trainer
 
+    ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else ""
     cfg = tiny_config("wikidiverse", "drin", preprocess_dir=store).replace(
-        batch_size=8, learning_rate=3e-3)
+        batch_size=8, learning_rate=3e-3,
+        enable_checkpointing=bool(ckpt_dir), checkpoint_dir=ckpt_dir or "unused")
     train_ds, valid_ds, test_ds = create_datasets(cfg)
     model, kind = get_model(cfg)
     mesh = pmesh.make_mesh(devices=jax.devices(), data=4, model=2)
@@ -55,13 +57,28 @@ def main():
     for _ in range(2):
         losses.append(tr._run_epoch(train_ds, "train", True, kind)["loss"])
         tr.epoch += 1
+        tr.save()
     test_out = tr._run_epoch(test_ds, "test", False, kind)
     p = jax.device_get(tr.state.params)
     digest = float(sum(np.abs(x).sum() for x in jax.tree.leaves(p)))
+    resumed_epoch = None
+    if ckpt_dir:
+        # multi-host checkpoint roundtrip: a fresh trainer must restore the
+        # saved step on every process
+        tr2 = Trainer(cfg, tr.apply_fn,
+                      model.init(jax.random.key(1),
+                                 tuple(np.asarray(x) for x in example[:-1]))["params"],
+                      mesh, batch_fields=type(example)._fields, example_batch=example,
+                      log=lambda *a: None)
+        resumed_epoch = tr2.epoch
+        p2 = jax.device_get(tr2.state.params)
+        d2 = float(sum(np.abs(x).sum() for x in jax.tree.leaves(p2)))
+        assert abs(d2 - digest) < 1e-4 * max(abs(digest), 1.0), (digest, d2)
     if jax.process_index() == 0:
         with open(out, "w") as f:
             json.dump({"losses": losses, "test_loss": test_out["loss"],
-                       "test_accs": test_out["accs"], "params_l1": digest}, f)
+                       "test_accs": test_out["accs"], "params_l1": digest,
+                       "resumed_epoch": resumed_epoch}, f)
     if nproc > 1:
         from drin_tpu.parallel import distributed as dist
 

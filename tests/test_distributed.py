@@ -24,10 +24,12 @@ def _clean_env():
     return env
 
 
-def _run_worker(pid, nproc, store, out, port, timeout=420):
+def _run_worker(pid, nproc, store, out, port, ckpt=""):
+    cmd = [sys.executable, WORKER, str(pid), str(nproc), store, out, str(port)]
+    if ckpt:
+        cmd.append(ckpt)
     return subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), store, out, str(port)],
-        env=_clean_env(), cwd=str(REPO),
+        cmd, env=_clean_env(), cwd=str(REPO),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
 
@@ -74,3 +76,24 @@ def test_process_row_range_contiguity():
     mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
     sh = NamedSharding(mesh, P("data"))
     assert dist.process_row_range(sh, 16) == (0, 16)
+
+
+def test_two_process_checkpoint_roundtrip(tmp_path):
+    """Multi-host Orbax: both processes save each epoch; a fresh trainer
+    restores the step and epoch on every process (asserted in the worker)."""
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+
+    store = str(tmp_path / "store")
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=store).replace(batch_size=8)
+    make_synthetic_store(cfg, n_mentions=12, seed=24)
+    out = str(tmp_path / "ckpt-run.json")
+    ckpt = str(tmp_path / "ckpts")
+    w0 = _run_worker(0, 2, store, out, 19741, ckpt=ckpt)
+    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), 19741, ckpt=ckpt)
+    o0, e0 = w0.communicate(timeout=420)
+    o1, e1 = w1.communicate(timeout=420)
+    assert w0.returncode == 0, f"rank0 failed:\n{o0}\n{e0}"
+    assert w1.returncode == 0, f"rank1 failed:\n{o1}\n{e1}"
+    with open(out) as f:
+        res = json.load(f)
+    assert res["resumed_epoch"] == 2
