@@ -477,3 +477,60 @@ def test_full_pipeline_wikimel(tmp_path):
     params = model.init(jax.random.key(0), batch[:-1])["params"]
     scores = model.apply({"params": params}, batch[:-1])
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_prepare_parity_vs_reference(wd_raw, tmp_path, monkeypatch):
+    """Drive the reference's WDProcess IN PLACE on the same fabricated raw
+    data and require byte-identical intermediate arrays from our prepare
+    stage (token positions, answers, candidate padding/append, brief join,
+    md5 image resolution with fallbacks)."""
+    import importlib
+    import sys
+
+    import transformers
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference
+
+    root, sentences, names, n_cand = wd_raw
+    assets = _tiny_encoders(sentences + [f"{n}: a thing" for n in names])
+    cfg = _wd_cfg_for(root, n_cand, tmp_path / "ours", assets)
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+    from drin_tpu.common.npy_io import load_field
+    from drin_tpu.preprocess.prepare import run_prepare
+
+    run_prepare(cfg, splits=("train",))
+
+    # configure the reference's module-level args BEFORE importing its
+    # prepare module (it star-imports values at import time)
+    args = load_reference("wikidiverse", "drin")
+    ref_store = tmp_path / "ref"
+    ref_store.mkdir()
+    args.num_candidates_data = n_cand
+    args.num_candidates_model = n_cand + 1
+    args.max_entity_attr_char_len = cfg.max_entity_attr_char_len
+    args.mention_text_path = str(root / "%s_cands.json")
+    args.entity2brief_path = str(root / "brief_%s.json")
+    args.entity2image_path = str(root / "entity2imgs.tsv")
+    args.image_dir = str(root / "images")
+    args.default_image = str(root / "default.jpg")
+    args.preprocess_dir = str(ref_store)
+    # zero-egress: the reference's from_pretrained("bert-base-cased") becomes
+    # an HF tokenizer over the same local vocab our stage uses
+    monkeypatch.setattr(
+        transformers.BertTokenizer, "from_pretrained",
+        classmethod(lambda cls, name, **kw: transformers.BertTokenizer(
+            vocab_file=cfg.bert_vocab, do_lower_case=False)),
+    )
+    for m in ("preprocess", "preprocess.prepare"):
+        sys.modules.pop(m, None)
+    ref_prepare = importlib.import_module("preprocess.prepare")
+    ref_prepare.WDProcess(ref_prepare.MentionPositionProcessor())("train")
+
+    for field in ("mention_text_raw", "mention_image_path", "start_pos",
+                  "end_pos", "answer", "entity_image_path", "entity_attr_raw"):
+        ours = load_field(cfg.preprocess_dir, field, "train")
+        ref = np.load(os.path.join(ref_store, field.replace("_", "-") + "_train.npy"))
+        np.testing.assert_array_equal(np.asarray(ours).astype(str) if ours.dtype.kind == "U" else ours,
+                                      ref.astype(str) if ref.dtype.kind == "U" else ref,
+                                      err_msg=field)
