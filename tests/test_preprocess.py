@@ -534,3 +534,78 @@ def test_prepare_parity_vs_reference(wd_raw, tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(ours).astype(str) if ours.dtype.kind == "U" else ours,
                                       ref.astype(str) if ref.dtype.kind == "U" else ref,
                                       err_msg=field)
+
+
+def test_prepare_parity_vs_reference_wikimel(tmp_path, monkeypatch):
+    """Reference WMProcess in place vs our WikiMEL prepare: byte-identical
+    intermediates (substring span location + skip, candidate list + appended
+    answer qid, unmatched-answer sentinel)."""
+    import importlib
+    import sys
+
+    import transformers
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference
+
+    root = tmp_path
+    qids = [f"Q{i}" for i in range(6)]
+    qid2name = {q: f"name {q}" for q in qids}
+    qid2attr = {q: f"attribute text for {q}. more" for q in qids}
+    (root / "qid2ne.json").write_text(json.dumps(qid2name))
+    (root / "qid2abs.json").write_text(json.dumps(qid2attr))
+    n_cand = 2
+    mentions = {
+        "m1-x": {"sentence": "Alpha beta gamma delta", "mentions": "beta", "answer": "Q1"},
+        "m2-x": {"sentence": "Epsilon zeta eta theta", "mentions": "zeta", "answer": "Q9"},  # no match
+        "m3-x": {"sentence": "No mention here at all", "mentions": "zzz", "answer": "Q0"},  # skipped
+    }
+    for split in ("train",):
+        (root / f"WIKIMEL_{split}.json").write_text(json.dumps(mentions))
+    (root / "cands.tsv").write_text("\n".join(["m1-x\tQ0\tQ1", "m2-x\tQ2\tQ3", "m3-x\tQ4\tQ5"]))
+
+    texts = [m["sentence"] for m in mentions.values()] + list(qid2attr.values())
+    assets = _tiny_encoders(texts)
+    vocab_path = str(root / "vocab.txt")
+    inv = {v: k for k, v in assets["vocab"].items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=str(root / "ours")).replace(
+        num_candidates_data=n_cand, metrics_topk=(1,),
+        mention_text_path=str(root / "WIKIMEL_%s.json"),
+        candidate_path=str(root / "cands.tsv"),
+        qid2entity_path=str(root / "qid2ne.json"),
+        qid2attr_path=str(root / "qid2abs.json"),
+        bert_vocab=vocab_path, max_mention_sentence_len=12,
+    )
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+    from drin_tpu.common.npy_io import load_field
+    from drin_tpu.preprocess.prepare import run_prepare
+
+    run_prepare(cfg, splits=("train",))
+
+    args = load_reference("wikimel", "drin")
+    ref_store = root / "ref"
+    ref_store.mkdir()
+    args.num_candidates_data = n_cand
+    args.num_candidates_model = n_cand + 1
+    args.mention_text_path = str(root / "WIKIMEL_%s.json")
+    args.candidate_path = str(root / "cands.tsv")
+    args.preprocess_dir = str(ref_store)
+    monkeypatch.setattr(
+        transformers.BertTokenizer, "from_pretrained",
+        classmethod(lambda cls, name, **kw: transformers.BertTokenizer(
+            vocab_file=vocab_path, do_lower_case=False)),
+    )
+    for m in ("preprocess", "preprocess.prepare"):
+        sys.modules.pop(m, None)
+    ref_prepare = importlib.import_module("preprocess.prepare")
+    ref_prepare.WMProcess(ref_prepare.MentionPositionProcessor())("train")
+
+    for field in ("mention_text_raw", "entity_name_raw", "start_pos", "end_pos", "answer"):
+        ours = np.asarray(load_field(cfg.preprocess_dir, field, "train"))
+        ref = np.load(os.path.join(str(ref_store), field.replace("_", "-") + "_train.npy"))
+        np.testing.assert_array_equal(ours.astype(str) if ours.dtype.kind == "U" else ours,
+                                      ref.astype(str) if ref.dtype.kind == "U" else ref,
+                                      err_msg=field)
