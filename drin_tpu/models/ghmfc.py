@@ -204,14 +204,17 @@ class GHMFCOnline(nn.Module):
             zipped = eh.reshape(B, cfg.num_entity_sentence, *eh.shape[1:])
             pooling = "avg" if cfg.entity_final_pooling == "avg" else "max"
             encoded = unzip_entities(zipped, sep_idx, C, pooling)
-        else:  # per-candidate (ghmfc.py:227-236)
+        else:  # per-candidate (ghmfc.py:227-236); Ci may exceed C under
+            # candidate padding (mesh.pad_candidates_to) — per-candidate math,
+            # fake rows sliced away below
+            Ci = entity_ids.shape[1]
             if cfg.entity_final_pooling == "bert default":
-                encoded = epooled.reshape(B, C, -1)
+                encoded = epooled.reshape(B, Ci, -1)
             else:
                 num_tokens = jnp.sum(flat_mask, axis=-1)
                 pooled = token_span_mean(eh, num_tokens)
-                encoded = pooled.reshape(B, C, -1)
+                encoded = pooled.reshape(B, Ci, -1)
         if cfg.entity_final_layer_name == "linear":
             encoded = Linear(cfg.entity_final_output_dim, name="entity_final_layer")(encoded)
         mention = jnp.broadcast_to(mention[:, None, :], encoded.shape)
-        return cosine_similarity(mention, encoded)
+        return cosine_similarity(mention, encoded)[:, :C]

@@ -366,3 +366,76 @@ def test_baseline_padding_on_mesh_matches_single(tmp_path, model_type):
     # by test_candidate_padding_matches_unpadded)
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=2e-4)
     assert results[0]["accs"] == pytest.approx(results[1]["accs"], rel=1e-6)
+
+
+def test_online_ghmfc_on_mesh_matches_single_device():
+    """The online-BERT GHMFC (trains THROUGH the encoder) runs sharded on the
+    mesh and matches the single-device step — entity token tensors shard over
+    the model axis like the offline features do."""
+    from drin_tpu.encoders.bert import BertConfig
+    from drin_tpu.models.ghmfc import GHMFCOnline
+
+    B, C, Le = 8, 8, 12
+    cfg = tiny_config("wikimel", "ghmfc").replace(
+        num_candidates_data=C - 1, batch_size=B, metrics_topk=(1, 5),
+        online_bert=True, num_entity_sentence=0, finetune_bert=True,
+        mention_final_layer_name="linear", max_mention_sentence_len=16)
+    bert_cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=32,
+                          max_position_embeddings=64)
+    model = GHMFCOnline(cfg, bert_cfg)
+    rng = np.random.default_rng(31)
+    Lm = 24
+    mids = np.zeros((B, Lm), np.int64)
+    mmask = np.zeros((B, Lm), np.int64)
+    for b in range(B):
+        n = rng.integers(8, Lm)
+        mids[b, 0], mids[b, 1 : n - 1], mids[b, n - 1] = 1, rng.integers(5, 64, n - 2), 2
+        mmask[b, :n] = 1
+    eids = np.zeros((B, C, Le), np.int64)
+    emask = np.zeros((B, C, Le), np.int64)
+    for b in range(B):
+        for c in range(C):
+            n = rng.integers(4, Le)
+            eids[b, c, 0], eids[b, c, 1 : n - 1], eids[b, c, n - 1] = 1, rng.integers(5, 64, n - 2), 2
+            emask[b, c, :n] = 1
+    answer = np.eye(C, dtype=np.float32)[rng.integers(0, C - 1, B)][:, :-1]
+    batch = (
+        mids, mmask, np.full((B,), 2, np.int64), np.full((B,), 4, np.int64),
+        rng.standard_normal((B, 4, cfg.resnet_embed_dim)).astype(np.float32),
+        eids, emask, np.zeros((B,), np.int64),
+        np.zeros((B,), np.float32), answer,
+    )
+    fields = ("mention_ids", "mention_mask", "mention_start_pos", "mention_end_pos",
+              "mention_image_feature", "entity_ids", "entity_mask",
+              "entity_sep_idx", "entity_image_feature", "answer")
+    params = model.init(jax.random.key(0), batch[:-1])["params"]
+    host_params = jax.device_get(params)
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+    valid = np.ones((B,), np.float32)
+
+    st1, tx1 = create_train_state(jax.tree.map(jnp.asarray, host_params), cfg)
+    fns1 = build_step_fns(apply_fn, cfg, tx1)
+    m1 = M.init_state(cfg.metrics_topk)
+    st1, loss1, m1 = fns1.train_step(st1, tuple(jnp.asarray(x) for x in batch),
+                                     jnp.asarray(valid), m1)
+
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    st2, tx2 = create_train_state(jax.tree.map(jnp.asarray, host_params), cfg)
+    fns2 = build_step_fns(apply_fn, cfg, tx2, mesh, fields, batch)
+    put = pmesh.put_batch(batch, fns2.batch_shardings)
+    m2 = jax.device_put(M.init_state(cfg.metrics_topk), fns2.replicated)
+    st2 = jax.device_put(st2, fns2.replicated)
+    st2, loss2, m2 = fns2.train_step(st2, put, jax.device_put(valid, fns2.valid_sharding), m2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for k in cfg.metrics_topk:
+        assert float(m1[f"correct_{k}"]) == float(jax.device_get(m2[f"correct_{k}"]))
+    # score matrices equal (post-Adam params are sign-noise on the near-zero
+    # grads of unused BERT vocab rows, so forward scores are the stable check)
+    params_dev = jax.device_put(jax.tree.map(jnp.asarray, host_params))
+    s1 = np.asarray(apply_fn(params_dev, tuple(jnp.asarray(x) for x in batch[:-1])))
+    _, _, s2 = fns2.eval_step(jax.device_put(jax.tree.map(jnp.asarray, host_params),
+                                             fns2.replicated),
+                              put, jax.device_put(valid, fns2.valid_sharding),
+                              jax.device_put(M.init_state(cfg.metrics_topk), fns2.replicated))
+    np.testing.assert_allclose(s1, np.asarray(jax.device_get(s2)), rtol=1e-5, atol=1e-6)
