@@ -609,3 +609,106 @@ def test_prepare_parity_vs_reference_wikimel(tmp_path, monkeypatch):
         np.testing.assert_array_equal(ours.astype(str) if ours.dtype.kind == "U" else ours,
                                       ref.astype(str) if ref.dtype.kind == "U" else ref,
                                       err_msg=field)
+
+
+def test_bert_stage_parity_vs_reference(tmp_path, monkeypatch):
+    """BERT feature-extraction stage vs the reference's bert.py run in place
+    (its TextArrayData/QidJsonData tokenize-pad semantics + feature/mask
+    truncation), sharing one torch BERT: our bucketed batched stage must
+    reproduce the per-item-padded-to-512 reference features to float
+    tolerance, and the wikimel qid2idx mapping must be identical."""
+    import importlib
+    import sys
+
+    import torch
+    import transformers
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference
+    from test_ghmfc_online import _tiny_hf_bert
+
+    from drin_tpu.common.npy_io import load_field, save_field
+    from drin_tpu.encoders.bert import bert_params_from_torch, config_from_torch
+    from drin_tpu.preprocess.stages import BertStage
+    from drin_tpu.text.wordpiece import build_tiny_vocab
+
+    root = tmp_path
+    qids = [f"Q{i}" for i in range(5)]
+    qid2name = {q: f"name {q}" for q in qids}
+    qid2attr = {q: f"attribute text. for {q} entity" for q in qids}
+    sentences = ["Alpha beta gamma delta epsilon", "Zeta eta theta iota",
+                 "One two three four five six seven"]
+    (root / "qid2ne.json").write_text(json.dumps(qid2name))
+    (root / "qid2abs.json").write_text(json.dumps(qid2attr))
+    vocab = build_tiny_vocab(sentences + list(qid2attr.values()) + list(qid2name.values()))
+    vocab_path = str(root / "vocab.txt")
+    inv = {v: k for k, v in vocab.items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+
+    hf_bert, hf_cfg = _tiny_hf_bert(vocab_size=len(vocab), hidden=16, max_len=64)
+    sd = {k: v.numpy() for k, v in hf_bert.state_dict().items()}
+    flax_cfg = config_from_torch(hf_cfg)
+    params = bert_params_from_torch(sd, flax_cfg)
+
+    ours = root / "ours"
+    ours.mkdir()
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=str(ours)).replace(
+        bert_embed_dim=16, max_bert_len=64, max_mention_sentence_len=12,
+        max_entity_attr_token_len=8, bert_vocab=vocab_path,
+        qid2entity_path=str(root / "qid2ne.json"), qid2attr_path=str(root / "qid2abs.json"),
+        preprocess_batch_size=2)
+    save_field(str(ours), "mention_text_raw", np.asarray(sentences), "train")
+    BertStage(cfg, params, flax_cfg).run(splits=("train",))
+
+    # ---- reference in place (device plumbing replaced: CPU instead of the
+    # hard-coded cuda in BertInfer; the tokenize/pad/truncate semantics are
+    # the reference's TextArrayData/QidJsonData classes verbatim) ----
+    args = load_reference("wikimel", "drin")
+    ref_store = root / "ref"
+    ref_store.mkdir()
+    args.preprocess_dir = str(ref_store)
+    args.max_bert_len = 64
+    args.max_mention_sentence_len = 12
+    args.max_entity_attr_token_len = 8
+    args.batch_size = 2
+    args.dataloader_workers = 0
+    save_field(str(ref_store), "mention_text_raw", np.asarray(sentences), "train")
+    for m in ("preprocess", "preprocess.bert"):
+        sys.modules.pop(m, None)
+    ref_bert = importlib.import_module("preprocess.bert")
+    tok = transformers.BertTokenizer(vocab_file=vocab_path, do_lower_case=False)
+
+    def ref_infer(dataset, output_type, max_len):
+        loader = torch.utils.data.DataLoader(dataset, 2, shuffle=False, num_workers=0)
+        feats, masks = [], []
+        with torch.no_grad():
+            for batch in loader:
+                out = hf_bert(**batch)[0 if output_type == "last_hidden_state" else 1]
+                if output_type == "last_hidden_state":
+                    feats.append(out[:, :max_len])
+                    masks.append(batch["attention_mask"][:, :max_len])
+                else:
+                    feats.append(out)
+        if output_type == "last_hidden_state":
+            return torch.cat(feats).numpy(), torch.cat(masks).numpy()
+        return torch.cat(feats).numpy()
+
+    md = ref_bert.TextArrayData(tok, os.path.join(str(ref_store), "mention-text-raw_train.npy"))
+    ref_feats, ref_mask = ref_infer(md, "last_hidden_state", 12)
+    ed = ref_bert.QidJsonData(tok, str(root / "qid2abs.json"), qid2name)
+    ed.write_mapping(os.path.join(str(ref_store), "qid2idx.json"))
+    ref_ent, ref_emask = ref_infer(ed, "last_hidden_state", 8)
+
+    np.testing.assert_array_equal(load_field(str(ours), "mention_text_mask", "train"), ref_mask)
+    np.testing.assert_allclose(load_field(str(ours), "mention_text_feature", "train"),
+                               ref_feats, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(load_field(str(ours), "entity_attr_feature"),
+                               ref_ent, rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(load_field(str(ours), "entity_attr_mask"), ref_emask)
+    with open(os.path.join(str(ours), "qid2idx.json")) as f:
+        ours_map = json.load(f)
+    with open(os.path.join(str(ref_store), "qid2idx.json")) as f:
+        ref_map = json.load(f)
+    assert ours_map == ref_map
