@@ -439,3 +439,61 @@ def test_online_ghmfc_on_mesh_matches_single_device():
                               put, jax.device_put(valid, fns2.valid_sharding),
                               jax.device_put(M.init_state(cfg.metrics_topk), fns2.replicated))
     np.testing.assert_allclose(s1, np.asarray(jax.device_get(s2)), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("shard_rows", [False, True])
+def test_device_tables_with_candidate_padding(shard_rows):
+    """The production WikiMEL multi-chip configuration: device-resident
+    entity tables (replicated or row-sharded) + a prime candidate count
+    padded over the model axis, in one train step, equal to the unpadded
+    single-device dense step."""
+    from drin_tpu.data.device_store import DeviceEntityStore
+    import __graft_entry__ as g
+
+    cfg = tiny_config("wikimel", "drin").replace(
+        num_candidates_data=10, batch_size=8, metrics_topk=(1, 5),
+        cache_entity_pooling=not shard_rows or True)
+    C = cfg.num_candidates_model  # 11, prime
+    rng = np.random.default_rng(41)
+    N = 23
+    tables = _entity_tables(cfg, N, rng)
+    rows = rng.integers(0, N, (8, C)).astype(np.int32)
+    feats, answer = g._random_drin_batch(cfg, B=8, rng=rng)
+    model = DRIN(cfg)
+
+    # dense single-device oracle: host-gather the same rows
+    dense = list(feats)
+    dense[7] = tables["entity_text_feature"][rows]
+    dense[8] = np.zeros((8,), np.int64)
+    dense[9] = tables["entity_image_feature"][rows]
+    dense[10] = tables["entity_object_feature"][rows]
+    dense[11] = tables["entity_object_score"][rows]
+    dense = tuple(dense)
+    params = model.init(jax.random.key(0), dense)["params"]
+    host_params = jax.device_get(params)
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+    valid = np.ones((8,), np.float32)
+    st1, tx1 = create_train_state(jax.tree.map(jnp.asarray, host_params), cfg)
+    fns1 = build_step_fns(apply_fn, cfg, tx1)
+    _, loss1, _ = fns1.train_step(st1, tuple(jnp.asarray(x) for x in dense + (answer,)),
+                                  jnp.asarray(valid), M.init_state(cfg.metrics_topk))
+
+    # mesh: rows batch, candidate-padded, tables on device
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=2, model=4)
+    store = DeviceEntityStore(cfg, tables, dtype=np.float32, mesh=mesh,
+                              shard_rows=shard_rows,
+                              sharding=None if shard_rows else pmesh.replicated(mesh))
+    rows_fields = FIELDS[:7] + ("entity_rows", "miet_similarity", "mtei_similarity", "answer")
+    rows_batch = feats[:7] + (rows, feats[12], feats[13], answer)
+    cp = pmesh.padded_candidate_count(C, 4)
+    padded = pmesh.pad_candidates_to(rows_batch, rows_fields, C, cp)
+    assert padded[7].shape == (8, cp)
+    st2, tx2 = create_train_state(jax.tree.map(jnp.asarray, host_params), cfg)
+    fns2 = build_step_fns(apply_fn, cfg, tx2, mesh, rows_fields, padded,
+                          store.drin_feats_fn())
+    put = pmesh.put_batch(padded, fns2.batch_shardings)
+    m2 = jax.device_put(M.init_state(cfg.metrics_topk), fns2.replicated)
+    st2 = jax.device_put(st2, fns2.replicated)
+    _, loss2, m2 = fns2.train_step(st2, put,
+                                   jax.device_put(valid, fns2.valid_sharding), m2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
