@@ -34,6 +34,12 @@ from drin_tpu.nn.layers import (
 )
 from drin_tpu.ops.core import cosine_similarity, object_pair_similarity, span_mean
 
+# one stacked matmul+LN for the GCN's 4 vertex updates vs 4 separate calls —
+# numerically identical (row-wise ops) but measured 20% SLOWER on-chip (the
+# concat materializes a [B, 2C+2, D] copy that outweighs the matmul batching;
+# BASELINE.md), so it stays off; kept as documentation of the explored space
+_STACK_VERTEX_UPDATES = False
+
 
 class VertexEncoder(nn.Module):
     """Produce the four vertex sets (reference model.py:13-46):
@@ -207,12 +213,22 @@ class GCNLayer(nn.Module):
                 dynamic=dynamic_scalar, block_b=cfg.pallas_block_b,
             )
 
-        new_vertexes = []
+        aggs = []
         for u, neighbors in zip(vertexes, self.vertex_graph):
             agg = u
             for ei_, vi in neighbors:
                 agg = agg + conv_vertex(edges[ei_], vertexes[vi])
-            new_vertexes.append(vact(layer_norm(w_h(agg))))
+            aggs.append(agg)
+        if _STACK_VERTEX_UPDATES:
+            # one matmul+LN for all 4 vertex updates (W_h/LN are shared and
+            # row-wise, so stacking the aggregates along rows is exact)
+            Cp_ = aggs[2].shape[1]
+            big = jnp.concatenate(
+                [aggs[0][:, None], aggs[1][:, None], aggs[2], aggs[3]], axis=1)
+            h = vact(layer_norm(w_h(big)))
+            new_vertexes = [h[:, 0], h[:, 1], h[:, 2 : 2 + Cp_], h[:, 2 + Cp_ :]]
+        else:
+            new_vertexes = [vact(layer_norm(w_h(a))) for a in aggs]
 
         if cfg.gcn_edge_type == "dynamic":
             # edge updates read the OLD (masked-edge, pre-update) vertexes
