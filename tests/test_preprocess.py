@@ -712,3 +712,31 @@ def test_bert_stage_parity_vs_reference(tmp_path, monkeypatch):
     with open(os.path.join(str(ref_store), "qid2idx.json")) as f:
         ref_map = json.load(f)
     assert ours_map == ref_map
+
+
+def test_preprocess_cli_module(wd_raw, tmp_path):
+    """The ``python -m drin_tpu.preprocess`` CLI glue: the prepare stage runs
+    from key=value overrides and writes the store; unknown stages exit."""
+    from drin_tpu.common.npy_io import load_field
+    from drin_tpu.preprocess.__main__ import main
+
+    root, sentences, names, n_cand = wd_raw
+    assets = _tiny_encoders(sentences)
+    cfg = _wd_cfg_for(root, n_cand, tmp_path / "store", assets)
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+    main([
+        "prepare", "dataset_name=wikidiverse",
+        f"preprocess_dir={str(cfg.preprocess_dir)!r}",
+        f"mention_text_path={cfg.mention_text_path!r}",
+        f"entity2brief_path={cfg.entity2brief_path!r}",
+        f"entity2image_path={cfg.entity2image_path!r}",
+        f"image_dir={cfg.image_dir!r}",
+        f"default_image={cfg.default_image!r}",
+        f"bert_vocab={cfg.bert_vocab!r}",
+        f"num_candidates_data={n_cand}",
+    ])
+    assert load_field(cfg.preprocess_dir, "answer", "train").shape == (4,)
+    with pytest.raises(SystemExit, match="unknown stage"):
+        main(["frobnicate"])
+    with pytest.raises(SystemExit):
+        main([])
