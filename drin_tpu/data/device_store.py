@@ -25,7 +25,7 @@ Two mesh layouts:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -170,7 +170,7 @@ class DeviceEntityStore:
             return lambda *args: tuple(t[args[-1]] for t in args[:-1])
         return _make_sharded_gather(self.mesh, n_tables, C)
 
-    def drin_feats_fn(self, num_candidates: Optional[int] = None):
+    def drin_feats_fn(self):
         tables = self._tables()
         gather = None
 
