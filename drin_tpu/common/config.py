@@ -196,6 +196,11 @@ class Config:
     # encoders.frcnn — the pipeline consumes only boxes+scores, so the mask
     # branch of a mask_rcnn checkpoint is ignored, reference resnet.py:117-120)
     detector_checkpoint: str = ""
+    # The reference's ResNet stage runs images through HF's ConvNext
+    # processor, which upsizes the shortest edge to size/crop_pct and
+    # center-crops back (preprocess/images.resnet_preprocess); 0 disables.
+    resnet_crop_pct: float = 0.875
+    resnet_resample: str = "bilinear"
     # preprocessing batch size (the reference pins resnet/clip to 1,
     # resnet.py:19, clip.py:18; TPU stages use real batches)
     preprocess_batch_size: int = 64

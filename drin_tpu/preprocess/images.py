@@ -47,10 +47,25 @@ def load_image(path: str, default_image: str, min_size: Tuple[int, int] = (50, 5
     return Image.open(default_image).convert("RGB")
 
 
-def resnet_preprocess(image, size: Tuple[int, int] = (224, 224)) -> np.ndarray:
-    """Reference FeatureProcessor (resnet.py:68-76): resize to the input
-    size, scale to [0,1], ImageNet-normalize.  Returns [H, W, 3] f32 NHWC."""
-    image = image.resize(size)
+def resnet_preprocess(image, size: Tuple[int, int] = (224, 224),
+                      crop_pct: float = 0.875, resample: str = "bilinear") -> np.ndarray:
+    """Reference ResNet-stage pipeline (resnet.py:68-76): FeatureProcessor
+    first resizes to ``image_input_size``, then hands the image to the HF
+    ConvNext processor, which — for sizes under 384 — resizes the shortest
+    edge UP to ``size/crop_pct`` and center-crops back to ``size`` before
+    rescale + ImageNet normalization (verified against
+    transformers.ConvNextImageProcessor).  ``crop_pct=0`` disables the
+    ConvNext step (plain resize+normalize).  Returns [H, W, 3] f32 NHWC."""
+    image = image.resize(size)  # the reference's own resize (resnet.py:73-75)
+    s = min(size)
+    if crop_pct and 0.0 < crop_pct < 1.0 and s < 384:
+        rs = int(s / crop_pct)
+        w, h = image.size
+        nw, nh = (rs, int(h * rs / w)) if w < h else (int(w * rs / h), rs)
+        rmode = Image.BICUBIC if resample == "bicubic" else Image.BILINEAR
+        image = image.resize((nw, nh), rmode)
+        left, top = (nw - size[0]) // 2, (nh - size[1]) // 2
+        image = image.crop((left, top, left + size[0], top + size[1]))
     x = np.asarray(image, dtype=np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 

@@ -168,7 +168,11 @@ class ResnetStage:
         for i in range(0, len(paths), B_):
             chunk = paths[i : i + B_]
             c = crops[i : i + B_] if crops is not None else None
-            x = self.batcher.load_batch(chunk, lambda im: resnet_preprocess(im, cfg.image_input_size), c)
+            x = self.batcher.load_batch(
+                chunk,
+                lambda im: resnet_preprocess(im, cfg.image_input_size,
+                                             cfg.resnet_crop_pct, cfg.resnet_resample),
+                c)
             h, pooled = self._jit(self.params, x)
             if output == "pooler_output":
                 writer.extend(np.asarray(pooled)[:, None, :])  # [B, 1, C]

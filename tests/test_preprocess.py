@@ -740,3 +740,222 @@ def test_preprocess_cli_module(wd_raw, tmp_path):
         main(["frobnicate"])
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_clip_stage_parity_vs_reference(tmp_path, monkeypatch):
+    """CLIP similarity stage vs the reference's clip.py run in place: its
+    MIETData/EIMTData datasets (CLIPProcessor batch-1 per mention, image
+    fallbacks, candidate squeeze/unsqueeze) against our batched unique-embed
+    stage with converted weights — the [N, C] miet/eimt matrices must match."""
+    import importlib
+    import sys
+
+    import torch
+    import transformers
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference
+
+    from drin_tpu.common.npy_io import load_field, save_field
+    from drin_tpu.encoders.clip import clip_params_from_torch, config_from_torch
+    from drin_tpu.preprocess.stages import ClipStage
+    from drin_tpu.text.clip_bpe import bytes_to_unicode
+
+    rng = np.random.default_rng(33)
+    root = tmp_path
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    # square images: identical PIL bicubic resize in both pipelines
+    for i in range(6):
+        _write_image(img_dir / f"img{i}.jpg", rng, size=(64, 64))
+    _write_image(root / "default.jpg", rng, size=(64, 64))
+
+    N, C = 3, 3
+    mention_imgs = [str(img_dir / f"img{i}.jpg") for i in range(N)]
+    entity_imgs = []
+    for i in range(N):
+        row = [str(img_dir / f"img{(i + k) % 6}.jpg") for k in range(C)]
+        row[-1] = str(img_dir / "missing.jpg")  # exercises the default fallback
+        entity_imgs.extend(row)
+    texts = ["the quick thing", "an entity and another", "running in there"]
+    entity_texts = [f"{t} variant {k}" for t in texts for k in range(C)]
+
+    # shared tiny vocab/merges files (pattern from test_clip_bpe_matches_hf)
+    b2u = bytes_to_unicode()
+    alphabet = sorted(set(b2u.values()))
+    vocab = {}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    for ch in alphabet:
+        vocab[ch + "</w>"] = len(vocab)
+    merges = [("t", "h"), ("th", "e</w>"), ("a", "n"), ("i", "n"), ("in", "g</w>")]
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    vf, mf = str(root / "cvocab.json"), str(root / "cmerges.txt")
+    with open(vf, "w") as f:
+        json.dump(vocab, f)
+    with open(mf, "w") as f:
+        f.write("#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+
+    from transformers import (CLIPConfig as HFCLIPConfig, CLIPImageProcessor,
+                              CLIPModel as HFCLIPModel, CLIPProcessor,
+                              CLIPTextConfig as HFTextCfg, CLIPTokenizer as HFTok,
+                              CLIPVisionConfig as HFVisionCfg)
+
+    S = 32
+    hf_cfg = HFCLIPConfig.from_text_vision_configs(
+        HFTextCfg(vocab_size=len(vocab), hidden_size=16, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=32,
+                  max_position_embeddings=77, attention_dropout=0.0,
+                  eos_token_id=vocab["<|endoftext|>"],
+                  bos_token_id=vocab["<|startoftext|>"]),
+        HFVisionCfg(hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                    intermediate_size=32, image_size=S, patch_size=8,
+                    attention_dropout=0.0),
+        projection_dim=12,
+    )
+    torch.manual_seed(9)
+    hf_model = HFCLIPModel(hf_cfg).eval()
+    processor = CLIPProcessor(
+        image_processor=CLIPImageProcessor(size={"shortest_edge": S},
+                                           crop_size={"height": S, "width": S}),
+        tokenizer=HFTok(vocab_file=vf, merges_file=mf, model_max_length=77),
+    )
+
+    def write_store(d):
+        os.makedirs(d, exist_ok=True)
+        save_field(str(d), "mention_image_path", np.asarray(mention_imgs), "train")
+        save_field(str(d), "entity_image_path", np.asarray(entity_imgs), "train")
+        save_field(str(d), "entity_attr_raw", np.asarray(entity_texts), "train")
+        save_field(str(d), "mention_text_raw", np.asarray(texts), "train")
+
+    # ---- ours: converted weights, batched unique-embed stage --------------
+    ours = root / "ours"
+    write_store(ours)
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=str(ours)).replace(
+        num_candidates_data=C - 1, metrics_topk=(1,), clip_vocab=vf, clip_merges=mf,
+        default_image=str(root / "default.jpg"), preprocess_batch_size=4)
+    flax_cfg = config_from_torch(hf_cfg)
+    params = clip_params_from_torch(hf_model.state_dict(), flax_cfg)
+    ClipStage(cfg, params, flax_cfg).run(splits=("train",))
+
+    # ---- reference in place (CPU in place of the hard-coded cuda) ---------
+    args = load_reference("wikidiverse", "drin")
+    ref_store = root / "ref"
+    write_store(ref_store)
+    args.preprocess_dir = str(ref_store)
+    args.num_candidates_data = C - 1
+    args.num_candidates_model = C
+    args.default_image = str(root / "default.jpg")
+    for m in ("preprocess", "preprocess.clip"):
+        sys.modules.pop(m, None)
+    ref_clip = importlib.import_module("preprocess.clip")
+
+    def ref_infer(dataset, output_type):
+        loader = torch.utils.data.DataLoader(dataset, 1, shuffle=False, num_workers=0)
+        feats = []
+        with torch.no_grad():
+            for batch in loader:
+                if output_type == "logits_per_image":
+                    batch["input_ids"] = ref_clip.ClipInfer.squeeze_candidates(batch["input_ids"])
+                    batch["attention_mask"] = ref_clip.ClipInfer.squeeze_candidates(batch["attention_mask"])
+                else:
+                    batch["pixel_values"] = ref_clip.ClipInfer.squeeze_candidates(batch["pixel_values"])
+                out = hf_model(**batch)
+                feats.append(ref_clip.ClipInfer.unsqueeze_candidates(
+                    out.logits_per_image if output_type == "logits_per_image"
+                    else out.logits_per_text))
+        return torch.cat(feats).numpy()
+
+    ref_miet = ref_infer(ref_clip.MIETData(processor, "train"), "logits_per_image")
+    ref_eimt = ref_infer(ref_clip.EIMTData(processor, "train"), "logits_per_text")
+
+    np.testing.assert_allclose(load_field(str(ours), "similarity_miet", "train"),
+                               ref_miet, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(load_field(str(ours), "similarity_eimt", "train"),
+                               ref_eimt, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet_stage_parity_vs_reference(tmp_path, monkeypatch):
+    """ResNet feature stage vs the reference's resnet.py run in place: its
+    ImageData + FeatureProcessor (resize -> HF ConvNext processor's
+    upsize+center-crop) + FeatureExtractor reshape, sharing one torch ResNet;
+    our threaded batched stage with converted weights must match the
+    [N, regions, C] features."""
+    import importlib
+    import sys
+
+    import torch
+    from transformers import ConvNextImageProcessor, ResNetConfig as HFResNetConfig, \
+        ResNetModel as HFResNetModel
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference
+
+    from drin_tpu.common.npy_io import load_field, save_field
+    from drin_tpu.encoders.resnet import resnet_params_from_torch, config_from_torch
+    from drin_tpu.preprocess.stages import ResnetStage
+
+    rng = np.random.default_rng(44)
+    root = tmp_path
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        _write_image(img_dir / f"m{i}.jpg", rng, size=(96, 80))
+    _write_image(root / "default.jpg", rng, size=(64, 64))
+    paths = [str(img_dir / "m0.jpg"), str(img_dir / "m1.jpg"),
+             str(img_dir / "missing.jpg"), str(img_dir / "m2.jpg")]
+
+    hf_cfg = HFResNetConfig(embedding_size=8, hidden_sizes=[8, 12, 16, 24],
+                            depths=[1, 1, 1, 1])
+    torch.manual_seed(11)
+    hf = HFResNetModel(hf_cfg).eval()
+    S = 64
+    processor = ConvNextImageProcessor(
+        size={"shortest_edge": S}, crop_pct=0.875,
+        image_mean=[0.485, 0.456, 0.406], image_std=[0.229, 0.224, 0.225])
+
+    # ---- ours --------------------------------------------------------------
+    ours = root / "ours"
+    os.makedirs(ours)
+    save_field(str(ours), "mention_image_path", np.asarray(paths), "train")
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=str(ours)).replace(
+        image_input_size=(S, S), default_image=str(root / "default.jpg"),
+        resnet_embed_dim=24, resnet_num_region=4, preprocess_batch_size=2,
+        mention_object_topk=1, entity_object_topk=1)
+    flax_cfg = config_from_torch(hf_cfg)
+    params = resnet_params_from_torch(hf.state_dict(), flax_cfg)
+    stage = ResnetStage(cfg, params, flax_cfg)
+    stage.infer("train", "mention", "mention_image_feature", "", paths)
+    got = load_field(str(ours), "mention_image_feature", "train")
+
+    # ---- reference in place (CPU; its cuda plumbing replicated) ------------
+    args = load_reference("wikidiverse", "drin")
+    args.default_image = str(root / "default.jpg")
+    args.image_input_size = (S, S)
+    args.batch_size = 2
+    args.num_workers = 0
+    if "torchvision" not in sys.modules:  # stub the unused detector import
+        import types
+
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace(detection=types.SimpleNamespace())
+        monkeypatch.setitem(sys.modules, "torchvision", tv)
+    for m in ("preprocess", "preprocess.resnet"):
+        sys.modules.pop(m, None)
+    ref_resnet = importlib.import_module("preprocess.resnet")
+    fp = ref_resnet.FeatureProcessor(processor)
+    data = torch.utils.data.DataLoader(
+        ref_resnet.ImageData(fp, paths), 2, shuffle=False, num_workers=0)
+    feats = []
+    with torch.no_grad():
+        for batch in data:
+            out = hf(batch)["last_hidden_state"].numpy()
+            s = out.shape
+            feats.append(out.reshape(s[0], s[1], s[3] * s[2]).transpose(0, 2, 1))
+    want = np.concatenate(feats, 0)
+
+    assert got.shape == want.shape == (4, 4, 24)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
