@@ -959,3 +959,82 @@ def test_resnet_stage_parity_vs_reference(tmp_path, monkeypatch):
 
     assert got.shape == want.shape == (4, 4, 24)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_wikimel_clip_sources_parity_vs_legacy_reference(tmp_path, monkeypatch):
+    """WikiMEL CLIP inputs vs the reference's legacy MIETDataWM (clip.py:30-56,
+    which its main() never runs even though wikimel needs the files): the
+    candidate text construction and mention-id filtering must match our
+    _wikimel_sources."""
+    import importlib
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference
+
+    from drin_tpu.common.npy_io import save_field
+    from drin_tpu.preprocess.stages import ClipStage
+
+    root = tmp_path
+    qids = [f"Q{i}" for i in range(6)]
+    qid2name = {q: f"name {q}" for q in qids}
+    qid2attr = {q: f"attr. of {q}" for q in qids}
+    (root / "qid2ne.json").write_text(json.dumps(qid2name))
+    (root / "qid2abs.json").write_text(json.dumps(qid2attr))
+    mentions = {
+        "m1-x": {"sentence": "Alpha beta gamma", "mentions": "beta", "answer": "Q1"},
+        "m2-x": {"sentence": "Epsilon zeta eta", "mentions": "zeta", "answer": "Q3"},
+        "m3-x": {"sentence": "No mention here", "mentions": "zzz", "answer": "Q0"},
+    }
+    (root / "WIKIMEL_train.json").write_text(json.dumps(mentions))
+    store = root / "store"
+    store.mkdir()
+    C = 3
+    rng = np.random.default_rng(3)
+    qid_rows = np.array([[f"Q{rng.integers(0, 6)}" for _ in range(C)] for _ in range(2)])
+    save_field(str(store), "entity_name_raw", qid_rows.reshape(-1), "train")
+    save_field(str(store), "mention_text_raw",
+               np.asarray([mentions["m1-x"]["sentence"], mentions["m2-x"]["sentence"]]), "train")
+
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=str(store)).replace(
+        num_candidates_data=C - 1, metrics_topk=(1,),
+        mention_text_path=str(root / "WIKIMEL_%s.json"),
+        qid2entity_path=str(root / "qid2ne.json"),
+        qid2attr_path=str(root / "qid2abs.json"),
+        mention_image_dir=str(root / "mimgs"), entity_image_dir=str(root / "eimgs"))
+    mention_images, entity_texts, entity_images = ClipStage._wikimel_sources(
+        type("S", (), {"cfg": cfg})(), "train")
+
+    args = load_reference("wikimel", "drin")
+    args.num_candidates_data = C - 1
+    args.num_candidates_model = C
+    args.preprocess_dir = str(store)
+    args.mention_text_path = str(root / "WIKIMEL_%s.json")
+    args.qid2entity_path = str(root / "qid2ne.json")
+    args.qid2attr_path = str(root / "qid2abs.json")
+    args.mention_image_dir = str(root / "mimgs")
+    args.entity_image_dir = str(root / "eimgs")
+    for m in ("preprocess", "preprocess.clip"):
+        sys.modules.pop(m, None)
+    ref_clip = importlib.import_module("preprocess.clip")
+
+    captured = []
+
+    class Cap:
+        def __call__(self, text=None, images=None, return_tensors=None, padding=None):
+            captured.append(text)
+            z = torch.zeros(len(text) if isinstance(text, list) else 1, 2, dtype=torch.long)
+            return {"input_ids": z, "attention_mask": z.clone()}
+
+    # the legacy loader opens mention images; route to a stand-in default
+    _write_image(root / "default.jpg", np.random.default_rng(0), size=(64, 64))
+    args.default_image = str(root / "default.jpg")
+    monkeypatch.setattr(ref_clip, "default_image", str(root / "default.jpg"))
+    md = ref_clip.MIETDataWM(Cap(), "train")
+    assert len(md) == 2 == len(mention_images)  # m3 filtered identically
+    for i in range(len(md)):
+        md[i]
+    np.testing.assert_array_equal(np.asarray(captured, dtype=object),
+                                  np.asarray(entity_texts, dtype=object))
