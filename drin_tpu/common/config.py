@@ -328,6 +328,18 @@ def make_config(
     defaults > dataclass field defaults.  Debug mode applies the reference's
     debug overrides (args.py:133-137) last unless explicitly overridden.
     """
+    # catch typo'd knobs with a suggestion instead of a bare TypeError (the
+    # config surface is ~80 fields; CLI overrides make typos easy)
+    valid = {f.name for f in dataclasses.fields(Config)}
+    unknown = [k for k in overrides if k not in valid]
+    if unknown:
+        import difflib
+
+        hints = []
+        for k in unknown:
+            close = difflib.get_close_matches(k, valid, n=1)
+            hints.append(f"{k!r}" + (f" (did you mean {close[0]!r}?)" if close else ""))
+        raise ValueError("unknown config field(s): " + ", ".join(hints))
     if dataset_root is None:
         dataset_root = os.environ.get(
             "DRIN_DATA_ROOT", os.path.expanduser(f"~/mel-dataset/{dataset_name}")

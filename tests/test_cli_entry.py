@@ -71,3 +71,10 @@ def test_train_py_test_only(tmp_path, capsys):
     train_entry.main(["model_type=drin", "dataset_name=wikidiverse",
                       "test_only=true"] + _overrides(cfg))
     assert "model_type" in capsys.readouterr().out
+
+
+def test_unknown_config_key_suggests_fix():
+    from drin_tpu.common.config import make_config
+
+    with pytest.raises(ValueError, match="did you mean 'batch_size'"):
+        make_config("drin", "wikidiverse", dataset_root="/tmp/x", batch_siz=32)
