@@ -42,17 +42,31 @@ def main():
     from drin_tpu.train.trainer import Trainer
 
     ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else ""
-    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=store).replace(
+    mode = sys.argv[7] if len(sys.argv) > 7 else "wd"
+    dataset_name = "wikimel" if mode == "wm_rows" else "wikidiverse"
+    cfg = tiny_config(dataset_name, "drin", preprocess_dir=store).replace(
         batch_size=8, learning_rate=3e-3,
         enable_checkpointing=bool(ckpt_dir), checkpoint_dir=ckpt_dir or "unused")
     train_ds, valid_ds, test_ds = create_datasets(cfg)
     model, kind = get_model(cfg)
     mesh = pmesh.make_mesh(devices=jax.devices(), data=4, model=2)
+    feats_fn = None
+    if mode == "wm_rows":
+        # pod-production wikimel path: device-resident entity tables
+        # ROW-SHARDED over the model axis, spanning both processes
+        from drin_tpu.data.device_store import DeviceEntityStore
+
+        store_dev = DeviceEntityStore(cfg, train_ds.tables, mesh=mesh, shard_rows=True)
+        feats_fn = store_dev.drin_feats_fn()
+        kind = "drin_rows"
+    assert not (ckpt_dir and mode == "wm_rows")
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
-    params = model.init(jax.random.key(0), tuple(np.asarray(x) for x in example[:-1]))["params"]
+    # init from a dense batch (host-gathered) so no collective runs pre-jit
+    dense = next(test_ds.batches(cfg.batch_size, kind="drin", pad_to_full=True))
+    params = model.init(jax.random.key(0), tuple(np.asarray(x) for x in dense[:-1]))["params"]
     tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params, mesh,
                  batch_fields=type(example)._fields, example_batch=example,
-                 log=lambda *a: None)
+                 feats_fn=feats_fn, log=lambda *a: None)
     losses = []
     for _ in range(2):
         losses.append(tr._run_epoch(train_ds, "train", True, kind)["loss"])

@@ -24,10 +24,12 @@ def _clean_env():
     return env
 
 
-def _run_worker(pid, nproc, store, out, port, ckpt=""):
+def _run_worker(pid, nproc, store, out, port, ckpt="", mode=""):
     cmd = [sys.executable, WORKER, str(pid), str(nproc), store, out, str(port)]
-    if ckpt:
+    if ckpt or mode:
         cmd.append(ckpt)
+    if mode:
+        cmd.append(mode)
     return subprocess.Popen(
         cmd, env=_clean_env(), cwd=str(REPO),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -97,3 +99,33 @@ def test_two_process_checkpoint_roundtrip(tmp_path):
     with open(out) as f:
         res = json.load(f)
     assert res["resumed_epoch"] == 2
+
+
+def test_two_process_sharded_tables_match_single(tmp_path):
+    """Pod-production WikiMEL path: device entity tables ROW-SHARDED over the
+    model axis spanning both processes; the 2-process run must reproduce the
+    single-process run."""
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+
+    store = str(tmp_path / "store")
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=store).replace(batch_size=8)
+    make_synthetic_store(cfg, n_mentions=14, n_entities=30, seed=27)
+
+    single_out = str(tmp_path / "single.json")
+    p = _run_worker(0, 1, store, single_out, 0, mode="wm_rows")
+    so, se = p.communicate(timeout=420)
+    assert p.returncode == 0, f"single-process worker failed:\n{so}\n{se}"
+
+    multi_out = str(tmp_path / "multi.json")
+    w0 = _run_worker(0, 2, store, multi_out, 19743, mode="wm_rows")
+    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), 19743, mode="wm_rows")
+    o0, e0 = w0.communicate(timeout=420)
+    o1, e1 = w1.communicate(timeout=420)
+    assert w0.returncode == 0, f"rank0 failed:\n{o0}\n{e0}"
+    assert w1.returncode == 0, f"rank1 failed:\n{o1}\n{e1}"
+    with open(single_out) as f:
+        single = json.load(f)
+    with open(multi_out) as f:
+        multi = json.load(f)
+    np.testing.assert_allclose(single["losses"], multi["losses"], rtol=2e-4)
+    np.testing.assert_allclose(single["test_loss"], multi["test_loss"], rtol=2e-4)
