@@ -78,3 +78,77 @@ def test_unknown_config_key_suggests_fix():
 
     with pytest.raises(ValueError, match="did you mean 'batch_size'"):
         make_config("drin", "wikidiverse", dataset_root="/tmp/x", batch_siz=32)
+
+
+def test_train_py_online_bert_with_checkpoint(tmp_path, capsys):
+    """train.py's online-BERT branch end to end: model dims come from the
+    checkpoint, the pretrained tower is merged into the init params
+    (train.py online path), and one epoch trains through the encoder."""
+    import json as _json
+    import os
+    import sys as _sys
+
+    import torch
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_ghmfc_online import _tiny_hf_bert
+
+    from drin_tpu.common.npy_io import save_field
+    from drin_tpu.text.wordpiece import build_tiny_vocab
+
+    root = tmp_path
+    qids = [f"Q{i}" for i in range(5)]
+    qid2name = {q: f"name {q}" for q in qids}
+    qid2attr = {q: f"attr of {q}" for q in qids}
+    (root / "qid2ne.json").write_text(_json.dumps(qid2name))
+    (root / "qid2abs.json").write_text(_json.dumps(qid2attr))
+    sentences = ["Alpha beta gamma delta", "Epsilon zeta eta theta"]
+    vocab = build_tiny_vocab(sentences + list(qid2name.values()) + list(qid2attr.values()))
+    vocab_path = str(root / "vocab.txt")
+    inv = {v: k for k, v in vocab.items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+
+    hf_bert, hf_cfg = _tiny_hf_bert(vocab_size=len(vocab), hidden=16, max_len=64)
+    ckpt_dir = root / "bert-ckpt"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "config.json").write_text(_json.dumps(hf_cfg.to_dict()))
+    torch.save(hf_bert.state_dict(), str(ckpt_dir / "pytorch_model.bin"))
+
+    store = root / "store"
+    store.mkdir()
+    n, C = 4, 3
+    rng = np.random.default_rng(51)
+    save_field(str(store), "mention_text_raw",
+               np.asarray([sentences[i % 2] for i in range(n)]), "train")
+    save_field(str(store), "entity_name_raw",
+               np.asarray([f"Q{rng.integers(0, 5)}" for _ in range(n * C)]), "train")
+    save_field(str(store), "start_pos", np.ones(n, np.int64), "train")
+    save_field(str(store), "end_pos", np.full(n, 2, np.int64), "train")
+    save_field(str(store), "answer", rng.integers(0, C - 1, n).astype(np.int64), "train")
+    save_field(str(store), "mention_image_feature",
+               rng.standard_normal((n, 4, 24)).astype(np.float32), "train")
+    for split in ("valid", "test"):
+        for f in os.listdir(store):
+            if f.endswith("_train.npy"):
+                os.link(store / f, store / f.replace("_train", f"_{split}"))
+
+    sys.modules.pop("train", None)
+    import train as train_entry
+
+    train_entry.main([
+        "model_type=ghmfc", "dataset_name=wikimel", "online_bert=true",
+        f"preprocess_dir={str(store)!r}", f"bert_checkpoint={str(ckpt_dir)!r}",
+        f"bert_vocab={vocab_path!r}", f"qid2entity_path={str(root / 'qid2ne.json')!r}",
+        f"qid2attr_path={str(root / 'qid2abs.json')!r}",
+        f"num_candidates_data={C - 1}", "metrics_topk=(1,)",
+        "bert_embed_dim=16", "resnet_embed_dim=24", "resnet_num_region=4",
+        "mention_final_output_dim=16", "entity_final_output_dim=16",
+        "num_entity_sentence=2", "max_mention_sentence_len=16",
+        "max_entity_attr_token_len=8", "max_bert_len=64", "batch_size=4",
+        "transformer_num_heads=2", "num_epoch=1", "test_epoch_interval=1",
+        "finetune_bert=true",
+    ])
+    out = capsys.readouterr().out
+    assert "model_type" in out
