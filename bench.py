@@ -112,7 +112,10 @@ def measure_reference() -> float:
     ref_model_mod = ref_import("drin.model")
     torch.manual_seed(0)
     ref = ref_model_mod.Model().eval()
-    cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused")
+    # The reference consumes the raw token-level entity layout [B, C, Le, D]
+    # (drin/data.py:89-93); disable the pooled-cache layout for its batch.
+    cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused",
+                      cache_entity_pooling=False)
     rng = np.random.default_rng(0)
     feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
     tb = [torch.as_tensor(x) for x in feats]

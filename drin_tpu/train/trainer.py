@@ -45,6 +45,14 @@ class TrainState(NamedTuple):
 def create_train_state(params, cfg: Config) -> tuple[TrainState, optax.GradientTransformation]:
     # plain Adam, torch-default betas/eps (reference train.py:55-56)
     tx = optax.adam(cfg.learning_rate)
+    if not cfg.finetune_bert and isinstance(params, dict) and "bert" in params:
+        # Frozen in-forward BERT (online path, models/ghmfc.GHMFCOnline):
+        # exclude its subtree from Adam so no moment buffers are allocated
+        # and no zero-updates are applied for its ~110M params.  Matches the
+        # reference, where torch Adam skips requires_grad=False params
+        # (ghmfc.py:16-17); grads for the subtree are exact zeros via
+        # stop_gradient either way.
+        tx = optax.masked(tx, {k: k != "bert" for k in params})
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 

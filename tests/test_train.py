@@ -135,6 +135,75 @@ def test_store_config_mismatch_is_actionable(tmp_path, wd_cfg):
         MELFeatureDataset(bad, "train")
 
 
+def _tiny_online_setup(finetune: bool, B=4, C=5, Le=10, Lm=16):
+    """Tiny GHMFCOnline (direct mode) + random token batch for one step."""
+    import optax
+
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.encoders.bert import BertConfig
+    from drin_tpu.models.ghmfc import GHMFCOnline
+    from drin_tpu.train.trainer import build_step_fns, create_train_state
+
+    cfg = tiny_config("wikimel", "ghmfc").replace(
+        num_candidates_data=C - 1, batch_size=B, metrics_topk=(1,),
+        online_bert=True, num_entity_sentence=0, finetune_bert=finetune,
+        mention_final_layer_name="linear", max_mention_sentence_len=8)
+    bert_cfg = BertConfig(vocab_size=32, hidden_size=8, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=16,
+                          max_position_embeddings=32)
+    model = GHMFCOnline(cfg, bert_cfg)
+    rng = np.random.default_rng(7)
+    mids = rng.integers(1, 32, (B, Lm)).astype(np.int64)
+    mmask = np.ones((B, Lm), np.int64)
+    eids = rng.integers(1, 32, (B, C, Le)).astype(np.int64)
+    emask = np.ones((B, C, Le), np.int64)
+    feats = (mids, mmask, np.ones((B,), np.int64), np.full((B,), 3, np.int64),
+             np.zeros((B,), np.float32), eids, emask, np.zeros((B,), np.int64),
+             np.zeros((B,), np.float32))
+    answer = np.eye(C, dtype=np.float32)[rng.integers(0, C - 1, B)][:, :-1]
+    params = model.init(jax.random.key(0), feats)["params"]
+    host_params = jax.device_get(params)  # train_step donates the originals
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+    state, tx = create_train_state(params, cfg)
+    fns = build_step_fns(apply_fn, cfg, tx)
+    return optax, host_params, state, fns, feats + (answer,)
+
+
+def test_frozen_bert_excluded_from_adam():
+    """``finetune_bert=False``: the in-forward BERT subtree carries no Adam
+    moment buffers (optax.masked — the reference's torch Adam likewise never
+    steps requires_grad=False params, ghmfc.py:16-17) and its params are
+    bit-identical after a train step, while the heads still move."""
+    optax, params, state, fns, batch = _tiny_online_setup(finetune=False)
+    moments = state.opt_state.inner_state[0]  # MaskedState -> ScaleByAdamState
+    assert isinstance(moments.mu["bert"], optax.MaskedNode)
+    assert not isinstance(moments.mu["mention_encoder"], optax.MaskedNode)
+    new_state, loss, _ = fns.train_step(
+        state, batch, np.ones((4,), np.float32), M.init_state((1,)))
+    assert np.isfinite(float(loss))
+    jax.tree.map(np.testing.assert_array_equal, jax.device_get(new_state.params["bert"]),
+                 params["bert"])
+    head_moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+        jax.device_get(new_state.params["mention_encoder"]),
+        params["mention_encoder"]))
+    assert any(head_moved)
+
+
+def test_finetune_bert_updates_bert():
+    """``finetune_bert=True`` keeps BERT in the optimizer and moves it."""
+    optax, params, state, fns, batch = _tiny_online_setup(finetune=True)
+    moments = state.opt_state[0]  # plain chain: ScaleByAdamState first
+    assert not isinstance(moments.mu["bert"], optax.MaskedNode)
+    new_state, loss, _ = fns.train_step(
+        state, batch, np.ones((4,), np.float32), M.init_state((1,)))
+    assert np.isfinite(float(loss))
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+        jax.device_get(new_state.params["bert"]), params["bert"]))
+    assert any(moved)
+
+
 def test_checkpoint_save_restore(tmp_path, wd_cfg):
     cfg = wd_cfg.replace(enable_checkpointing=True, checkpoint_dir=str(tmp_path / "ckpt"))
     tr, (train_ds, valid_ds, test_ds), kind = _make_trainer(cfg)
