@@ -147,6 +147,11 @@ class Config:
     resume_from: Optional[str] = None
     # Compute dtype for the model body; params stay f32.
     compute_dtype: str = "float32"
+    # Online path: rematerialize each BERT layer in the backward pass
+    # (jax.checkpoint) so ``finetune_bert=True`` fits at real batch sizes —
+    # saved activations drop from O(layers) to O(1) per tower at the cost of
+    # one extra forward.  No effect when BERT is frozen (no backward).
+    bert_remat: bool = False
     # Use the fused Pallas GCN vertex kernel on TPU.  Measured on v5e the
     # XLA-fused path is slightly faster for the default shapes (1.29 vs
     # 1.38 ms/iter full-model bf16), so this defaults off; the kernel is kept

@@ -97,9 +97,14 @@ class BertLayer(nn.Module):
 
 
 class BertModel(nn.Module):
-    """Returns (last_hidden_state [B, L, D], pooler_output [B, D])."""
+    """Returns (last_hidden_state [B, L, D], pooler_output [B, D]).
+
+    ``remat=True`` wraps each layer in ``jax.checkpoint`` (same numerics,
+    same param tree) so a fine-tuning backward pass stores one layer's
+    activations instead of all of them — see ``Config.bert_remat``."""
 
     cfg: BertConfig
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
@@ -111,8 +116,9 @@ class BertModel(nn.Module):
         if attention_mask is not None:
             neg = jnp.finfo(x.dtype).min
             additive = jnp.where(attention_mask[:, None, None, :] == 0, neg, 0.0).astype(x.dtype)
+        layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(c.num_hidden_layers):
-            x = BertLayer(c, name=f"layer_{i}")(x, additive)
+            x = layer_cls(c, name=f"layer_{i}")(x, additive)
         pooled = jnp.tanh(nn.Dense(c.hidden_size, name="pooler")(x[:, 0]))
         return x, pooled
 

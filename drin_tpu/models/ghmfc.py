@@ -176,7 +176,7 @@ class GHMFCOnline(nn.Module):
         cfg = self.cfg
         (mention_ids, mention_mask, begin, end, mention_image,
          entity_ids, entity_mask, sep_idx, entity_image) = batch
-        bert = BertModel(self.bert_cfg or BertConfig(), name="bert")
+        bert = BertModel(self.bert_cfg or BertConfig(), remat=cfg.bert_remat, name="bert")
 
         def encode(ids, mask):
             h, pooled = bert(ids, mask)

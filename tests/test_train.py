@@ -204,6 +204,68 @@ def test_finetune_bert_updates_bert():
     assert any(moved)
 
 
+def test_bert_remat_preserves_finetune_numerics():
+    """``bert_remat=True`` (jax.checkpoint per BERT layer) must reproduce the
+    fine-tuning loss and gradients to float tolerance — it only trades memory
+    for recompute.  (Post-Adam params are NOT compared: the first Adam update
+    is ~g/|g| which amplifies last-bit grad differences near zero.)"""
+    _, params_a, state_a, fns_a, batch = _tiny_online_setup(finetune=True)
+    _, _, state_b, fns_b, batch_b = _tiny_online_setup_remat()
+    loss_a, _, scores_a = fns_a.eval_step(state_a.params, batch,
+                                          np.ones((4,), np.float32), M.init_state((1,)))
+    loss_b, _, scores_b = fns_b.eval_step(state_b.params, batch_b,
+                                          np.ones((4,), np.float32), M.init_state((1,)))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scores_a), np.asarray(scores_b), rtol=1e-5, atol=1e-6)
+    # grads through the full train-step loss, compared directly
+    new_a, _, _ = fns_a.train_step(state_a, batch, np.ones((4,), np.float32),
+                                   M.init_state((1,)))
+    new_b, _, _ = fns_b.train_step(state_b, batch_b, np.ones((4,), np.float32),
+                                   M.init_state((1,)))
+    mu_a = new_a.opt_state[0].mu  # first-step Adam mu = (1-b1) * grad
+    mu_b = new_b.opt_state[0].mu
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=1e-7),
+        jax.device_get(mu_a), jax.device_get(mu_b))
+
+
+def _tiny_online_setup_remat():
+    """Same tiny online model as _tiny_online_setup(finetune=True) but with
+    bert_remat enabled (identical init → comparable step outputs)."""
+    import optax
+
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.encoders.bert import BertConfig
+    from drin_tpu.models.ghmfc import GHMFCOnline
+    from drin_tpu.train.trainer import build_step_fns, create_train_state
+
+    B, C, Le, Lm = 4, 5, 10, 16
+    cfg = tiny_config("wikimel", "ghmfc").replace(
+        num_candidates_data=C - 1, batch_size=B, metrics_topk=(1,),
+        online_bert=True, num_entity_sentence=0, finetune_bert=True,
+        mention_final_layer_name="linear", max_mention_sentence_len=8,
+        bert_remat=True)
+    bert_cfg = BertConfig(vocab_size=32, hidden_size=8, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=16,
+                          max_position_embeddings=32)
+    model = GHMFCOnline(cfg, bert_cfg)
+    rng = np.random.default_rng(7)
+    mids = rng.integers(1, 32, (B, Lm)).astype(np.int64)
+    eids = rng.integers(1, 32, (B, C, Le)).astype(np.int64)
+    feats = (mids, np.ones((B, Lm), np.int64), np.ones((B,), np.int64),
+             np.full((B,), 3, np.int64), np.zeros((B,), np.float32), eids,
+             np.ones((B, C, Le), np.int64), np.zeros((B,), np.int64),
+             np.zeros((B,), np.float32))
+    answer = np.eye(C, dtype=np.float32)[rng.integers(0, C - 1, B)][:, :-1]
+    params = model.init(jax.random.key(0), feats)["params"]
+    host_params = jax.device_get(params)
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+    state, tx = create_train_state(params, cfg)
+    fns = build_step_fns(apply_fn, cfg, tx)
+    return optax, host_params, state, fns, feats + (answer,)
+
+
 def test_checkpoint_save_restore(tmp_path, wd_cfg):
     cfg = wd_cfg.replace(enable_checkpointing=True, checkpoint_dir=str(tmp_path / "ckpt"))
     tr, (train_ds, valid_ds, test_ds), kind = _make_trainer(cfg)
