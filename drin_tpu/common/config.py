@@ -147,6 +147,14 @@ class Config:
     resume_from: Optional[str] = None
     # Compute dtype for the model body; params stay f32.
     compute_dtype: str = "float32"
+    # Online path: route BERT self-attention through the flash-style fused
+    # Pallas kernel (ops/pallas/attention.py) — the [L, L] logits stay in
+    # VMEM instead of round-tripping HBM, which is what out-of-memories a
+    # chip at batch 64 x 13 towers x 512 tokens.  None = auto: on for a
+    # single-device TPU backend, off elsewhere (CPU tests; meshes, where
+    # pallas_call partitioning isn't wired).  Measured 24x faster than the
+    # XLA attention at [32, 12, 512, 64] bf16 (BASELINE.md).
+    bert_fused_attention: Optional[bool] = None
     # Online path: rematerialize each BERT layer in the backward pass
     # (jax.checkpoint) so ``finetune_bert=True`` fits at real batch sizes —
     # saved activations drop from O(layers) to O(1) per tower at the cost of

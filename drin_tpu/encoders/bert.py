@@ -60,8 +60,13 @@ class BertEmbeddings(nn.Module):
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm")(x)
 
 
+# below this sequence length the einsum attention wins (measured, BASELINE.md)
+FUSED_ATTENTION_MIN_LEN = 256
+
+
 class BertSelfAttention(nn.Module):
     cfg: BertConfig
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, additive_mask):
@@ -73,21 +78,33 @@ class BertSelfAttention(nn.Module):
         q = nn.Dense(D, name="query")(x).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
         k = nn.Dense(D, name="key")(x).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
         v = nn.Dense(D, name="value")(x).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (hd**0.5)
-        if additive_mask is not None:
-            logits = logits + additive_mask
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # short sequences: XLA wins (measured — direct-mode 64-token entity
+        # towers ran 25% slower fused, BASELINE.md); the kernel pays off once
+        # the [L, L] logits dominate
+        if self.fused and L % 8 == 0 and L >= FUSED_ATTENTION_MIN_LEN:
+            # flash-style Pallas kernel: the [L, L] logits never reach HBM
+            # (ops/pallas/attention.py; same numerics as the einsum path)
+            from drin_tpu.ops.pallas.attention import fused_attention
+
+            flat = None if additive_mask is None else additive_mask[:, 0, 0, :]
+            out = fused_attention(q, k, v, flat)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (hd**0.5)
+            if additive_mask is not None:
+                logits = logits + additive_mask
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         return out.transpose(0, 2, 1, 3).reshape(B, L, D)
 
 
 class BertLayer(nn.Module):
     cfg: BertConfig
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, additive_mask):
         c = self.cfg
-        attn = BertSelfAttention(c, name="self")(x, additive_mask)
+        attn = BertSelfAttention(c, fused=self.fused_attention, name="self")(x, additive_mask)
         attn = nn.Dense(c.hidden_size, name="attention_output_dense")(attn)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_output_norm")(x + attn)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense")(x)
@@ -96,15 +113,32 @@ class BertLayer(nn.Module):
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_norm")(x + h)
 
 
+def resolve_fused_attention(flag, finetune: bool = False) -> bool:
+    """Config.bert_fused_attention tri-state: None = auto — fused on a
+    single-device TPU backend with frozen BERT; einsum on CPU, on meshes
+    (pallas_call partitioning isn't wired) and under fine-tuning (the
+    custom_vjp backward re-derives XLA attention, so the fused forward
+    measured slightly slower there, BASELINE.md).  Short sequences are
+    additionally gated per-call in BertSelfAttention."""
+    if flag is None:
+        return (jax.default_backend() == "tpu" and jax.device_count() == 1
+                and not finetune)
+    return bool(flag)
+
+
 class BertModel(nn.Module):
     """Returns (last_hidden_state [B, L, D], pooler_output [B, D]).
 
     ``remat=True`` wraps each layer in ``jax.checkpoint`` (same numerics,
     same param tree) so a fine-tuning backward pass stores one layer's
-    activations instead of all of them — see ``Config.bert_remat``."""
+    activations instead of all of them — see ``Config.bert_remat``.
+    ``fused_attention=True`` routes self-attention through the flash-style
+    Pallas kernel (ops/pallas/attention.py) — see
+    ``Config.bert_fused_attention``."""
 
     cfg: BertConfig
     remat: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
@@ -118,7 +152,8 @@ class BertModel(nn.Module):
             additive = jnp.where(attention_mask[:, None, None, :] == 0, neg, 0.0).astype(x.dtype)
         layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(c.num_hidden_layers):
-            x = layer_cls(c, name=f"layer_{i}")(x, additive)
+            x = layer_cls(c, fused_attention=self.fused_attention,
+                          name=f"layer_{i}")(x, additive)
         pooled = jnp.tanh(nn.Dense(c.hidden_size, name="pooler")(x[:, 0]))
         return x, pooled
 

@@ -171,12 +171,16 @@ class GHMFCOnline(nn.Module):
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
-        from drin_tpu.encoders.bert import BertConfig, BertModel
+        from drin_tpu.encoders.bert import (BertConfig, BertModel,
+                                            resolve_fused_attention)
 
         cfg = self.cfg
         (mention_ids, mention_mask, begin, end, mention_image,
          entity_ids, entity_mask, sep_idx, entity_image) = batch
-        bert = BertModel(self.bert_cfg or BertConfig(), remat=cfg.bert_remat, name="bert")
+        bert = BertModel(self.bert_cfg or BertConfig(), remat=cfg.bert_remat,
+                         fused_attention=resolve_fused_attention(
+                             cfg.bert_fused_attention, cfg.finetune_bert),
+                         name="bert")
 
         def encode(ids, mask):
             h, pooled = bert(ids, mask)

@@ -7,3 +7,7 @@ from drin_tpu.ops.pallas.gcn_layer import (  # noqa: F401
     fused_gcn_layer_ad,
     gcn_layer_reference,
 )
+from drin_tpu.ops.pallas.attention import (  # noqa: F401
+    attention_reference,
+    fused_attention,
+)

@@ -53,7 +53,9 @@ class BertStage:
             bert_cfg, params = load_bert(cfg.bert_checkpoint, bert_cfg)
         self.bert_cfg = bert_cfg or B.BertConfig()
         self.params = params
-        self.model = B.BertModel(self.bert_cfg)
+        self.model = B.BertModel(
+            self.bert_cfg,
+            fused_attention=B.resolve_fused_attention(cfg.bert_fused_attention))
         self.tokenizer = BertTokenizer(vocab_file=cfg.bert_vocab, do_lower_case=False,
                                        model_max_length=cfg.max_bert_len)
         self._jit = jax.jit(

@@ -153,3 +153,98 @@ def test_fused_gcn_layer_grads_match_reference():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
     finally:
         G.fused_gcn_layer = orig
+
+
+# ---------------------------------------------------------------------------
+# fused attention (ops/pallas/attention.py)
+
+
+@pytest.mark.parametrize("masked", [True, False])
+@pytest.mark.parametrize("shape", [(2, 3, 64, 16), (1, 2, 128, 64), (2, 2, 40, 8)])
+def test_fused_attention_matches_reference(masked, shape):
+    """Kernel (interpret mode) == XLA softmax attention, with and without
+    padding masks, incl. an L that needs block-size shrinking (40)."""
+    from drin_tpu.ops.pallas.attention import attention_reference, fused_attention
+
+    B, H, L, Dh = shape
+    rng = np.random.default_rng(0)
+    q, k, v = (rng.standard_normal((B, H, L, Dh)).astype(np.float32) for _ in range(3))
+    mask = None
+    if masked:
+        lens = rng.integers(L // 2, L + 1, B)
+        mask = np.where(np.arange(L)[None] < lens[:, None], 0.0,
+                        np.finfo(np.float32).min).astype(np.float32)
+    got = np.asarray(fused_attention(q, k, v, mask, 128, True))
+    want = np.asarray(attention_reference(q, k, v, mask))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_bf16():
+    from drin_tpu.ops.pallas.attention import attention_reference, fused_attention
+
+    rng = np.random.default_rng(1)
+    q, k, v = (rng.standard_normal((2, 2, 64, 32)).astype(jnp.bfloat16) for _ in range(3))
+    got = np.asarray(fused_attention(q, k, v, None, 128, True), np.float32)
+    want = np.asarray(attention_reference(q, k, v, None), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_attention_grads_match_reference():
+    """custom_vjp backward (XLA re-derivation) == grads of the reference."""
+    from drin_tpu.ops.pallas.attention import attention_reference, fused_attention
+
+    rng = np.random.default_rng(2)
+    q, k, v = (rng.standard_normal((2, 2, 32, 16)).astype(np.float32) for _ in range(3))
+    mask = np.where(np.arange(32)[None] < np.array([[20], [32]]), 0.0,
+                    np.finfo(np.float32).min).astype(np.float32)
+
+    loss_f = lambda q, k, v: jnp.sum(fused_attention(q, k, v, mask, 128, True) ** 2)
+    loss_r = lambda q, k, v: jnp.sum(attention_reference(q, k, v, mask) ** 2)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_bert_fused_attention_end_to_end():
+    """BertModel(fused_attention=True) == the einsum path (interpret mode),
+    through the full GHMFCOnline forward."""
+    from unittest import mock
+
+    import drin_tpu.encoders.bert as EB
+    import drin_tpu.ops.pallas.attention as A
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.encoders.bert import BertConfig
+    from drin_tpu.models.ghmfc import GHMFCOnline
+
+    B, C, Le, Lm = 2, 3, 8, 16
+    base = tiny_config("wikimel", "ghmfc").replace(
+        num_candidates_data=C - 1, online_bert=True, num_entity_sentence=0,
+        finetune_bert=False, mention_final_layer_name="linear",
+        max_mention_sentence_len=8)
+    bert_cfg = BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=32,
+                          max_position_embeddings=32)
+    rng = np.random.default_rng(5)
+    feats = (rng.integers(1, 32, (B, Lm)).astype(np.int64), np.ones((B, Lm), np.int64),
+             np.ones((B,), np.int64), np.full((B,), 3, np.int64),
+             np.zeros((B,), np.float32), rng.integers(1, 32, (B, C, Le)).astype(np.int64),
+             np.ones((B, C, Le), np.int64), np.zeros((B,), np.int64),
+             np.zeros((B,), np.float32))
+    plain = GHMFCOnline(base, bert_cfg)
+    params = plain.init(jax.random.key(0), feats)["params"]
+    want = np.asarray(plain.apply({"params": params}, feats))
+
+    fused_model = GHMFCOnline(base.replace(bert_fused_attention=True), bert_cfg)
+    orig = A.fused_attention
+    calls = []
+
+    def interp(q, k, v, m, bq=128, _i=False):
+        calls.append(q.shape)
+        return orig(q, k, v, m, bq, True)
+
+    with mock.patch.object(A, "fused_attention", interp), \
+         mock.patch.object(EB, "FUSED_ATTENTION_MIN_LEN", 8):
+        got = np.asarray(fused_model.apply({"params": params}, feats))
+    assert calls, "fused kernel was never invoked"
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
