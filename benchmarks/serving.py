@@ -1,0 +1,143 @@
+# -*- coding: utf-8 -*-
+"""Benchmark: serving-path latency/throughput on one chip (serve.Ranker).
+
+The reference has no serving path at all (SURVEY §0); this measures the
+deployment story the rebuild adds: WikiMEL-scale (109k entities) device-
+resident tables, stage-1 brute-force retrieval over the full table, and
+full DRIN candidate ranking at request batch sizes.
+
+Prints one JSON line per measurement.  Timing: K chained calls inside one
+jitted program (scalar data dependency) + one host fetch — device time, not
+relay transport (BASELINE.md methodology).  Every large array (params,
+entity tables, retrieval table) is passed through the jit boundary as an
+ARGUMENT — closure-captured device arrays become compile-time constants,
+which hangs remote compilation at these sizes (the bug this benchmark
+originally surfaced; fixed in trainer/serve/device_store).
+
+NOT the driver benchmark (bench.py is).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_ENTITIES = 109_557  # WikiMEL global table size (reference readme.md:96)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from drin_tpu.common.config import make_config
+    from drin_tpu.models.drin import DRIN
+    from drin_tpu.serve import Ranker
+
+    log(f"devices: {jax.devices()}")
+    cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused",
+                      compute_dtype="bfloat16")
+    C = cfg.num_candidates_model
+    D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
+
+    rng = np.random.default_rng(0)
+    # Build the Ranker with placeholder tables, then swap in full-size
+    # random tables generated ON DEVICE — shipping 2.5GB of synthetic f32
+    # through a relay-attached host would measure the relay, not the chip
+    # (a production host pays PCIe once at startup).
+    tiny = {
+        "entity_text_feature": rng.standard_normal((64, 2, D)).astype(np.float32),
+        "entity_image_feature": rng.standard_normal((64, 1, Dr)).astype(np.float32),
+        "entity_object_feature": rng.standard_normal((64, Te, 1, Dr)).astype(np.float32),
+        "entity_object_score": rng.uniform(0, 1, (64, Te)).astype(np.float32),
+    }
+    model = DRIN(cfg)
+    feats, _ = g._random_drin_batch(cfg, B=2, rng=rng)
+    params = model.init(jax.random.key(0), feats)["params"]
+    ranker = Ranker(cfg, params=params, entity_tables=tiny)
+    dt16 = jnp.bfloat16
+    keys = jax.random.split(jax.random.key(1), 4)
+    N = N_ENTITIES
+    ranker.store.text = jax.random.normal(keys[0], (N, 2, D), dt16)
+    ranker.store.image = jax.random.normal(keys[1], (N, 1, Dr), dt16)
+    ranker.store.obj = jax.random.normal(keys[2], (N, Te, 1, Dr), dt16)
+    ranker.store.obj_score = jax.random.uniform(keys[3], (N, Te), dt16)
+    feats_fn = ranker.store.drin_feats_fn()
+    tables = feats_fn.tables
+    nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize for t in tables)
+    log(f"device tables: {nbytes / 1e6:.0f} MB resident ({N} entities, bf16)")
+
+    def timed_chain(jfn, args, K, iters):
+        """jfn(eps, *args) -> eps chained K times inside one program."""
+        eps = jnp.float32(0.0)
+        float(jfn(eps, *args))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            eps = jfn(eps, *args)
+        float(eps)
+        return (time.perf_counter() - t0) / (iters * K)
+
+    # stage-1 retrieval: [B, D] x [D, N] cosine + top-k over the full table
+    norm_table = jax.jit(lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(
+        ranker.store.text[:, 0])
+
+    K = 4
+    for B in (1, 16):
+        log(f"retrieve B={B}...")
+        q0 = jax.device_put(jnp.asarray(rng.standard_normal((B, D)), dt16))
+
+        def retrieve_chain(eps, q, table, K=K):
+            for _ in range(K):
+                qq = q + eps.astype(q.dtype) * 1e-12
+                qq = qq / jnp.linalg.norm(qq, axis=-1, keepdims=True)
+                scores, _ = jax.lax.top_k(qq @ table.T, 100)
+                eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        dt = timed_chain(jax.jit(retrieve_chain), (q0, norm_table), K, iters=16)
+        print(json.dumps({
+            "measurement": "stage1_retrieve", "batch": B, "entities": N_ENTITIES,
+            "ms_per_query_batch": round(dt * 1e3, 3),
+            "queries_per_sec": round(B / dt, 1)}), flush=True)
+
+    # full DRIN rank over device-resident tables (rows batch)
+    apply_fn = lambda p, f: model.apply({"params": p}, f)
+    dev_params = ranker.params
+    for B in (1, 8, 64):
+        log(f"drin_rank B={B}...")
+        feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
+        rows = rng.integers(0, N, (B, C)).astype(np.int32)
+        batch = feats[:7] + (rows,) + feats[12:14]
+        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
+        cast16 = lambda x: (jnp.asarray(x, dt16)
+                            if np.issubdtype(np.asarray(x).dtype, np.floating)
+                            else jnp.asarray(x))
+        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
+
+        def rank_chain(eps, params, dev, tables, K=K):
+            for _ in range(K):
+                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
+                out = apply_fn(params, feats_fn(b, tables))
+                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        dt = timed_chain(jax.jit(rank_chain), (dev_params, dev, tables), K, iters=10)
+        print(json.dumps({
+            "measurement": "drin_rank", "batch": B, "candidates": C,
+            "ms_per_batch": round(dt * 1e3, 3),
+            "pairs_per_sec": round(B * C / dt, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

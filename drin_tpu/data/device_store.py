@@ -171,10 +171,16 @@ class DeviceEntityStore:
         return _make_sharded_gather(self.mesh, n_tables, C)
 
     def drin_feats_fn(self):
-        tables = self._tables()
+        """The returned ``feats_fn`` carries its device tables on the
+        ``.tables`` attribute; the step builders (train/trainer.py,
+        serve.py) pass them through the jit boundary as ARGUMENTS each
+        call.  Closing over them instead would bake the (possibly
+        multi-GB) tables into the lowered program as constants — measured
+        to hang compilation at the real WikiMEL table size."""
+        default_tables = self._tables()
         gather = None
 
-        def feats_fn(feats):
+        def feats_fn(feats, tables=default_tables):
             nonlocal gather
             (mtf, mtm, sp, ep, mif, mof, mos, rows, miet, mtei) = feats
             if gather is None:
@@ -188,14 +194,17 @@ class DeviceEntityStore:
             return (mtf, mtm, sp, ep, mif, mof, mos,
                     etf, etm, eif, eof, eos, miet, mtei)
 
+        feats_fn.tables = default_tables
         return feats_fn
 
     def baseline_feats_fn(self):
+        """See :meth:`drin_feats_fn` for the ``.tables`` pass-as-argument
+        contract."""
         text, mask, image = self.text, self.text_mask, self.image
-        tables = (text, image) if self.pooled else (text, mask, image)
+        default_tables = (text, image) if self.pooled else (text, mask, image)
         gather = None
 
-        def feats_fn(feats):
+        def feats_fn(feats, tables=default_tables):
             nonlocal gather
             (mtf, mtm, sp, ep, mif, rows) = feats
             if gather is None:
@@ -210,6 +219,7 @@ class DeviceEntityStore:
                 eif = eif.reshape(eif.shape[0], eif.shape[1], -1)
             return (mtf, mtm, sp, ep, mif, etf, etm, eif)
 
+        feats_fn.tables = default_tables
         return feats_fn
 
 

@@ -37,9 +37,12 @@ class Ranker:
     """Checkpoint-backed mention-candidate ranking service."""
 
     def __init__(self, cfg: Config, params=None, entity_tables: Optional[dict] = None,
-                 checkpoint_dir: Optional[str] = None, step: Optional[int] = None):
+                 checkpoint_dir: Optional[str] = None, step: Optional[int] = None,
+                 model=None):
         self.cfg = cfg
         self.model, self.kind = get_model(cfg)
+        if model is not None:  # caller-supplied module (e.g. custom bert_cfg)
+            self.model = model
         if params is None:
             params = self._restore(checkpoint_dir or cfg.checkpoint_dir, step)
         dt = jnp.dtype(cfg.compute_dtype)
@@ -57,21 +60,29 @@ class Ranker:
 
     def _build_score_fns(self):
         cast = self._cast
+        feats_fn = self._feats_fn
+        # device tables ride through jit as ARGUMENTS (feats_fn.tables);
+        # closing over them would bake the multi-GB tables into the lowered
+        # program as constants, which hangs compilation at real table sizes
+        # (data/device_store.py docstring)
+        tables = getattr(feats_fn, "tables", None)
 
-        def score(params, feats):
-            if self._feats_fn is not None:
+        def score(params, feats, tbl):
+            if feats_fn is not None:
                 feats = tuple(cast(x) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
                               else jnp.asarray(x) for x in feats)
-                feats = self._feats_fn(feats)
+                feats = feats_fn(feats) if tbl is None else feats_fn(feats, tbl)
             else:
                 feats = tuple(cast(x) for x in feats)
             return self.model.apply({"params": params}, feats).astype(jnp.float32)
 
-        self._score = jax.jit(score)
-        self._topk = jax.jit(
-            lambda params, feats, k: jax.lax.top_k(score(params, feats), k),
-            static_argnums=2,
+        score_jit = jax.jit(score)
+        topk_jit = jax.jit(
+            lambda params, feats, tbl, k: jax.lax.top_k(score(params, feats, tbl), k),
+            static_argnums=3,
         )
+        self._score = lambda params, feats: score_jit(params, feats, tables)
+        self._topk = lambda params, feats, k: topk_jit(params, feats, tables, k)
 
     def precompute_entity_projection(self):
         """DRIN serving fast path: project the frozen entity tables through
@@ -140,15 +151,19 @@ class Ranker:
         mp = {"params": self.params["mention_encoder"]}
         reprs = self._entity_reprs
 
-        def rank_rows(mention_feats, rows, k):
+        def rank_rows(mention_feats, rows, table, k):
             from drin_tpu.ops.core import cosine_similarity
 
             m = menc.apply(mp, *mention_feats)  # [B, D]
-            e = reprs[rows]  # [B, C, D]
+            e = table[rows]  # [B, C, D]
             scores = cosine_similarity(jnp.broadcast_to(m[:, None, :], e.shape), e)
             return jax.lax.top_k(scores, k)
 
-        self._rank_rows = jax.jit(rank_rows, static_argnums=2)
+        # reprs passed as an argument, not a closure constant (see
+        # _build_score_fns)
+        rr_jit = jax.jit(rank_rows, static_argnums=3)
+        self._rank_rows = lambda mention_feats, rows, k: rr_jit(
+            mention_feats, rows, reprs, k)
         return np.asarray(self._entity_reprs)
 
     def rank_rows(self, mention_feats, rows: np.ndarray, k: int = 5):
@@ -163,6 +178,27 @@ class Ranker:
         scores, idx = self._rank_rows(tuple(cast(x) for x in mention_feats),
                                       jnp.asarray(rows), k)
         return np.asarray(scores), np.asarray(idx)
+
+    def rank_text(self, sentences, char_spans, candidate_texts, k: int = 5,
+                  mention_images=None, tokenizer=None):
+        """Raw-text ranking for the online model: sentences + character
+        mention spans + per-mention candidate strings -> (top-k scores,
+        candidate indices).  Tokenization and span conversion happen here
+        (data/online.assemble_online_feats); requires ``cfg.online_bert``."""
+        assert self.cfg.online_bert, "rank_text needs the online-BERT model"
+        from drin_tpu.data.online import assemble_online_feats
+
+        if tokenizer is None:
+            if getattr(self, "_tokenizer", None) is None:
+                from drin_tpu.text.wordpiece import BertTokenizer
+
+                self._tokenizer = BertTokenizer(
+                    vocab_file=self.cfg.bert_vocab, do_lower_case=False,
+                    model_max_length=self.cfg.max_bert_len)
+            tokenizer = self._tokenizer
+        feats = assemble_online_feats(self.cfg, tokenizer, sentences, char_spans,
+                                      candidate_texts, mention_images)
+        return self.rank(feats, k)
 
     def retrieve(self, mention_repr: np.ndarray, k: int = 100):
         """Stage-1 retrieval: cosine top-k of ``mention_repr`` [B, D]
@@ -204,9 +240,12 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                feat_fields: Optional[list] = None):
     """Start a blocking JSON-over-HTTP server.
 
-    POST /rank    {"features": <b64 npz of the batch feature fields>, "k": 5}
-                  -> {"scores": [[...]], "indices": [[...]]}
-    GET  /health  -> {"status": "ok"}
+    POST /rank      {"features": <b64 npz of the batch feature fields>, "k": 5}
+                    -> {"scores": [[...]], "indices": [[...]]}
+    POST /rank_text {"sentences": [...], "spans": [[s, e], ...],
+                     "candidates": [[...], ...], "k": 5}  (online model only)
+                    -> {"scores": [[...]], "indices": [[...]]}
+    GET  /health    -> {"status": "ok"}
     Returns the server object (call ``.shutdown()`` from another thread)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -231,16 +270,21 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/rank":
+            if self.path not in ("/rank", "/rank_text"):
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
-                arrays = _decode_arrays(req["features"])
-                order = fields or sorted(arrays)
-                feats = tuple(arrays[name] for name in order)
-                scores, idx = ranker.rank(feats, int(req.get("k", 5)))
+                if self.path == "/rank_text":
+                    scores, idx = ranker.rank_text(
+                        req["sentences"], req["spans"], req["candidates"],
+                        int(req.get("k", 5)))
+                else:
+                    arrays = _decode_arrays(req["features"])
+                    order = fields or sorted(arrays)
+                    feats = tuple(arrays[name] for name in order)
+                    scores, idx = ranker.rank(feats, int(req.get("k", 5)))
                 self._reply(200, {"scores": scores.tolist(), "indices": idx.tolist()})
             except Exception as e:  # serving must not die on a bad request
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})

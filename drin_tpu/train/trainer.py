@@ -74,15 +74,20 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
     tuple (answer last, reference contract train.py:32-33) plus a [B] valid
     mask for static-shape ragged batches.  ``feats_fn`` maps the raw batch
     features to model features inside jit (e.g. the device-resident entity
-    table gather, data/device_store.py).
+    table gather, data/device_store.py).  When ``feats_fn`` exposes a
+    ``.tables`` pytree (device-resident entity tables), those arrays are
+    passed through the jit boundary as call arguments — closing over them
+    would embed the (possibly multi-GB) tables in the lowered program as
+    constants, which hangs compilation at production table sizes.
     """
     topk = tuple(cfg.metrics_topk)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+    tables = getattr(feats_fn, "tables", None)
 
-    def loss_and_metrics(params, batch, valid, mstate):
+    def loss_and_metrics(params, batch, valid, mstate, tbl):
         feats, answer = batch[:-1], batch[-1]
         if feats_fn is not None:
-            feats = feats_fn(feats)
+            feats = feats_fn(feats) if tbl is None else feats_fn(feats, tbl)
         if compute_dtype != jnp.float32:
             # mixed precision: f32 master params + bf16 model body; the
             # casts are differentiable so grads/optimizer stay f32
@@ -95,24 +100,31 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
         mstate = M.add_loss(M.update(mstate, scores, answer, topk, valid), loss)
         return loss, (mstate, scores)
 
-    def train_step(state: TrainState, batch, valid, mstate):
+    def train_step(state: TrainState, batch, valid, mstate, tbl):
         (loss, (mstate, _)), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
-            state.params, batch, valid, mstate
+            state.params, batch, valid, mstate, tbl
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss, mstate
 
-    def eval_step(params, batch, valid, mstate):
+    def eval_step(params, batch, valid, mstate, tbl):
         # also returns the raw [B, C] score matrix so the test-result dump
         # (reference train.py:40-43) shares this one compiled program
-        loss, (mstate, scores) = loss_and_metrics(params, batch, valid, mstate)
+        loss, (mstate, scores) = loss_and_metrics(params, batch, valid, mstate, tbl)
         return loss, mstate, scores
+
+    def bind_tables(jitted):
+        # the caller-facing steps keep the 4-arg signature; tables ride as a
+        # hidden trailing argument so they stay jit *parameters*
+        fn = lambda *args: jitted(*args, tables)
+        fn.lower = lambda *args: jitted.lower(*args, tables)
+        return fn
 
     if mesh is None:
         return StepFns(
-            jax.jit(train_step, donate_argnums=(0, 3)),
-            jax.jit(eval_step, donate_argnums=(3,)),
+            bind_tables(jax.jit(train_step, donate_argnums=(0, 3))),
+            bind_tables(jax.jit(eval_step, donate_argnums=(3,))),
             None, None, None,
         )
 
@@ -122,22 +134,25 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
     bspecs = pmesh.batch_shardings(mesh, batch_fields, example_batch)
     rep = pmesh.replicated(mesh)
     vshard = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+    # tables keep whatever layout the store put them in (replicated or
+    # row-sharded over the model axis)
+    tbl_shardings = jax.tree.map(lambda a: a.sharding, tables)
     # multi-process: the dump path fetches scores on every host, so they must
     # come back replicated (a batch-sharded array is not fully addressable)
     score_shard = rep if jax.process_count() > 1 else vshard
     train_jit = jax.jit(
         train_step,
-        in_shardings=(rep, bspecs, vshard, rep),
+        in_shardings=(rep, bspecs, vshard, rep, tbl_shardings),
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 3),
     )
     eval_jit = jax.jit(
         eval_step,
-        in_shardings=(rep, bspecs, vshard, rep),
+        in_shardings=(rep, bspecs, vshard, rep, tbl_shardings),
         out_shardings=(rep, rep, score_shard),
         donate_argnums=(3,),
     )
-    return StepFns(train_jit, eval_jit, bspecs, vshard, rep)
+    return StepFns(bind_tables(train_jit), bind_tables(eval_jit), bspecs, vshard, rep)
 
 
 # ---------------------------------------------------------------------------

@@ -63,3 +63,46 @@ def test_trainer_with_device_store(wm):
     tr = Trainer(cfg, apply_fn, params, feats_fn=feats_fn, log=lambda *a: None)
     out = tr._run_epoch(ds, "train", True, "drin_rows")
     assert np.isfinite(out["loss"])
+
+
+def test_step_does_not_embed_tables_as_constants(wm):
+    """Device tables must cross the jit boundary as ARGUMENTS.  Closure-
+    captured tables get baked into the lowered program as dense constants —
+    harmless at test sizes, but a multi-hundred-MB production table makes
+    the compile hang (observed on the target chip; BASELINE.md serving
+    notes).  Guard: lower a step against a ~13MB table and require the
+    StableHLO text to stay small (an embedded dense literal would be tens
+    of MB of text)."""
+    from drin_tpu.train.trainer import build_step_fns, create_train_state
+
+    cfg, _, ds = wm
+    N = 26_000  # x 2 x 64 f32 = 13.3MB text table
+    rng = np.random.default_rng(0)
+    D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
+    big_tables = {
+        "entity_text_feature": rng.standard_normal((N, 2, D)).astype(np.float32),
+        "entity_image_feature": rng.standard_normal((N, 1, Dr)).astype(np.float32),
+        "entity_object_feature": rng.standard_normal((N, Te, 1, Dr)).astype(np.float32),
+        "entity_object_score": rng.uniform(0, 1, (N, Te)).astype(np.float32),
+    }
+    store = DeviceEntityStore(cfg, big_tables, dtype=jnp.float32)
+    feats_fn = store.drin_feats_fn()
+    assert feats_fn.tables is not None  # the pass-as-argument contract
+
+    rows_batch = ds.drin_rows_batch(np.arange(4))
+    model = DRIN(cfg)
+    feats = feats_fn(tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1]))
+    params = model.init(jax.random.key(0), feats)["params"]
+    state, tx = create_train_state(params, cfg)
+    fns = build_step_fns(lambda p, f: model.apply({"params": p}, f), cfg, tx,
+                         feats_fn=feats_fn)
+    batch = tuple(np.asarray(x) for x in rows_batch)
+    lowered = fns.train_step.lower(state, batch, np.ones((4,), np.float32),
+                                   __import__("drin_tpu.train.metrics",
+                                              fromlist=["init_state"]).init_state(cfg.metrics_topk))
+    text = lowered.as_text()
+    total = sum(np.asarray(t).nbytes for t in feats_fn.tables)
+    assert total > 5_000_000  # the table really is big
+    assert len(text) < 2_000_000, (
+        f"lowered program is {len(text)/1e6:.1f}MB of text - entity tables "
+        "are being embedded as constants instead of passed as arguments")
