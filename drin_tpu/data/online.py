@@ -84,6 +84,76 @@ def extract_mention(tokens: np.ndarray, start: int, end: int, max_len: int,
     return ids, mask, 1, end - start + 1
 
 
+def assemble_online_feats(cfg: Config, tokenizer, sentences, char_spans,
+                          candidate_texts, mention_images=None):
+    """Serving-time batch assembly from raw strings — no feature store.
+
+    Mirrors :meth:`OnlineMELDataset.online_batch` for caller-supplied data
+    (the serving path the reference lacks; its online dataset is bound to
+    the preprocessed store, baselines/data.py:128-168).
+
+    ``char_spans``: per-mention (start, end) CHARACTER offsets into the
+    sentence (converted to token positions with the prepare-stage logic,
+    reference prepare.py:31-52).  ``candidate_texts``: per-mention list of
+    candidate strings, padded/truncated to ``num_candidates_model``.
+    ``mention_images``: [B, R, Dr] region features when the mention encoder
+    is multimodal (zeros otherwise).  Returns the model feature tuple
+    (OnlineBatch minus the answer)."""
+    from drin_tpu.preprocess.prepare import MentionPositionProcessor
+
+    B = len(sentences)
+    C = cfg.num_candidates_model
+    sentences = [str(s) for s in sentences]
+    starts = [int(s) for s, _ in char_spans]
+    ends = [int(e) for _, e in char_spans]
+    s_tok, e_tok = MentionPositionProcessor(tokenizer)(sentences, starts, ends)
+
+    enc = tokenizer(sentences, padding="max_length", truncation=True,
+                    max_length=cfg.max_bert_len)
+    mention_ids, mention_mask = enc["input_ids"], enc["attention_mask"]
+    start_pos = np.asarray(s_tok, np.int64) + 1  # CLS shift
+    end_pos = np.asarray(e_tok, np.int64) + 1
+    if cfg.pre_extract_mention:
+        new_ids = np.zeros_like(mention_ids)
+        new_mask = np.zeros_like(mention_mask)
+        s = np.ones((B,), np.int64)
+        e = np.ones((B,), np.int64)
+        for b in range(B):
+            new_ids[b], new_mask[b], s[b], e[b] = extract_mention(
+                mention_ids[b], int(s_tok[b]), int(e_tok[b]),
+                cfg.max_bert_len, tokenizer.cls_id, tokenizer.sep_id)
+        mention_ids, mention_mask, start_pos, end_pos = new_ids, new_mask, s, e
+
+    cands = [list(map(str, row))[:C] + [""] * max(0, C - len(row))
+             for row in candidate_texts]
+    if cfg.num_entity_sentence:
+        S = cfg.num_entity_sentence
+        per = (C + S - 1) // S
+        ids = np.zeros((B, S, cfg.max_bert_len), np.int64)
+        mask = np.zeros((B, S, cfg.max_bert_len), np.int64)
+        sep = np.zeros((B, S, per), np.int64)
+        for b in range(B):
+            token_lists = [tokenizer.encode(t, truncation=True) for t in cands[b]]
+            ids[b], mask[b], sep[b] = zip_entities(
+                token_lists, S, cfg.max_bert_len, tokenizer.cls_id)
+    else:
+        flat = [t for row in cands for t in row]
+        e = tokenizer(flat, padding="max_length", truncation=True,
+                      max_length=cfg.max_entity_attr_token_len)
+        ids = e["input_ids"].reshape(B, C, -1)
+        mask = e["attention_mask"].reshape(B, C, -1)
+        sep = np.zeros((B,), np.int64)
+
+    if mention_images is not None:
+        mi = np.asarray(mention_images, np.float32)
+    elif cfg.mention_final_layer_name == "multimodal":
+        mi = np.zeros((B, cfg.resnet_num_region, cfg.resnet_embed_dim), np.float32)
+    else:
+        mi = np.zeros((B,), np.float32)
+    return (mention_ids, mention_mask, start_pos, end_pos, mi,
+            ids, mask, sep, np.zeros((B,), np.float32))
+
+
 _WORKER_TOK = None
 
 

@@ -63,10 +63,24 @@ def load_reference(dataset_name: str = "wikidiverse", model_type: str = "drin"):
     Returns the ``common.args`` module; model modules are then importable via
     :func:`ref_import`."""
     _install_stubs()
+    # APPEND, never prepend: the reference tree also has a top-level
+    # ``train.py`` (and ``preprocess``), which would shadow this repo's
+    # entry modules for every later ``import train`` in the test process.
+    # Only the reference's package names (common/baselines/drin) are
+    # resolved through this path entry; none collide with repo modules.
     if REFERENCE_PATH not in sys.path:
-        sys.path.insert(0, REFERENCE_PATH)
+        sys.path.append(REFERENCE_PATH)
     for m in _REF_MODULES:
         sys.modules.pop(m, None)
+    # drop any reference modules a previous prepend-era import cached under
+    # repo-owned names
+    for name in ("train", "preprocess"):
+        mod = sys.modules.get(name)
+        origin = getattr(mod, "__file__", None) or ""  # namespace pkgs: None
+        paths = list(getattr(mod, "__path__", []) or [])
+        if mod is not None and (origin.startswith(REFERENCE_PATH)
+                                or any(p.startswith(REFERENCE_PATH) for p in paths)):
+            sys.modules.pop(name, None)
     args = importlib.import_module("common.args")
     args.use_device = "cpu"
     args.model_type = model_type

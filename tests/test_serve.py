@@ -161,3 +161,68 @@ def test_drin_entity_projection_matches(served):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
     s, i = r.rank(batch[:-1], k=3)
     np.testing.assert_allclose(s[:, 0], want.max(-1), rtol=1e-5)
+
+
+def test_rank_text_raw_strings(tmp_path):
+    """Raw-text serving: sentences + char spans + candidate strings rank
+    through the online model (tokenize -> span-convert -> score), matching
+    the explicit feature-tuple path, over HTTP too."""
+    from drin_tpu.data.online import assemble_online_feats
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.encoders.bert import BertConfig
+    from drin_tpu.models.ghmfc import GHMFCOnline
+    from drin_tpu.serve import Ranker, serve_http
+    from drin_tpu.text.wordpiece import BertTokenizer, build_tiny_vocab
+
+    sentences = ["Alpha beta gamma delta", "Epsilon zeta eta theta"]
+    cands = [["Alpha thing", "beta thing", "gamma"],
+             ["zeta item", "eta item", "theta"]]
+    vocab = build_tiny_vocab(sentences + [t for row in cands for t in row])
+    vocab_path = str(tmp_path / "vocab.txt")
+    inv = {v: k for k, v in vocab.items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+
+    C = 3
+    cfg = tiny_config("wikimel", "ghmfc").replace(
+        online_bert=True, num_entity_sentence=0, finetune_bert=False,
+        mention_final_layer_name="linear", bert_vocab=vocab_path,
+        max_bert_len=32, max_entity_attr_token_len=8,
+        num_candidates_data=C - 1, metrics_topk=(1,), compute_dtype="float32")
+    bert_cfg = BertConfig(vocab_size=len(vocab), hidden_size=8,
+                          num_hidden_layers=1, num_attention_heads=2,
+                          intermediate_size=16, max_position_embeddings=32)
+    model = GHMFCOnline(cfg, bert_cfg)
+    tok = BertTokenizer(vocab_file=vocab_path, do_lower_case=False,
+                        model_max_length=cfg.max_bert_len)
+    spans = [(0, 5), (8, 12)]
+    feats = assemble_online_feats(cfg, tok, sentences, spans, cands)
+    params = model.init(jax.random.key(0), feats)["params"]
+    r = Ranker(cfg, params=params, model=model)
+
+    scores, idx = r.rank_text(sentences, spans, cands, k=2)
+    assert scores.shape == idx.shape == (2, 2)
+    # matches the feature-tuple path exactly
+    want = r.score(feats)
+    np.testing.assert_allclose(scores, np.sort(want, axis=1)[:, ::-1][:, :2], rtol=1e-6)
+
+    # short candidate lists pad to C; long ones truncate
+    s2, i2 = r.rank_text(sentences, spans, [["Alpha thing"], cands[1] + ["extra"]], k=1)
+    assert s2.shape == (2, 1)
+
+    # HTTP endpoint
+    server = serve_http(r, port=0)
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank_text",
+            data=json.dumps({"sentences": sentences, "spans": [list(s) for s in spans],
+                             "candidates": cands, "k": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        np.testing.assert_allclose(np.asarray(out["scores"]), scores, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out["indices"]), idx)
+    finally:
+        server.shutdown()
