@@ -147,6 +147,14 @@ class Config:
     resume_from: Optional[str] = None
     # Compute dtype for the model body; params stay f32.
     compute_dtype: str = "float32"
+    # Online path: trim each batch's token tensors to the batch max content
+    # length rounded up to this multiple (0 disables).  EXACT numerics: the
+    # removed columns are all-padding, which BERT's additive mask already
+    # zeroes out of every kept position (softmax terms are exact zeros) —
+    # the reference always runs the full 512 columns.  A few buckets means
+    # a few XLA programs.  Single-process only (multi-host SPMD needs one
+    # global batch shape; the dataset disables it there).
+    online_length_buckets: int = 128
     # Online path: route BERT self-attention through the flash-style fused
     # Pallas kernel (ops/pallas/attention.py) — the [L, L] logits stay in
     # VMEM instead of round-tripping HBM, which is what out-of-memories a

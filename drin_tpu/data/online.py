@@ -84,6 +84,23 @@ def extract_mention(tokens: np.ndarray, start: int, end: int, max_len: int,
     return ids, mask, 1, end - start + 1
 
 
+def bucket_trim(ids: np.ndarray, mask: np.ndarray, bucket: int, floor: int = 1):
+    """Trim trailing all-padding token columns down to the batch's max
+    content length rounded up to ``bucket`` (≥ ``floor``).
+
+    EXACT numerics (Config.online_length_buckets): the removed columns are
+    padding in every row, already excluded from each kept position by the
+    additive attention mask — their softmax terms are exact zeros, so
+    ``p @ V`` and all per-position ops are unchanged.  The reference always
+    runs the full ``max_bert_len`` columns (baselines/data.py pads to 512)."""
+    if not bucket:
+        return ids, mask
+    used = int(mask.sum(-1).max()) if mask.size else 1
+    L = ids.shape[-1]
+    new_len = min(L, max(floor, ((max(used, 1) + bucket - 1) // bucket) * bucket))
+    return ids[..., :new_len], mask[..., :new_len]
+
+
 def assemble_online_feats(cfg: Config, tokenizer, sentences, char_spans,
                           candidate_texts, mention_images=None):
     """Serving-time batch assembly from raw strings — no feature store.
@@ -123,6 +140,9 @@ def assemble_online_feats(cfg: Config, tokenizer, sentences, char_spans,
                 mention_ids[b], int(s_tok[b]), int(e_tok[b]),
                 cfg.max_bert_len, tokenizer.cls_id, tokenizer.sep_id)
         mention_ids, mention_mask, start_pos, end_pos = new_ids, new_mask, s, e
+    mention_ids, mention_mask = bucket_trim(
+        mention_ids, mention_mask, cfg.online_length_buckets,
+        floor=cfg.max_mention_sentence_len)
 
     cands = [list(map(str, row))[:C] + [""] * max(0, C - len(row))
              for row in candidate_texts]
@@ -136,6 +156,7 @@ def assemble_online_feats(cfg: Config, tokenizer, sentences, char_spans,
             token_lists = [tokenizer.encode(t, truncation=True) for t in cands[b]]
             ids[b], mask[b], sep[b] = zip_entities(
                 token_lists, S, cfg.max_bert_len, tokenizer.cls_id)
+        ids, mask = bucket_trim(ids, mask, cfg.online_length_buckets)
     else:
         flat = [t for row in cands for t in row]
         e = tokenizer(flat, padding="max_length", truncation=True,
@@ -214,6 +235,11 @@ class OnlineMELDataset:
             self.mention_image = npy_io.load_field(d, "mention_image_feature", split, cfg.mention_mmap)
         if cfg.entity_final_layer_name == "multimodal":
             self.entity_image = npy_io.load_field(d, "entity_image_feature", split, cfg.entity_mmap)
+        # length bucketing needs one global batch shape across hosts, so it
+        # only applies in single-process runs (Config.online_length_buckets)
+        import jax
+
+        self._bucket = cfg.online_length_buckets if jax.process_count() == 1 else 0
         self._pool = None
         # a fork pool only pays off with real cores to spread the GIL-bound
         # tokenizer over (verified: on a 1-core host IPC overhead makes it a
@@ -261,6 +287,9 @@ class OnlineMELDataset:
                     mention_ids[b], int(self.start_pos[idx[b]]), int(self.end_pos[idx[b]]),
                     cfg.max_bert_len, tok.cls_id, tok.sep_id)
             mention_ids, mention_mask, start_pos, end_pos = new_ids, new_mask, s, e
+        # floor: the model slices the mention tower to max_mention_sentence_len
+        mention_ids, mention_mask = bucket_trim(
+            mention_ids, mention_mask, self._bucket, floor=cfg.max_mention_sentence_len)
 
         if cfg.num_entity_sentence:
             S = cfg.num_entity_sentence
@@ -276,6 +305,7 @@ class OnlineMELDataset:
                 for b in range(B):
                     token_lists = [tok.encode(str(t), truncation=True) for t in self.entity_text[idx[b]]]
                     ids[b], mask[b], sep[b] = zip_entities(token_lists, S, cfg.max_bert_len, tok.cls_id)
+            ids, mask = bucket_trim(ids, mask, self._bucket)
         else:
             flat = [str(t) for t in self.entity_text[idx].reshape(-1)]
             e = tok(flat, padding="max_length", truncation=True, max_length=cfg.max_entity_attr_token_len)

@@ -312,3 +312,53 @@ def test_ghmfc_online_direct_parity():
          eids, emask, np.zeros((B,), np.int64), np.zeros(B))))
     assert ours.shape == ref_out.shape == (B, C)
     np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_length_bucketing_is_exact():
+    """bucket_trim removes only all-padding token columns; the online model's
+    scores must be identical (Config.online_length_buckets rationale)."""
+    import jax
+
+    from drin_tpu.data.online import bucket_trim
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.encoders.bert import BertConfig
+    from drin_tpu.models.ghmfc import GHMFCOnline
+
+    B, C, S, L, Lm = 2, 5, 2, 32, 8
+    cfg = tiny_config("wikimel", "ghmfc").replace(
+        num_candidates_data=C - 1, online_bert=True, num_entity_sentence=S,
+        finetune_bert=False, mention_final_layer_name="linear",
+        max_mention_sentence_len=Lm, max_bert_len=L)
+    bert_cfg = BertConfig(vocab_size=32, hidden_size=8, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=16,
+                          max_position_embeddings=L)
+    model = GHMFCOnline(cfg, bert_cfg)
+    rng = np.random.default_rng(9)
+
+    def tokens(shape, maxlen):
+        ids = np.zeros(shape + (L,), np.int64)
+        mask = np.zeros(shape + (L,), np.int64)
+        flat_ids = ids.reshape(-1, L)
+        flat_mask = mask.reshape(-1, L)
+        for r in range(flat_ids.shape[0]):
+            n = int(rng.integers(5, maxlen))
+            flat_ids[r, 0], flat_ids[r, 1 : n - 1], flat_ids[r, n - 1] = 1, rng.integers(5, 32, n - 2), 2
+            flat_mask[r, :n] = 1
+        return ids, mask
+
+    mids, mmask = tokens((B,), 14)
+    eids, emask = tokens((B, S), 17)
+    per = (C + S - 1) // S
+    sep = np.sort(rng.integers(2, 15, (B, S, per)), axis=-1).astype(np.int64)
+    feats_full = (mids, mmask, np.ones((B,), np.int64), np.full((B,), 3, np.int64),
+                  np.zeros((B,), np.float32), eids, emask, sep,
+                  np.zeros((B,), np.float32))
+    params = model.init(jax.random.key(0), feats_full)["params"]
+    want = np.asarray(model.apply({"params": params}, feats_full))
+
+    tm_ids, tm_mask = bucket_trim(mids, mmask, 8, floor=Lm)
+    te_ids, te_mask = bucket_trim(eids, emask, 8)
+    assert te_ids.shape[-1] < L and tm_ids.shape[-1] < L  # actually trimmed
+    feats_trim = (tm_ids, tm_mask) + feats_full[2:5] + (te_ids, te_mask) + feats_full[7:]
+    got = np.asarray(model.apply({"params": params}, feats_trim))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
