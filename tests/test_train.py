@@ -328,3 +328,27 @@ def test_sigterm_checkpoints_and_stops(tmp_path, wd_cfg):
 
     tr2, _, _ = _make_trainer(cfg)  # resumes from the saved checkpoint
     assert tr2.epoch == 1
+
+
+def test_masked_opt_state_checkpoint_roundtrip(tmp_path):
+    """The frozen-BERT masked Adam state (MaskedNode placeholders) must
+    survive an Orbax save/restore cycle bit-for-bit."""
+    import optax
+    import orbax.checkpoint as ocp
+
+    _, _, state, fns, batch = _tiny_online_setup(finetune=False)
+    new_state, _, _ = fns.train_step(state, batch, np.ones((4,), np.float32),
+                                     M.init_state((1,)))
+    payload = {"params": new_state.params, "opt_state": new_state.opt_state,
+               "step": new_state.step}
+    mgr = ocp.CheckpointManager(str(tmp_path))
+    mgr.save(1, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, payload)
+    restored = mgr.restore(1, args=ocp.args.StandardRestore(abstract))
+    assert isinstance(restored["opt_state"].inner_state[0].mu["bert"], optax.MaskedNode)
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        jax.device_get(restored["opt_state"]), jax.device_get(new_state.opt_state))
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.device_get(restored["params"]), jax.device_get(new_state.params))
