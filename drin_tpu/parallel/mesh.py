@@ -46,6 +46,37 @@ def make_mesh(cfg: Optional[Config] = None, devices: Optional[Sequence[jax.Devic
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 
 
+def group_by_slice(devices: Optional[Sequence[jax.Device]] = None) -> list:
+    """Group devices by TPU slice (``slice_index``; one group on platforms
+    without slices).  Preserves device order within each group."""
+    if devices is None:
+        devices = jax.devices()
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    return [groups[k] for k in sorted(groups)]
+
+
+def make_hybrid_mesh(slices: Optional[Sequence[Sequence[jax.Device]]] = None,
+                     model: int = 1) -> Mesh:
+    """(data, model) mesh for multi-slice pods: the ``model`` axis (candidate
+    sharding — latency-critical all-gather/reduce-scatter per step) is laid
+    out WITHIN a slice so its collectives ride ICI; the ``data`` axis spans
+    slices, so only the DP gradient/metric psums cross DCN.
+
+    ``slices`` defaults to :func:`group_by_slice` over all devices; each
+    slice contributes ``len(slice) // model * model`` devices."""
+    if slices is None:
+        slices = group_by_slice()
+    per = min(len(s) for s in slices) // model * model
+    assert per >= model and per % model == 0, (
+        f"each slice must hold >= model={model} devices (have {per})")
+    blocks = [np.asarray(s[:per], dtype=object).reshape(per // model, model)
+              for s in slices]
+    devices = np.concatenate(blocks, axis=0)  # [n_slices * per/model, model]
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_specs(mesh: Mesh, batch_fields: Sequence[str], example_batch: Sequence) -> tuple:
     """PartitionSpecs for a DRIN/baseline batch tuple.
 

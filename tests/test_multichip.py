@@ -497,3 +497,35 @@ def test_device_tables_with_candidate_padding(shard_rows):
     _, loss2, m2 = fns2.train_step(st2, put,
                                    jax.device_put(valid, fns2.valid_sharding), m2)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+
+
+def test_hybrid_mesh_layout_and_step():
+    """make_hybrid_mesh keeps the model axis inside each 'slice' (candidate
+    collectives ride ICI; only DP reductions span slices/DCN) and the train
+    step on it matches the single-device step."""
+    cfg, model, batch, params, apply_fn = _setup()
+    devs = jax.devices()[:8]
+    fake_slices = [devs[:4], devs[4:]]  # simulate 2 slices on the CPU mesh
+    mesh = pmesh.make_hybrid_mesh(fake_slices, model=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "model": 2}
+    # model-axis neighbors co-located in one slice; data axis spans both
+    for row in mesh.devices:
+        assert all(d in fake_slices[0] for d in row) or all(d in fake_slices[1] for d in row)
+    first_col = [mesh.devices[i, 0] for i in range(4)]
+    assert any(d in fake_slices[0] for d in first_col) and any(d in fake_slices[1] for d in first_col)
+
+    valid = np.ones((cfg.batch_size,), np.float32)
+    host_params = jax.device_get(params)
+    state1, tx1 = create_train_state(jax.tree.map(jnp.asarray, host_params), cfg)
+    fns1 = build_step_fns(apply_fn, cfg, tx1)
+    _, loss1, _ = fns1.train_step(state1, tuple(jnp.asarray(x) for x in batch),
+                                  jnp.asarray(valid), M.init_state(cfg.metrics_topk))
+
+    state2, tx2 = create_train_state(jax.tree.map(jnp.asarray, host_params), cfg)
+    fns2 = build_step_fns(apply_fn, cfg, tx2, mesh, FIELDS, batch)
+    put = pmesh.put_batch(batch, fns2.batch_shardings)
+    m2 = jax.device_put(M.init_state(cfg.metrics_topk), fns2.replicated)
+    state2 = jax.device_put(state2, fns2.replicated)
+    _, loss2, m2 = fns2.train_step(state2, put, jax.device_put(valid, fns2.valid_sharding), m2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    assert int(jax.device_get(m2["total"])) == cfg.batch_size

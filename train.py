@@ -50,7 +50,18 @@ def main(argv=None) -> None:
     root_key = jax.random.key(cfg.seed)
 
     model, kind = get_model(cfg)
-    mesh = make_mesh(cfg) if cfg.num_devices > 1 else None
+    mesh = None
+    if cfg.num_devices > 1:
+        from drin_tpu.parallel.mesh import group_by_slice, make_hybrid_mesh
+
+        slices = group_by_slice()
+        if len(slices) > 1:
+            # multi-slice pod: lay the model (candidate) axis within a slice
+            # so its per-step collectives ride ICI; only DP reductions cross
+            # DCN (parallel/mesh.make_hybrid_mesh)
+            mesh = make_hybrid_mesh(slices, model=cfg.mesh_model)
+        else:
+            mesh = make_mesh(cfg)
     feats_fn = None
     if kind == "online":
         from drin_tpu.data.online import OnlineMELDataset
