@@ -30,31 +30,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_chain(jfn, x0, extras, K, iters=8):
-    import jax.numpy as jnp
-
-    eps = jnp.float32(0.0)
-    float(jfn(eps, x0, *extras))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        eps = jfn(eps, x0, *extras)
-    float(eps)
-    return (time.perf_counter() - t0) / (iters * K)
-
-
 def main():
     import jax
     import jax.numpy as jnp
+
+    from benchmarks._timing import timed_chain
 
     log(f"devices: {jax.devices()}")
     K = 4
     rng = np.random.default_rng(0)
 
     # ---- BERT-base text encoder at the 512-token stage shape -------------
-    from drin_tpu.encoders.bert import BertConfig, BertModel
+    # fused attention mirrors what BertStage resolves on a single-device TPU
+    from drin_tpu.encoders.bert import BertConfig, BertModel, resolve_fused_attention
 
     B = 64
-    bert = BertModel(BertConfig())
+    bert = BertModel(BertConfig(), fused_attention=resolve_fused_attention(None))
     ids = rng.integers(5, 28000, (2, 512)).astype(np.int32)
     params = jax.device_get(bert.init(jax.random.key(0), ids, np.ones((2, 512), np.int32))["params"])
     params = jax.device_put(jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16)
@@ -64,11 +55,17 @@ def main():
 
     def bert_chain(eps, ids, params, mask, K=K):
         for _ in range(K):
-            h, _ = bert.apply({"params": params}, ids + (eps.astype(jnp.int32) * 0), mask)
+            # float perturbation of a PARAM leaf: int-input perturbations
+            # fold to identity and CSE collapses the chain (_timing.py)
+            emb = params["embeddings"]
+            p = dict(params, embeddings=dict(
+                emb, word_embeddings=emb["word_embeddings"]
+                + eps.astype(emb["word_embeddings"].dtype) * 1e-12))
+            h, _ = bert.apply({"params": p}, ids, mask)
             eps = jnp.sum(h[0, 0, :8].astype(jnp.float32)) * 1e-9 + eps
         return eps
 
-    dt = timed_chain(jax.jit(bert_chain), ids, (params, mask), K)
+    dt = timed_chain(jax.jit(bert_chain), (ids, params, mask), K)
     print(json.dumps({"encoder": "bert-base-512tok", "batch": B,
                       "ms_per_batch": round(dt * 1e3, 2),
                       "texts_per_sec": round(B / dt, 1)}), flush=True)
@@ -91,7 +88,7 @@ def main():
             eps = jnp.sum(jnp.asarray(pooled, jnp.float32).ravel()[:8]) * 1e-9 + eps
         return eps
 
-    dt = timed_chain(jax.jit(rn_chain), px, (params,), K)
+    dt = timed_chain(jax.jit(rn_chain), (px, params), K)
     print(json.dumps({"encoder": "resnet152-224px", "batch": B,
                       "ms_per_batch": round(dt * 1e3, 2),
                       "images_per_sec": round(B / dt, 1)}), flush=True)
@@ -115,7 +112,7 @@ def main():
             eps = jnp.sum(jnp.asarray(pooled, jnp.float32).ravel()[:8]) * 1e-9 + eps
         return eps
 
-    dt = timed_chain(jax.jit(clip_chain), px, (params,), K)
+    dt = timed_chain(jax.jit(clip_chain), (px, params), K)
     print(json.dumps({"encoder": "clip-vit-b32-224px", "batch": B,
                       "ms_per_batch": round(dt * 1e3, 2),
                       "images_per_sec": round(B / dt, 1)}), flush=True)

@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -73,20 +72,13 @@ def main():
     ranker.store.image = jax.random.normal(keys[1], (N, 1, Dr), dt16)
     ranker.store.obj = jax.random.normal(keys[2], (N, Te, 1, Dr), dt16)
     ranker.store.obj_score = jax.random.uniform(keys[3], (N, Te), dt16)
-    feats_fn = ranker.store.drin_feats_fn()
+    ranker.set_store(ranker.store)  # rebind the scoring fns to the new tables
+    feats_fn = ranker._feats_fn
     tables = feats_fn.tables
     nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize for t in tables)
     log(f"device tables: {nbytes / 1e6:.0f} MB resident ({N} entities, bf16)")
 
-    def timed_chain(jfn, args, K, iters):
-        """jfn(eps, *args) -> eps chained K times inside one program."""
-        eps = jnp.float32(0.0)
-        float(jfn(eps, *args))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            eps = jfn(eps, *args)
-        float(eps)
-        return (time.perf_counter() - t0) / (iters * K)
+    from benchmarks._timing import timed_chain
 
     # stage-1 retrieval: [B, D] x [D, N] cosine + top-k over the full table
     norm_table = jax.jit(lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(

@@ -125,45 +125,11 @@ def assemble_online_feats(cfg: Config, tokenizer, sentences, char_spans,
     ends = [int(e) for _, e in char_spans]
     s_tok, e_tok = MentionPositionProcessor(tokenizer)(sentences, starts, ends)
 
-    enc = tokenizer(sentences, padding="max_length", truncation=True,
-                    max_length=cfg.max_bert_len)
-    mention_ids, mention_mask = enc["input_ids"], enc["attention_mask"]
-    start_pos = np.asarray(s_tok, np.int64) + 1  # CLS shift
-    end_pos = np.asarray(e_tok, np.int64) + 1
-    if cfg.pre_extract_mention:
-        new_ids = np.zeros_like(mention_ids)
-        new_mask = np.zeros_like(mention_mask)
-        s = np.ones((B,), np.int64)
-        e = np.ones((B,), np.int64)
-        for b in range(B):
-            new_ids[b], new_mask[b], s[b], e[b] = extract_mention(
-                mention_ids[b], int(s_tok[b]), int(e_tok[b]),
-                cfg.max_bert_len, tokenizer.cls_id, tokenizer.sep_id)
-        mention_ids, mention_mask, start_pos, end_pos = new_ids, new_mask, s, e
-    mention_ids, mention_mask = bucket_trim(
-        mention_ids, mention_mask, cfg.online_length_buckets,
-        floor=cfg.max_mention_sentence_len)
-
+    mention_ids, mention_mask, start_pos, end_pos = mention_tokens(
+        cfg, tokenizer, sentences, s_tok, e_tok, cfg.online_length_buckets)
     cands = [list(map(str, row))[:C] + [""] * max(0, C - len(row))
              for row in candidate_texts]
-    if cfg.num_entity_sentence:
-        S = cfg.num_entity_sentence
-        per = (C + S - 1) // S
-        ids = np.zeros((B, S, cfg.max_bert_len), np.int64)
-        mask = np.zeros((B, S, cfg.max_bert_len), np.int64)
-        sep = np.zeros((B, S, per), np.int64)
-        for b in range(B):
-            token_lists = [tokenizer.encode(t, truncation=True) for t in cands[b]]
-            ids[b], mask[b], sep[b] = zip_entities(
-                token_lists, S, cfg.max_bert_len, tokenizer.cls_id)
-        ids, mask = bucket_trim(ids, mask, cfg.online_length_buckets)
-    else:
-        flat = [t for row in cands for t in row]
-        e = tokenizer(flat, padding="max_length", truncation=True,
-                      max_length=cfg.max_entity_attr_token_len)
-        ids = e["input_ids"].reshape(B, C, -1)
-        mask = e["attention_mask"].reshape(B, C, -1)
-        sep = np.zeros((B,), np.int64)
+    ids, mask, sep = entity_tokens(cfg, tokenizer, cands, cfg.online_length_buckets)
 
     if mention_images is not None:
         mi = np.asarray(mention_images, np.float32)
@@ -190,6 +156,68 @@ def _zip_row(args):
     tok = _WORKER_TOK
     token_lists = [tok.encode(str(t), truncation=True) for t in texts]
     return zip_entities(token_lists, S, max_len, tok.cls_id)
+
+
+def mention_tokens(cfg: Config, tokenizer, sentences, starts_tok, ends_tok,
+                   bucket: int):
+    """Mention-side token assembly shared by the dataset and serving paths:
+    tokenize padded to ``max_bert_len``, CLS-shift the RAW token positions
+    (baselines/data.py:162), optionally re-pack as standalone
+    ``[CLS mention SEP]`` sentences (``pre_extract_mention``,
+    baselines/data.py:154-156), then length-bucket."""
+    B = len(sentences)
+    enc = tokenizer(sentences, padding="max_length", truncation=True,
+                    max_length=cfg.max_bert_len)
+    ids, mask = enc["input_ids"], enc["attention_mask"]
+    start = np.asarray(starts_tok, np.int64) + 1
+    end = np.asarray(ends_tok, np.int64) + 1
+    if cfg.pre_extract_mention:
+        new_ids = np.zeros_like(ids)
+        new_mask = np.zeros_like(mask)
+        s = np.ones((B,), np.int64)
+        e = np.ones((B,), np.int64)
+        for b in range(B):
+            new_ids[b], new_mask[b], s[b], e[b] = extract_mention(
+                ids[b], int(starts_tok[b]), int(ends_tok[b]),
+                cfg.max_bert_len, tokenizer.cls_id, tokenizer.sep_id)
+        ids, mask, start, end = new_ids, new_mask, s, e
+    # floor: the model slices the mention tower to max_mention_sentence_len
+    ids, mask = bucket_trim(ids, mask, bucket, floor=cfg.max_mention_sentence_len)
+    return ids, mask, start, end
+
+
+def entity_tokens(cfg: Config, tokenizer, texts_rows, bucket: int, pool=None):
+    """Entity-side token assembly shared by the dataset and serving paths:
+    zipped candidate sentences (zip_entities + length bucket) when
+    ``num_entity_sentence`` is set, else direct per-candidate ``[B, C, Le]``
+    batches.  ``pool`` parallelizes the zipped tokenization (fork pool)."""
+    B = len(texts_rows)
+    C = cfg.num_candidates_model
+    if cfg.num_entity_sentence:
+        S = cfg.num_entity_sentence
+        per = (C + S - 1) // S
+        ids = np.zeros((B, S, cfg.max_bert_len), np.int64)
+        mask = np.zeros((B, S, cfg.max_bert_len), np.int64)
+        sep = np.zeros((B, S, per), np.int64)
+        if pool is not None:
+            jobs = [(list(map(str, texts_rows[b])), S, cfg.max_bert_len) for b in range(B)]
+            for b, (i_, m_, s_) in enumerate(pool.map(_zip_row, jobs)):
+                ids[b], mask[b], sep[b] = i_, m_, s_
+        else:
+            for b in range(B):
+                token_lists = [tokenizer.encode(str(t), truncation=True)
+                               for t in texts_rows[b]]
+                ids[b], mask[b], sep[b] = zip_entities(
+                    token_lists, S, cfg.max_bert_len, tokenizer.cls_id)
+        ids, mask = bucket_trim(ids, mask, bucket)
+    else:
+        flat = [str(t) for row in texts_rows for t in row]
+        e = tokenizer(flat, padding="max_length", truncation=True,
+                      max_length=cfg.max_entity_attr_token_len)
+        ids = e["input_ids"].reshape(B, C, -1)
+        mask = e["attention_mask"].reshape(B, C, -1)
+        sep = np.zeros((B,), np.int64)
+    return ids, mask, sep
 
 
 class OnlineMELDataset:
@@ -270,48 +298,12 @@ class OnlineMELDataset:
         tok = self.tokenizer
         B = len(idx)
         C = cfg.num_candidates_model
-        enc = tok([str(t) for t in self.mention_text[idx]], padding="max_length",
-                  truncation=True, max_length=cfg.max_bert_len)
-        mention_ids, mention_mask = enc["input_ids"], enc["attention_mask"]
-        start_pos = self.start_pos[idx] + 1  # CLS shift (baselines/data.py:162)
-        end_pos = self.end_pos[idx] + 1
-        if cfg.pre_extract_mention:
-            # mention tokens re-packed into standalone [CLS mention SEP]
-            # sentences (reference baselines/data.py:154-156)
-            new_ids = np.zeros_like(mention_ids)
-            new_mask = np.zeros_like(mention_mask)
-            s = np.ones((B,), np.int64)
-            e = np.ones((B,), np.int64)
-            for b in range(B):
-                new_ids[b], new_mask[b], s[b], e[b] = extract_mention(
-                    mention_ids[b], int(self.start_pos[idx[b]]), int(self.end_pos[idx[b]]),
-                    cfg.max_bert_len, tok.cls_id, tok.sep_id)
-            mention_ids, mention_mask, start_pos, end_pos = new_ids, new_mask, s, e
-        # floor: the model slices the mention tower to max_mention_sentence_len
-        mention_ids, mention_mask = bucket_trim(
-            mention_ids, mention_mask, self._bucket, floor=cfg.max_mention_sentence_len)
-
-        if cfg.num_entity_sentence:
-            S = cfg.num_entity_sentence
-            per = (C + S - 1) // S
-            ids = np.zeros((B, S, cfg.max_bert_len), np.int64)
-            mask = np.zeros((B, S, cfg.max_bert_len), np.int64)
-            sep = np.zeros((B, S, per), np.int64)
-            if self._pool is not None:
-                jobs = [(list(self.entity_text[idx[b]]), S, cfg.max_bert_len) for b in range(B)]
-                for b, (i_, m_, s_) in enumerate(self._pool.map(_zip_row, jobs)):
-                    ids[b], mask[b], sep[b] = i_, m_, s_
-            else:
-                for b in range(B):
-                    token_lists = [tok.encode(str(t), truncation=True) for t in self.entity_text[idx[b]]]
-                    ids[b], mask[b], sep[b] = zip_entities(token_lists, S, cfg.max_bert_len, tok.cls_id)
-            ids, mask = bucket_trim(ids, mask, self._bucket)
-        else:
-            flat = [str(t) for t in self.entity_text[idx].reshape(-1)]
-            e = tok(flat, padding="max_length", truncation=True, max_length=cfg.max_entity_attr_token_len)
-            ids = e["input_ids"].reshape(B, C, -1)
-            mask = e["attention_mask"].reshape(B, C, -1)
-            sep = np.zeros((B,), np.int64)
+        mention_ids, mention_mask, start_pos, end_pos = mention_tokens(
+            cfg, tok, [str(t) for t in self.mention_text[idx]],
+            self.start_pos[idx], self.end_pos[idx], self._bucket)
+        ids, mask, sep = entity_tokens(
+            cfg, tok, [self.entity_text[idx[b]] for b in range(B)],
+            self._bucket, self._pool)
 
         mi = (np.asarray(self.mention_image[idx]) if self.mention_image is not None
               else np.zeros((B,), np.float32))

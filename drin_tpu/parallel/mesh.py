@@ -58,22 +58,40 @@ def group_by_slice(devices: Optional[Sequence[jax.Device]] = None) -> list:
 
 
 def make_hybrid_mesh(slices: Optional[Sequence[Sequence[jax.Device]]] = None,
-                     model: int = 1) -> Mesh:
+                     model: int = 1, data: Optional[int] = None) -> Mesh:
     """(data, model) mesh for multi-slice pods: the ``model`` axis (candidate
     sharding — latency-critical all-gather/reduce-scatter per step) is laid
     out WITHIN a slice so its collectives ride ICI; the ``data`` axis spans
     slices, so only the DP gradient/metric psums cross DCN.
 
-    ``slices`` defaults to :func:`group_by_slice` over all devices; each
-    slice contributes ``len(slice) // model * model`` devices."""
+    ``slices`` defaults to :func:`group_by_slice` over all devices.  A
+    rectangular mesh needs a uniform per-slice contribution: every slice
+    contributes the same ``min(len(slice)) // model * model`` devices (or
+    ``data // n_slices`` rows when an explicit total ``data`` width is
+    given); devices beyond that are left out with a warning."""
     if slices is None:
         slices = group_by_slice()
-    per = min(len(s) for s in slices) // model * model
-    assert per >= model and per % model == 0, (
-        f"each slice must hold >= model={model} devices (have {per})")
-    blocks = [np.asarray(s[:per], dtype=object).reshape(per // model, model)
+    smallest = min(len(s) for s in slices)
+    if data is not None:
+        assert data % len(slices) == 0, (
+            f"data={data} must divide over {len(slices)} slices")
+        rows = data // len(slices)
+        assert rows * model <= smallest, (
+            f"data={data} x model={model} needs {rows * model} devices/slice; "
+            f"smallest slice has {smallest}")
+    else:
+        rows = smallest // model
+    per = rows * model
+    assert per >= model, f"each slice must hold >= model={model} devices (smallest: {smallest})"
+    dropped = sum(len(s) - per for s in slices)
+    if dropped:
+        import warnings
+
+        warnings.warn(f"hybrid mesh uses {per} devices per slice; "
+                      f"{dropped} device(s) left out of the mesh")
+    blocks = [np.asarray(s[:per], dtype=object).reshape(rows, model)
               for s in slices]
-    devices = np.concatenate(blocks, axis=0)  # [n_slices * per/model, model]
+    devices = np.concatenate(blocks, axis=0)  # [n_slices * rows, model]
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -84,6 +84,18 @@ class Ranker:
         self._score = lambda params, feats: score_jit(params, feats, tables)
         self._topk = lambda params, feats, k: topk_jit(params, feats, tables, k)
 
+    def set_store(self, store):
+        """Swap in a different DeviceEntityStore and rebuild the jitted
+        scoring fns.  Required after any table change: the tables are bound
+        into ``_score``/``_topk`` at build time (as call arguments), so
+        mutating ``self.store`` alone would silently keep scoring against
+        the old tables."""
+        self.store = store
+        self._feats_fn = (store.drin_feats_fn() if self.kind == "drin"
+                          else store.baseline_feats_fn())
+        self._retrieval_table = None
+        self._build_score_fns()
+
     def precompute_entity_projection(self):
         """DRIN serving fast path: project the frozen entity tables through
         the trained entity-side linears ONCE (device_store.

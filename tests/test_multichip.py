@@ -529,3 +529,19 @@ def test_hybrid_mesh_layout_and_step():
     _, loss2, m2 = fns2.train_step(state2, put, jax.device_put(valid, fns2.valid_sharding), m2)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
     assert int(jax.device_get(m2["total"])) == cfg.batch_size
+
+
+def test_hybrid_mesh_honors_data_width():
+    """An explicit data width (cfg.mesh_data) limits the hybrid mesh instead
+    of silently grabbing every device; left-out devices warn."""
+    import warnings
+
+    devs = jax.devices()[:8]
+    fake_slices = [devs[:4], devs[4:]]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = pmesh.make_hybrid_mesh(fake_slices, model=1, data=4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "model": 1}
+    assert any("left out" in str(x.message) for x in w)
+    with pytest.raises(AssertionError, match="must divide"):
+        pmesh.make_hybrid_mesh(fake_slices, model=1, data=3)

@@ -68,7 +68,9 @@ def test_gather_tsan_stress():
     in the threaded gather aborts (halt_on_error) with a nonzero exit."""
     if shutil.which("g++") is None:
         pytest.skip("no g++")
-    r = subprocess.run(["make", "-C", NATIVE_DIR, "tsan_stress"],
+    # -B: always rebuild from the current sources (a stale binary would
+    # silently test old code)
+    r = subprocess.run(["make", "-B", "-C", NATIVE_DIR, "tsan_stress"],
                        capture_output=True, text=True)
     if r.returncode != 0:
         pytest.skip(f"tsan build unsupported here: {r.stderr[-500:]}")

@@ -226,3 +226,24 @@ def test_rank_text_raw_strings(tmp_path):
         np.testing.assert_array_equal(np.asarray(out["indices"]), idx)
     finally:
         server.shutdown()
+
+
+def test_set_store_rebinds_tables(served):
+    """Swapping entity tables must change scoring results only via
+    set_store — the tables are bound into the jitted fns at build time."""
+    from drin_tpu.data.device_store import DeviceEntityStore
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    before = r.score(batch[:-1])
+
+    rng = np.random.default_rng(3)
+    new_tables = {k: np.asarray(v) + rng.standard_normal(np.asarray(v).shape).astype(np.float32)
+                  if np.issubdtype(np.asarray(v).dtype, np.floating) else np.asarray(v)
+                  for k, v in tables.items()}
+    r.set_store(DeviceEntityStore(cfg, new_tables, dtype=np.float32))
+    after = r.score(batch[:-1])
+    assert not np.allclose(before, after), "set_store did not rebind the tables"
+    want = np.asarray(Ranker(cfg, params=params, entity_tables=new_tables).score(batch[:-1]))
+    np.testing.assert_allclose(after, want, rtol=1e-6)

@@ -58,8 +58,11 @@ def main(argv=None) -> None:
         if len(slices) > 1:
             # multi-slice pod: lay the model (candidate) axis within a slice
             # so its per-step collectives ride ICI; only DP reductions cross
-            # DCN (parallel/mesh.make_hybrid_mesh)
-            mesh = make_hybrid_mesh(slices, model=cfg.mesh_model)
+            # DCN (parallel/mesh.make_hybrid_mesh).  Honors the configured
+            # mesh sizes (mesh_data = -1 means all remaining devices).
+            mesh = make_hybrid_mesh(
+                slices, model=cfg.mesh_model,
+                data=None if cfg.mesh_data == -1 else cfg.mesh_data)
         else:
             mesh = make_mesh(cfg)
     feats_fn = None
