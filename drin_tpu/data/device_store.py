@@ -178,14 +178,14 @@ class DeviceEntityStore:
         multi-GB) tables into the lowered program as constants — measured
         to hang compilation at the real WikiMEL table size."""
         default_tables = self._tables()
-        gather = None
+        gathers: dict = {}  # keyed by candidate count (scatter layout depends on C)
 
         def feats_fn(feats, tables=default_tables):
-            nonlocal gather
             (mtf, mtm, sp, ep, mif, mof, mos, rows, miet, mtei) = feats
-            if gather is None:
-                gather = self._gather_fn(len(tables), rows.shape[1])
-            got = gather(*tables, rows)
+            C = rows.shape[1]
+            if C not in gathers:
+                gathers[C] = self._gather_fn(len(tables), C)
+            got = gathers[C](*tables, rows)
             if self.pooled:
                 etf, eif, eof, eos = got
                 etm = jnp.zeros((rows.shape[0],), jnp.int32)  # consumed at pooling
@@ -202,14 +202,14 @@ class DeviceEntityStore:
         contract."""
         text, mask, image = self.text, self.text_mask, self.image
         default_tables = (text, image) if self.pooled else (text, mask, image)
-        gather = None
+        gathers: dict = {}
 
         def feats_fn(feats, tables=default_tables):
-            nonlocal gather
             (mtf, mtm, sp, ep, mif, rows) = feats
-            if gather is None:
-                gather = self._gather_fn(len(tables), rows.shape[1])
-            got = gather(*tables, rows)
+            C = rows.shape[1]
+            if C not in gathers:
+                gathers[C] = self._gather_fn(len(tables), C)
+            got = gathers[C](*tables, rows)
             if self.pooled:
                 etf, eif = got
                 etm = jnp.zeros((rows.shape[0],), jnp.int32)

@@ -112,6 +112,12 @@ class EntityEncoder(nn.Module):
                 m = ((pos >= 1) & (pos < num_tokens - 1))[..., None]
                 neg = jnp.finfo(entity_feature.dtype).min
                 encoded = jnp.max(jnp.where(m, entity_feature, neg), axis=-2)
+                # empty spans (zero-padded fake candidates from
+                # mesh.pad_candidates_to, or degenerate 0/1-token rows) would
+                # pool to finfo.min and overflow downstream matmuls into
+                # NaNs that poison the real candidates' scores — zero them
+                empty = ~jnp.any(m, axis=-2)
+                encoded = jnp.where(empty, 0.0, encoded)
         else:  # wikidiverse [B, C, D] passes through (ghmfc.py:239-240)
             encoded = entity_feature
         if cfg.entity_final_layer_name == "linear":

@@ -102,6 +102,14 @@ class BertStage:
         """Mirror of reference bert.py main (bert.py:86-109)."""
         cfg = self.cfg
         d = cfg.preprocess_dir
+        if cfg.entity_text_type not in ("attr", "name"):
+            # 'brief' is vestigial in the reference (its prepare stage never
+            # writes a brief source; README "Known gaps"): fail loudly
+            # instead of silently encoding attr-recipe text under the
+            # entity-brief-feature name
+            raise ValueError(
+                f"entity_text_type={cfg.entity_text_type!r} has no raw text "
+                "source in the prepared store; use 'attr' or 'name'")
         for split in splits:
             texts = load_field(d, "mention_text_raw", split)
             features, mask = self.encode_texts(texts, "last_hidden_state", cfg.max_mention_sentence_len)

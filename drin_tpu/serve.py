@@ -221,7 +221,16 @@ class Ranker:
         if getattr(self, "_retrieval_table", None) is None:
             # prefer trained model-space reprs when precomputed (GHMFC)
             reprs = getattr(self, "_entity_reprs", None)
-            table = reprs if reprs is not None else self.store.text[:, 0]  # [N, D]
+            if reprs is not None:
+                table = reprs
+            elif self.cfg.entity_projected:
+                # after precompute_entity_projection slot 0 holds the
+                # PROJECTED pooled text; callers pass raw-BERT mention
+                # reprs, so retrieval must stay in raw space — slot 1 keeps
+                # the raw CLS vector (device_store.project_drin_tables)
+                table = self.store.text[:, 1]
+            else:
+                table = self.store.text[:, 0]  # raw pooled text [N, D]
             self._retrieval_table = jax.jit(
                 lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(table)
             self._retrieve_jit = jax.jit(

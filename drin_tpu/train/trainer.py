@@ -175,7 +175,8 @@ class Trainer:
         self.apply_fn = apply_fn
         self.feats_fn = feats_fn
         self.mesh = mesh
-        self.log = log
+        self._is_main = jax.process_index() == 0
+        self.log = log if self._is_main else (lambda *a, **k: None)
         # candidate padding: when C doesn't divide the model axis (WikiMEL's
         # C=101 is prime) pad the candidate dim so entity tensors CAN shard;
         # the models mask the fakes and slice scores back (mesh.pad_candidates_to)
@@ -197,13 +198,10 @@ class Trainer:
         # multi-process SPMD: every host runs this same loop; each assembles
         # only the global-batch rows its devices own (parallel/distributed.py)
         self._proc_rows = None
-        self._is_main = jax.process_index() == 0
         if mesh is not None and jax.process_count() > 1:
             from drin_tpu.parallel import distributed as dist
 
             self._proc_rows = dist.process_row_range(self.fns.valid_sharding, cfg.batch_size)
-        if not self._is_main:
-            self.log = lambda *a, **k: None
         self._ckpt_mgr = None
         self._test_result_path = output_test_result_path
         if cfg.enable_checkpointing:

@@ -545,3 +545,29 @@ def test_hybrid_mesh_honors_data_width():
     assert any("left out" in str(x.message) for x in w)
     with pytest.raises(AssertionError, match="must divide"):
         pmesh.make_hybrid_mesh(fake_slices, model=1, data=3)
+
+
+def test_max_pooling_survives_candidate_padding():
+    """entity_final_pooling='max' (non-cacheable token-level path): the
+    zero-padded fake candidates have empty pooling spans, which used to pool
+    to finfo.min and NaN-poison every real score through the GCN's
+    cross-candidate means."""
+    import __graft_entry__ as g
+
+    cfg = tiny_config("wikimel", "drin").replace(
+        num_candidates_data=5, batch_size=4, metrics_topk=(1,),
+        entity_final_pooling="max", cache_entity_pooling=False)
+    assert not cfg.entity_pooling_cached
+    C = cfg.num_candidates_model
+    model = DRIN(cfg)
+    feats, answer = g._random_drin_batch(cfg, B=4, rng=np.random.default_rng(3))
+    params = model.init(jax.random.key(0), feats)["params"]
+    want = np.asarray(model.apply({"params": params}, feats))
+    assert np.isfinite(want).all()
+
+    cp = pmesh.padded_candidate_count(C, 4)  # 6 -> 8: two fake candidates
+    assert cp > C
+    padded = pmesh.pad_candidates_to(feats + (answer,), FIELDS, C, cp)
+    got = np.asarray(model.apply({"params": params}, padded[:-1]))
+    assert np.isfinite(got).all(), "fake candidates poisoned the scores"
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -88,8 +88,9 @@ def main(argv=None) -> None:
                 sharding=replicated(mesh) if (mesh is not None and not shard_rows) else None)
             feats_fn = store.drin_feats_fn() if kind == "drin" else store.baseline_feats_fn()
             kind = kind + "_rows"
-            print(f"device entity tables resident: {store.nbytes / 1e6:.0f} MB"
-                  + (" (row-sharded over the model axis)" if shard_rows else ""))
+            if jax.process_index() == 0:
+                print(f"device entity tables resident: {store.nbytes / 1e6:.0f} MB"
+                      + (" (row-sharded over the model axis)" if shard_rows else ""))
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
     feats = tuple(np.asarray(x) for x in example[:-1])
     params = model.init(root_key, feats if feats_fn is None else feats_fn(feats))["params"]
