@@ -58,6 +58,7 @@ class VertexEncoder(nn.Module):
         entity_text_feature,  # [B, C, Le, Dt] (wikimel) | [B, C, Dt] (wikidiverse)
         entity_text_mask,  # [B, C, Le] | unused
         entity_image_feature,  # [B, C, 1, Dr] | [B, C, Dr]
+        deterministic: bool = True,
     ):
         cfg = self.cfg
         # text vertices reuse GHMFC's mention/entity encoders exactly like
@@ -67,7 +68,7 @@ class VertexEncoder(nn.Module):
 
         mt = MentionEncoder(cfg, name="mention_text_encoder")(
             mention_text_feature, mention_text_mask, mention_start_pos,
-            mention_end_pos, None,
+            mention_end_pos, None, deterministic,
         )
         et = EntityEncoder(cfg, name="entity_text_encoder")(
             entity_text_feature, entity_text_mask, None
@@ -105,7 +106,6 @@ class EdgeEncoder(nn.Module):
         entity_object_score,  # [B, C, Te]
     ):
         cfg = self.cfg
-        C = cfg.num_candidates_model
         # mtet: cosine(raw mention repr, entity CLS/pooled text)
         # (model.py:71-76; the final-repr fn follows
         # mention_final_representation: span-avg for drin's default
@@ -277,7 +277,7 @@ class DRIN(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, batch):
+    def __call__(self, batch, deterministic: bool = True):
         cfg = self.cfg
         (
             mention_text_feature,
@@ -304,6 +304,7 @@ class DRIN(nn.Module):
             entity_text_feature,
             entity_text_mask,
             entity_image_feature,
+            deterministic,
         )
         mtet, miei = EdgeEncoder(cfg, name="edge_encoder")(
             mention_text_feature,

@@ -28,7 +28,8 @@ from drin_tpu.nn.layers import (
     MultilayerTransformer,
     MultimodalFusion,
 )
-from drin_tpu.ops.core import cosine_similarity, token_span_mean, unzip_entities
+from drin_tpu.ops.core import (cosine_similarity, token_span_max,
+                               token_span_mean, unzip_entities)
 
 
 class MentionEncoder(nn.Module):
@@ -105,19 +106,12 @@ class EntityEncoder(nn.Module):
             elif cfg.entity_final_pooling == "avg":
                 num_tokens = jnp.sum(entity_mask, axis=-1)
                 encoded = token_span_mean(entity_feature, num_tokens)
-            else:  # max over valid tokens 1..n-1
-                Le = entity_feature.shape[-2]
-                pos = jnp.arange(Le).reshape(1, 1, Le)
-                num_tokens = jnp.sum(entity_mask, axis=-1)[..., None]
-                m = ((pos >= 1) & (pos < num_tokens - 1))[..., None]
-                neg = jnp.finfo(entity_feature.dtype).min
-                encoded = jnp.max(jnp.where(m, entity_feature, neg), axis=-2)
-                # empty spans (zero-padded fake candidates from
-                # mesh.pad_candidates_to, or degenerate 0/1-token rows) would
-                # pool to finfo.min and overflow downstream matmuls into
-                # NaNs that poison the real candidates' scores — zero them
-                empty = ~jnp.any(m, axis=-2)
-                encoded = jnp.where(empty, 0.0, encoded)
+            else:  # max over valid tokens 1..n-1; empty spans (zero-padded
+                # fake candidates from mesh.pad_candidates_to) pool to 0
+                # instead of finfo.min, which would NaN-poison the real
+                # candidates' scores through the GCN's cross-candidate means
+                num_tokens = jnp.sum(entity_mask, axis=-1)
+                encoded = token_span_max(entity_feature, num_tokens)
         else:  # wikidiverse [B, C, D] passes through (ghmfc.py:239-240)
             encoded = entity_feature
         if cfg.entity_final_layer_name == "linear":
@@ -211,9 +205,14 @@ class GHMFCOnline(nn.Module):
         flat_mask = entity_mask.reshape(flat_ids.shape)
         eh, epooled = encode(flat_ids, flat_mask)
         if cfg.num_entity_sentence:  # zipped (ghmfc.py:220-225)
+            if cfg.entity_final_pooling == "bert default":
+                raise ValueError(
+                    "entity_final_pooling='bert default' has no per-candidate "
+                    "pooler output in zipped mode (the reference's pooling "
+                    "factory rejects it too, ghmfc.py:254-261); use 'avg' or "
+                    "'max', or set num_entity_sentence=0")
             zipped = eh.reshape(B, cfg.num_entity_sentence, *eh.shape[1:])
-            pooling = "avg" if cfg.entity_final_pooling == "avg" else "max"
-            encoded = unzip_entities(zipped, sep_idx, C, pooling)
+            encoded = unzip_entities(zipped, sep_idx, C, cfg.entity_final_pooling)
         else:  # per-candidate (ghmfc.py:227-236); Ci may exceed C under
             # candidate padding (mesh.pad_candidates_to) — per-candidate math,
             # fake rows sliced away below
@@ -222,8 +221,9 @@ class GHMFCOnline(nn.Module):
                 encoded = epooled.reshape(B, Ci, -1)
             else:
                 num_tokens = jnp.sum(flat_mask, axis=-1)
-                pooled = token_span_mean(eh, num_tokens)
-                encoded = pooled.reshape(B, Ci, -1)
+                pool = (token_span_max if cfg.entity_final_pooling == "max"
+                        else token_span_mean)  # span 1..n-2 (ghmfc.py:230-235)
+                encoded = pool(eh, num_tokens).reshape(B, Ci, -1)
         if cfg.entity_final_layer_name == "linear":
             encoded = Linear(cfg.entity_final_output_dim, name="entity_final_layer")(encoded)
         mention = jnp.broadcast_to(mention[:, None, :], encoded.shape)

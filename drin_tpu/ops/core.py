@@ -67,11 +67,25 @@ def token_span_mean(features: jax.Array, num_tokens: jax.Array, lo: int = 1, hi_
     return jnp.einsum("...l,...ld->...d", mask, features, precision=_HI) / count
 
 
-def masked_max(seq: jax.Array, mask: jax.Array, axis: int = -2) -> jax.Array:
-    """Max over ``axis`` counting only positions where mask != 0."""
-    neg = jnp.finfo(seq.dtype).min
-    m = jnp.expand_dims(mask != 0, -1)
-    return jnp.max(jnp.where(m, seq, neg), axis=axis)
+def token_span_max(features: jax.Array, num_tokens: jax.Array, lo: int = 1,
+                   hi_offset: int = 1) -> jax.Array:
+    """Max over token positions ``lo : num_tokens - hi_offset`` along axis -2
+    (the max-pooling twin of :func:`token_span_mean`, reference
+    ghmfc.py:230-235, :245-249).
+
+    Empty spans pool to 0 — the reference would crash on them (torch .max of
+    an empty tensor); they only arise from zero-padded fake candidates
+    (mesh.pad_candidates_to), whose contributions the models mask out."""
+    Le = features.shape[-2]
+    pos = jnp.arange(Le)
+    shape = (1,) * (features.ndim - 2) + (Le,)
+    pos = pos.reshape(shape)
+    hi = (num_tokens - hi_offset)[..., None]
+    mask = ((pos >= lo) & (pos < hi))[..., None]  # [..., Le, 1]
+    neg = jnp.finfo(features.dtype).min
+    out = jnp.max(jnp.where(mask, features, neg), axis=-2)
+    empty = ~jnp.any(mask, axis=-2)
+    return jnp.where(empty, 0.0, out)
 
 
 def object_pair_similarity(
@@ -119,9 +133,10 @@ def unzip_entities(zipped: jax.Array, sep_idx: jax.Array, num_candidates: int,
         m = mask.astype(zipped.dtype)
         count = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
         pooled = jnp.einsum("bsel,bsld->bsed", m, zipped, precision=_HI) / count
-    else:  # max
+    else:  # max; zero-width spans pool to 0 (see docstring)
         neg = jnp.finfo(zipped.dtype).min
         pooled = jnp.max(jnp.where(mask[..., None], zipped[:, :, None], neg), axis=-2)
+        pooled = jnp.where(~jnp.any(mask, axis=-1)[..., None], 0.0, pooled)
     return pooled.reshape(B, S * E, D)[:, :num_candidates]
 
 

@@ -153,6 +153,11 @@ def roi_align(features: jax.Array, boxes: jax.Array, output_size: tuple,
         ix = ix.reshape(-1)  # [out_w * s]
 
         def bilinear(y, x):
+            # torchvision zero-pads samples outside [-1, H] / [-1, W]
+            # (bilinear_interpolate's early-out) instead of clamping to the
+            # border pixel; boxes extending past the feature map must not
+            # replicate edge features
+            in_bounds = (y >= -1.0) & (y <= H) & (x >= -1.0) & (x <= W)
             y = jnp.clip(y, 0.0, H - 1.0)
             x = jnp.clip(x, 0.0, W - 1.0)
             y0 = jnp.floor(y).astype(jnp.int32)
@@ -165,12 +170,13 @@ def roi_align(features: jax.Array, boxes: jax.Array, output_size: tuple,
             v01 = features[y0, x1_]
             v10 = features[y1_, x0]
             v11 = features[y1_, x1_]
-            return (
+            val = (
                 v00 * (1 - wy)[..., None] * (1 - wx)[..., None]
                 + v01 * (1 - wy)[..., None] * wx[..., None]
                 + v10 * wy[..., None] * (1 - wx)[..., None]
                 + v11 * wy[..., None] * wx[..., None]
             )
+            return jnp.where(in_bounds[..., None], val, 0.0)
 
         grid = jax.vmap(lambda y: jax.vmap(lambda x: bilinear(y, x))(ix))(iy)
         # [out_h*s, out_w*s, C] -> average each s x s sample block

@@ -67,7 +67,8 @@ class StepFns(NamedTuple):
 def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransformation,
                    mesh=None, batch_fields: Optional[tuple] = None,
                    example_batch: Optional[tuple] = None,
-                   feats_fn: Optional[Callable] = None) -> StepFns:
+                   feats_fn: Optional[Callable] = None,
+                   train_apply_fn: Optional[Callable] = None) -> StepFns:
     """Compile-ready step functions.
 
     ``apply_fn(params, feats) -> scores [B, C]``.  Steps take the full batch
@@ -84,25 +85,31 @@ def build_step_fns(apply_fn: Callable, cfg: Config, tx: optax.GradientTransforma
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     tables = getattr(feats_fn, "tables", None)
 
-    def loss_and_metrics(params, batch, valid, mstate, tbl):
+    def loss_and_metrics(params, batch, valid, mstate, tbl, rng=None):
         feats, answer = batch[:-1], batch[-1]
         if feats_fn is not None:
             feats = feats_fn(feats) if tbl is None else feats_fn(feats, tbl)
+        # train path with dropout: the reference trains in torch train mode
+        # (transformer_dropout=0.1 active for the multimodal/transformer
+        # configs); eval stays deterministic
+        fwd = apply_fn if rng is None else (lambda p, f: train_apply_fn(p, f, rng))
         if compute_dtype != jnp.float32:
             # mixed precision: f32 master params + bf16 model body; the
             # casts are differentiable so grads/optimizer stay f32
             cast = lambda x: x.astype(compute_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
             feats = tuple(cast(x) for x in feats)
-            scores = apply_fn(jax.tree.map(cast, params), feats).astype(jnp.float32)
+            scores = fwd(jax.tree.map(cast, params), feats).astype(jnp.float32)
         else:
-            scores = apply_fn(params, feats)
+            scores = fwd(params, feats)
         loss = triplet_loss(answer, scores, cfg.triplet_margin, valid)
         mstate = M.add_loss(M.update(mstate, scores, answer, topk, valid), loss)
         return loss, (mstate, scores)
 
     def train_step(state: TrainState, batch, valid, mstate, tbl):
+        rng = (jax.random.fold_in(jax.random.key(cfg.seed), state.step)
+               if train_apply_fn is not None else None)
         (loss, (mstate, _)), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
-            state.params, batch, valid, mstate, tbl
+            state.params, batch, valid, mstate, tbl, rng
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -170,7 +177,8 @@ class Trainer:
     def __init__(self, cfg: Config, apply_fn: Callable, params, mesh=None,
                  batch_fields: Optional[tuple] = None, example_batch: Optional[tuple] = None,
                  feats_fn: Optional[Callable] = None, log=print,
-                 output_test_result_path: str = "test-result.txt"):
+                 output_test_result_path: str = "test-result.txt",
+                 train_apply_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.apply_fn = apply_fn
         self.feats_fn = feats_fn
@@ -193,7 +201,8 @@ class Trainer:
                          f"{nm}-way model axis")
         state, tx = create_train_state(params, cfg)
         self.state = state
-        self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch, feats_fn)
+        self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch,
+                                  feats_fn, train_apply_fn)
         self.epoch = 0
         # multi-process SPMD: every host runs this same loop; each assembles
         # only the global-batch rows its devices own (parallel/distributed.py)

@@ -228,10 +228,11 @@ def test_pre_extract_mention_matches_reference_batchwise():
         assert batch.mention_start_pos[b] == rs and batch.mention_end_pos[b] == re_
 
 
-def test_ghmfc_online_direct_parity():
+@pytest.mark.parametrize("pooling", ["avg", "max"])
+def test_ghmfc_online_direct_parity(pooling):
     """num_entity_sentence=0: the reference encodes each candidate separately
     (ghmfc.py:227-236, per-candidate BERT calls + per-sample token pooling);
-    ours is one batched [B*C, Le] BERT call + masked einsum."""
+    ours is one batched [B*C, Le] BERT call + masked einsum/max."""
     import torch
 
     from drin_tpu.encoders.bert import bert_params_from_torch, config_from_torch
@@ -251,7 +252,7 @@ def test_ghmfc_online_direct_parity():
     args.resnet_embed_dim = Dr
     args.max_bert_len = max_len
     args.max_mention_sentence_len = 32
-    args.entity_final_pooling = "avg"
+    args.entity_final_pooling = pooling
 
     hf_bert, hf_cfg = _tiny_hf_bert(hidden=D, max_len=max_len)
     ref_mod = ref_import("baselines.ghmfc")
@@ -295,7 +296,8 @@ def test_ghmfc_online_direct_parity():
     cfg = make_config("ghmfc", "wikimel", dataset_root="/tmp/unused",
                       num_candidates_data=C - 1, num_entity_sentence=0,
                       bert_embed_dim=D, resnet_embed_dim=Dr, max_bert_len=max_len,
-                      max_mention_sentence_len=32, online_bert=True, finetune_bert=False)
+                      max_mention_sentence_len=32, online_bert=True, finetune_bert=False,
+                      entity_final_pooling=pooling)
     bert_cfg = config_from_torch(hf_cfg)
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
     params = {

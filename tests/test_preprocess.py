@@ -72,6 +72,14 @@ def test_roi_align_constant_and_center():
     # bin centers in x: 4 + {0.5,1.5}*2 - 0.5(aligned) = {4.5, 6.5}; ramp(x)=x
     np.testing.assert_allclose(out, np.array([[4.5, 6.5], [4.5, 6.5]]), rtol=1e-5)
 
+    # torchvision zero-pads samples outside [-1, H]/[-1, W] instead of
+    # clamping to the border: a box extending past the map must read zeros
+    # in its fully-outside bins and the constant in its fully-inside bins
+    out = np.asarray(roi_align(f, np.array([[12.0, 12.0, 20.0, 20.0]], np.float32),
+                               (4, 4)))[0, :, :, 0]
+    np.testing.assert_allclose(out[0, 0], 2.5, rtol=1e-6)  # inside
+    np.testing.assert_allclose(out[3, 3], 0.0, atol=1e-6)  # past the border
+
 
 # ---------------------------------------------------------------------------
 # fabricated raw data + tiny encoders -> full pipeline

@@ -21,8 +21,11 @@ def _make_trainer(cfg, **kw):
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
     params = model.init(jax.random.key(0), tuple(np.asarray(x) for x in example[:-1]))["params"]
     apply_fn = lambda p, f: model.apply({"params": p}, f)
+    train_apply_fn = lambda p, f, rng: model.apply(
+        {"params": p}, f, deterministic=False, rngs={"dropout": rng})
     tr = Trainer(cfg, apply_fn, params, batch_fields=type(example)._fields,
-                 example_batch=example, log=lambda *a: None, **kw)
+                 example_batch=example, log=lambda *a: None,
+                 train_apply_fn=train_apply_fn, **kw)
     return tr, (train_ds, valid_ds, test_ds), kind
 
 
@@ -352,3 +355,32 @@ def test_masked_opt_state_checkpoint_roundtrip(tmp_path):
         jax.device_get(restored["opt_state"]), jax.device_get(new_state.opt_state))
     jax.tree.map(np.testing.assert_array_equal,
                  jax.device_get(restored["params"]), jax.device_get(new_state.params))
+
+
+def test_dropout_active_in_training_only(tmp_path):
+    """The reference trains in torch train mode with transformer_dropout=0.1
+    (active for GHMFC's default multimodal config); our train path must be
+    stochastic under different rng keys while eval stays deterministic."""
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+    from drin_tpu.models import get_model
+
+    cfg = tiny_config("wikidiverse", "ghmfc", preprocess_dir=str(tmp_path))
+    assert cfg.mention_final_layer_name == "multimodal"
+    assert cfg.transformer_dropout > 0
+    make_synthetic_store(cfg, n_mentions=6, seed=4)
+    model, kind = get_model(cfg)
+    from drin_tpu.data.dataset import create_datasets
+
+    _, _, test_ds = create_datasets(cfg)
+    batch = next(test_ds.batches(4, kind=kind, pad_to_full=True))
+    feats = tuple(np.asarray(x) for x in batch[:-1])
+    params = model.init(jax.random.key(0), feats)["params"]
+
+    s1 = np.asarray(model.apply({"params": params}, feats, deterministic=False,
+                                rngs={"dropout": jax.random.key(1)}))
+    s2 = np.asarray(model.apply({"params": params}, feats, deterministic=False,
+                                rngs={"dropout": jax.random.key(2)}))
+    assert not np.allclose(s1, s2), "dropout had no effect on the train forward"
+    d1 = np.asarray(model.apply({"params": params}, feats))
+    d2 = np.asarray(model.apply({"params": params}, feats))
+    np.testing.assert_array_equal(d1, d2)

@@ -106,9 +106,14 @@ def main(argv=None) -> None:
           f"devices: {cfg.num_devices} ({'mesh' if mesh else 'single chip'})")
 
     apply_fn = lambda p, f: model.apply({"params": p}, f)
+    # training runs with dropout active (the reference trains in torch train
+    # mode; transformer_dropout=0.1 applies to the multimodal/transformer
+    # configs); eval stays deterministic
+    train_apply_fn = lambda p, f, rng: model.apply(
+        {"params": p}, f, deterministic=False, rngs={"dropout": rng})
     trainer = Trainer(cfg, apply_fn, params, mesh,
                       batch_fields=type(example)._fields, example_batch=example,
-                      feats_fn=feats_fn)
+                      feats_fn=feats_fn, train_apply_fn=train_apply_fn)
 
     try:
         if cfg.test_only:
