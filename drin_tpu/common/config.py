@@ -383,9 +383,10 @@ def make_config(
     )
     kw.update(overrides)
     cfg = Config(**kw)
-    if cfg.debug and "num_epoch" not in overrides:
-        # reference debug overrides (args.py:133-137)
-        cfg = cfg.replace(
+    if cfg.debug:
+        # reference debug overrides (args.py:133-137), each yielding to an
+        # explicit user override of that same field
+        debug_defaults = dict(
             shuffle_train_data=False,
             num_epoch=1,
             test_epoch_interval=1,
@@ -393,6 +394,8 @@ def make_config(
             mention_mmap="r",
             entity_mmap="r",
         )
+        cfg = cfg.replace(**{k: v for k, v in debug_defaults.items()
+                             if k not in overrides})
     return cfg
 
 

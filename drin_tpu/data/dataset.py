@@ -306,7 +306,10 @@ class MELFeatureDataset:
                 if drop_remainder:
                     return
                 if pad_to_full:
-                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                    # np.resize cycles, so datasets smaller than the
+                    # shortfall still fill the batch
+                    idx = np.concatenate(
+                        [idx, np.resize(order, batch_size - len(idx))])
             yield self.make_batch(idx, kind)
 
 

@@ -344,5 +344,7 @@ class OnlineMELDataset:
                 if drop_remainder:
                     return
                 if pad_to_full:
-                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                    # np.resize cycles: fills even when n < shortfall
+                    idx = np.concatenate(
+                        [idx, np.resize(order, batch_size - len(idx))])
             yield self.online_batch(idx)

@@ -11,10 +11,13 @@ scores [B, topk])`` with the reference's padding convention
 Two implementations:
 
   * :class:`WholeImageDetector` — the working default: one "object" covering
-    the full image with score 1.  Object features then equal whole-image crop
-    features; downstream weighting (score products, drin/model.py:86-92)
-    degrades gracefully.  This is also exactly what the reference produces
-    for images where the RCNN finds nothing.
+    the full image with score 1 (emitted as the degenerate box [0,0,0,0],
+    which the crop stage treats as "no crop" — the pipeline's boxes are in
+    resized coordinates while crops apply to the original image, a
+    reference quirk preserved for the real-detector path).  Padding slots
+    follow the reference's convention (default_box / score 0,
+    resnet.py:117-120), so downstream score-product weighting
+    (drin/model.py:86-92) degrades gracefully.
   * :class:`JaxDetector` — wraps any jittable proposal-scoring function with
     the TPU-native NMS/top-k postprocessing from ``drin_tpu.ops.detection``;
     use it to serve a converted detection checkpoint.
@@ -34,10 +37,13 @@ class WholeImageDetector:
         self.cfg = cfg
 
     def __call__(self, images: np.ndarray, topk: int) -> Tuple[np.ndarray, np.ndarray]:
-        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        B = images.shape[0]
         boxes = np.tile(np.asarray(self.cfg.default_box, np.float32), (B, topk, 1))
         scores = np.zeros((B, topk), np.float32)
-        boxes[:, 0] = [0, 0, W, H]
+        # degenerate box = "whole ORIGINAL image, no crop" (the detector only
+        # sees the resized array, so real coordinates can't be emitted here;
+        # preprocess.images.ImageBatcher skips cropping for degenerate boxes)
+        boxes[:, 0] = [0, 0, 0, 0]
         scores[:, 0] = 1.0
         return boxes, scores
 

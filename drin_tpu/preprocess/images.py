@@ -20,7 +20,10 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
-SUFFIXES = ("", ".jpg", ".JPG", ".png", ".PNG", ".jpeg", ".JPEG")
+# probe order IS the reference's (common/utils.py:88): with multiple
+# candidate files the same one must resolve
+SUFFIXES = ("", ".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG",
+            ".tif", ".TIF", ".tiff", ".TIFF")
 
 # torchvision/HF ImageNet normalization (resnet stages)
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -101,7 +104,10 @@ class ImageBatcher:
         def one(i):
             img = load_image(str(paths[i]), self.default_image, self.min_size)
             if crops is not None:
-                img = img.crop(tuple(float(v) for v in crops[i]))
+                box = tuple(float(v) for v in crops[i])
+                # degenerate box: "whole image" sentinel (WholeImageDetector)
+                if box[2] > box[0] and box[3] > box[1]:
+                    img = img.crop(box)
             return preprocess(img)
 
         return np.stack(list(self.pool.map(one, range(len(paths)))))

@@ -2,10 +2,10 @@
 """Top-k accuracy with correction — functional, psum-able counters.
 
 Replaces the reference's torchmetrics ``TopkAccuracy`` (utils.py:46-73).
-State is a pytree of int32 counters so it can live inside a jitted step and
-be reduced over the data axis with ``jax.lax.psum`` (the reference's only
-distributed-aware line, ``dist_reduce_fx="sum"`` at utils.py:57-58, maps to
-exactly that).
+State is a pytree of f32 scalar counters so it can live inside a jitted step
+and be reduced over the data axis with ``jax.lax.psum`` (the reference's
+only distributed-aware line, ``dist_reduce_fx="sum"`` at utils.py:57-58,
+maps to exactly that).
 """
 
 from __future__ import annotations
@@ -47,8 +47,9 @@ def update(state: MetricState, y_pred: jax.Array, y_true: jax.Array, topk: Seque
     is stripped, a candidate counts as hit when its score >= the k-th
     largest (ties included).  ``valid`` masks padded rows of a static-shape
     ragged batch."""
-    if y_pred.shape[1] != y_true.shape[1]:
-        y_pred = y_pred[:, :-1]
+    from drin_tpu.train.loss import _strip_answer_column
+
+    y_pred = _strip_answer_column(y_true, y_pred)
     new = dict(state)
     vw = valid[:, None] if valid is not None else 1.0
     for k in topk:
