@@ -140,6 +140,14 @@ class Config:
     coordinator_address: str = ""
     num_processes: int = 1
     process_id: int = 0
+    # Reference-harness fidelity: the reference builds a FRESH Lightning
+    # Trainer for every fit/test chunk (train.py:141-144) and each
+    # trainer.fit re-runs configure_optimizers (train.py:55-56), so Adam's
+    # moments and step count restart at every test_epoch_interval boundary.
+    # True reproduces that observable schedule (pinned by
+    # tests/test_training_parity.py::test_full_harness_trajectory); set
+    # False to carry optimizer state across chunks (e.g. resumed long runs).
+    reset_optimizer_per_fit: bool = True
     # Checkpointing is NEW capability (reference disables it, train.py:115).
     enable_checkpointing: bool = False
     checkpoint_dir: str = "checkpoints"
@@ -229,6 +237,15 @@ class Config:
     # Profiler trace output dir (jax.profiler; reference used torch.profiler,
     # train.py:64-70).
     profile_dir: str = "log/profiler"
+    # Windowed profiler schedule, stepped per train batch — the reference's
+    # torch.profiler schedule(wait=1, warmup=1, active=3, repeat=2)
+    # (train.py:64-70).  Each cycle skips ``wait + warmup`` steps then traces
+    # ``active`` steps; ``repeat`` cycles total (0 = trace the entire fit,
+    # which is unusable at num_epoch=30 scale).
+    profile_wait: int = 1
+    profile_warmup: int = 1
+    profile_active: int = 3
+    profile_repeat: int = 2
 
     # ------------------------------------------------------------------
     @property
@@ -253,7 +270,16 @@ class Config:
 
     @property
     def num_devices(self) -> int:
-        return self.mesh_data * self.mesh_model
+        """Total mesh size.  ``mesh_data == -1`` means "all remaining devices"
+        (mesh.make_mesh semantics) and resolves against the live backend —
+        without this, ``num_devices`` would be negative and the mesh branch in
+        train.py could never trigger for the documented -1 value."""
+        md = self.mesh_data
+        if md == -1:
+            import jax
+
+            md = max(len(jax.devices()) // max(self.mesh_model, 1), 1)
+        return md * self.mesh_model
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -83,12 +83,26 @@ def make_hybrid_mesh(slices: Optional[Sequence[Sequence[jax.Device]]] = None,
         rows = smallest // model
     per = rows * model
     assert per >= model, f"each slice must hold >= model={model} devices (smallest: {smallest})"
-    dropped = sum(len(s) - per for s in slices)
+    total = sum(len(s) for s in slices)
+    dropped = total - per * len(slices)
     if dropped:
+        # multi-host launchers routinely swallow warnings.warn, so capacity
+        # loss must be loud: print on the main process and refuse outright
+        # when an explicit layout would idle most of the pod
+        msg = (f"hybrid mesh uses {per} devices per slice; {dropped}/{total} "
+               f"device(s) left out of the mesh")
+        # an explicit data width is a deliberate request for a smaller mesh
+        # (warn only); an implicit one dropping half the pod means the slice
+        # sizes don't fit the layout at all — refuse rather than idle capacity
+        if data is None and dropped * 2 >= total:
+            raise ValueError(msg + " — over half the pod would sit idle; fix "
+                             "mesh_data/mesh_model to match the slice sizes")
+        import sys
         import warnings
 
-        warnings.warn(f"hybrid mesh uses {per} devices per slice; "
-                      f"{dropped} device(s) left out of the mesh")
+        warnings.warn(msg)
+        if jax.process_index() == 0:
+            print(f"WARNING: {msg}", file=sys.stderr, flush=True)
     blocks = [np.asarray(s[:per], dtype=object).reshape(rows, model)
               for s in slices]
     devices = np.concatenate(blocks, axis=0)  # [n_slices * rows, model]

@@ -84,16 +84,28 @@ class Ranker:
         self._score = lambda params, feats: score_jit(params, feats, tables)
         self._topk = lambda params, feats, k: topk_jit(params, feats, tables, k)
 
-    def set_store(self, store):
+    def set_store(self, store, entity_tables: Optional[dict] = None):
         """Swap in a different DeviceEntityStore and rebuild the jitted
         scoring fns.  Required after any table change: the tables are bound
         into ``_score``/``_topk`` at build time (as call arguments), so
         mutating ``self.store`` alone would silently keep scoring against
-        the old tables."""
+        the old tables.
+
+        Every fast-path cache derived from the OLD store is invalidated too:
+        ``_entity_reprs``/``_rank_rows`` (precompute_entity_reprs) and the
+        retrieval cache are dropped so stale callers fail loudly or
+        recompute, and ``self._tables`` — the raw host tables that
+        ``precompute_entity_projection`` projects — is replaced by
+        ``entity_tables`` (or None, making a later projection call fail
+        loudly rather than silently projecting the old tables)."""
         self.store = store
         self._feats_fn = (store.drin_feats_fn() if self.kind == "drin"
                           else store.baseline_feats_fn())
+        self._tables = entity_tables
         self._retrieval_table = None
+        self._retrieve_jit = None
+        self._entity_reprs = None
+        self._rank_rows = None
         self._build_score_fns()
 
     def precompute_entity_projection(self):

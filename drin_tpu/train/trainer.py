@@ -169,6 +169,53 @@ def _now() -> str:
     return datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
 
 
+class WindowedProfiler:
+    """Step-windowed ``jax.profiler`` traces, mirroring the reference's
+    torch.profiler schedule(wait=1, warmup=1, active=3, repeat=2) stepped
+    once per train batch (reference train.py:64-70, :101-109).  Each cycle
+    skips ``wait + warmup`` steps, traces ``active`` steps into its own
+    ``cycle{n}`` subdirectory, and the schedule ends after ``repeat`` cycles
+    — so a num_epoch=30 fit produces a handful of small usable traces, not
+    one multi-gigabyte whole-fit dump.  ``active == 0`` or ``repeat == 0``
+    falls back to tracing the entire fit."""
+
+    def __init__(self, cfg: Config):
+        self.dir = cfg.profile_dir
+        os.makedirs(self.dir, exist_ok=True)
+        self.skip = max(cfg.profile_wait, 0) + max(cfg.profile_warmup, 0)
+        self.active = cfg.profile_active
+        self.repeat = cfg.profile_repeat
+        self.windowed = self.active > 0 and self.repeat > 0
+        self.pos = 0
+        self.cycles = 0
+        self.tracing = False
+        if not self.windowed:
+            jax.profiler.start_trace(self.dir)
+            self.tracing = True
+
+    def before_step(self):
+        if not self.windowed or self.tracing or self.cycles >= self.repeat:
+            return
+        if self.pos >= self.skip:
+            jax.profiler.start_trace(os.path.join(self.dir, f"cycle{self.cycles}"))
+            self.tracing = True
+
+    def after_step(self):
+        if not self.windowed:
+            return
+        self.pos += 1
+        if self.tracing and self.pos >= self.skip + self.active:
+            jax.profiler.stop_trace()
+            self.tracing = False
+            self.cycles += 1
+            self.pos = 0
+
+    def stop(self):
+        if self.tracing:
+            jax.profiler.stop_trace()
+            self.tracing = False
+
+
 class Trainer:
     """Epoch-loop harness with the reference's logging/eval protocol."""
 
@@ -201,6 +248,7 @@ class Trainer:
                          f"{nm}-way model axis")
         state, tx = create_train_state(params, cfg)
         self.state = state
+        self._tx = tx
         self.fns = build_step_fns(apply_fn, cfg, tx, mesh, batch_fields, example_batch,
                                   feats_fn, train_apply_fn)
         self.epoch = 0
@@ -212,6 +260,7 @@ class Trainer:
 
             self._proc_rows = dist.process_row_range(self.fns.valid_sharding, cfg.batch_size)
         self._ckpt_mgr = None
+        self._profiler = None
         self._test_result_path = output_test_result_path
         if cfg.enable_checkpointing:
             import orbax.checkpoint as ocp
@@ -308,9 +357,14 @@ class Trainer:
         # the loop never blocks on a per-step host fetch — the only syncs are
         # the status-line refreshes every ``log_interval_steps``.
         log_every = 1 if cfg.debug else max(cfg.log_interval_steps, 1)
+        profiler = self._profiler if train else None
         for batch, valid in Prefetcher(source, assemble, depth=cfg.prefetch_depth):
             if train:
+                if profiler is not None:
+                    profiler.before_step()
                 self.state, _, mstate = self.fns.train_step(self.state, batch, valid, mstate)
+                if profiler is not None:
+                    profiler.after_step()
             else:
                 _, mstate, _ = self.fns.eval_step(self.state.params, batch, valid, mstate)
             n_batches += 1
@@ -320,7 +374,11 @@ class Trainer:
                 acc_str = ", ".join(f"top{k}: {float(v):.4f}" for k, v in accs.items())
                 print(f"\r{split} loss: {float(M.mean_loss(m)):.4f}, {acc_str}",
                       end="", file=sys.stderr, flush=True)
-        dt = time.time() - t0
+        return self._finalize_epoch(mstate, split, time.time() - t0)
+
+    def _finalize_epoch(self, mstate, split: str, dt: float):
+        cfg = self.cfg
+        correction = cfg.acc_correction[self.SPLITS.index(split)]
         mstate = jax.device_get(mstate)
         accs = {k: float(v) for k, v in M.compute(mstate, cfg.metrics_topk, correction).items()}
         total = float(mstate["total"])
@@ -347,10 +405,16 @@ class Trainer:
 
         cfg = self.cfg
         results = []
-        profiling = cfg.profiling
-        if profiling:
-            os.makedirs(cfg.profile_dir, exist_ok=True)
-            jax.profiler.start_trace(cfg.profile_dir)
+        if cfg.reset_optimizer_per_fit:
+            # reference semantics: a fresh Lightning Trainer per chunk
+            # re-runs configure_optimizers at every fit (train.py:55-56,
+            # :141-144), restarting Adam's moments/step count each chunk
+            opt_state = self._tx.init(self.state.params)
+            if self.mesh is not None:
+                opt_state = jax.device_put(opt_state, self.fns.replicated)
+            self.state = TrainState(self.state.params, opt_state, self.state.step)
+        if cfg.profiling and self._is_main:
+            self._profiler = WindowedProfiler(cfg)
 
         interrupted = {}
         prev_handlers = {}
@@ -375,24 +439,29 @@ class Trainer:
         finally:
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
-            if profiling:
-                jax.profiler.stop_trace()
+            if self._profiler is not None:
+                self._profiler.stop()
+                self._profiler = None
         return results
 
     def test(self, test_ds, kind: str = "drin"):
         if self.cfg.output_test_result:
-            self._dump_test_results(test_ds, kind)
+            return self._dump_test_results(test_ds, kind)
         return self._run_epoch(test_ds, "test", False, kind)
 
     def _dump_test_results(self, dataset, kind: str):
-        """Write raw score vectors + labels (reference train.py:16-17,40-43) —
-        the golden-output hook for parity diffing.  Shares the compiled
-        ``eval_step`` (mesh shardings, padded static-shape batches), so the
-        dump adds no extra XLA programs and no ragged-tail recompiles."""
+        """Single-pass test epoch that ALSO writes raw score vectors + labels
+        (reference train.py:16-17,40-43) — the golden-output hook for parity
+        diffing.  ``eval_step`` already returns both scores and metric state,
+        so one pass over the split serves both the dump and the epoch
+        metrics; it shares the compiled ``eval_step`` (mesh shardings, padded
+        static-shape batches), adding no extra XLA programs."""
         cfg = self.cfg
         mstate = M.init_state(cfg.metrics_topk)
         if self.mesh is not None:
             mstate = jax.device_put(mstate, self.fns.replicated)
+        self.log(f"{_now()} test epoch {self.epoch} start")
+        t0 = time.time()
         f = open(self._test_result_path, "w") if self._is_main else None
         try:
             for idx, valid in self._index_batches(len(dataset), False, 0):
@@ -408,3 +477,4 @@ class Trainer:
         finally:
             if f is not None:
                 f.close()
+        return self._finalize_epoch(mstate, "test", time.time() - t0)

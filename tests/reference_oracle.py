@@ -49,8 +49,16 @@ def _install_stubs():
         tm.Metric = Metric
         sys.modules["torchmetrics"] = tm
     if "lightning" not in sys.modules:
+        import torch
+
         pl = types.ModuleType("lightning")
-        pl.LightningModule = type("LightningModule", (), {})
+        # a real nn.Module base so the reference's MELModel harness class
+        # (train.py:20-56) is fully functional: ModuleList registration,
+        # .parameters() for configure_optimizers, __call__ -> forward.  The
+        # Lightning *loop* itself is driven by the tests
+        # (test_training_parity.test_full_harness_trajectory reproduces the
+        # fit/test chunk schedule of train.py:141-144).
+        pl.LightningModule = torch.nn.Module
         pl.Callback = type("Callback", (), {})
         pl.Trainer = type("Trainer", (), {})
         pl.seed_everything = lambda *a, **k: None

@@ -126,6 +126,47 @@ def test_profiler_flag_writes_trace(tmp_path, wd_cfg):
     assert files, "no profiler trace written"
 
 
+def test_profiler_windowed_schedule(tmp_path, wd_cfg):
+    """The windowed schedule (reference torch.profiler wait=1/warmup=1/
+    active=3/repeat=2, train.py:64-70) must trace exactly ``repeat`` small
+    step windows — one cycle{n} trace dir each — not the whole fit."""
+    import os
+
+    cfg = wd_cfg.replace(profiling=True, profile_dir=str(tmp_path / "prof-win"))
+    assert (cfg.profile_wait, cfg.profile_warmup, cfg.profile_active,
+            cfg.profile_repeat) == (1, 1, 3, 2)
+    tr, (train_ds, valid_ds, _), kind = _make_trainer(cfg)
+    # 12 mentions / batch 4 = 3 train steps/epoch; 4 epochs = 12 steps covers
+    # the 2 x (1+1+3)-step schedule
+    tr.fit(train_ds, valid_ds, 4, kind=kind)
+    cycles = sorted(d for d in os.listdir(cfg.profile_dir) if d.startswith("cycle"))
+    assert cycles == ["cycle0", "cycle1"], cycles
+    for c in cycles:
+        files = [f for r, _, fs in os.walk(os.path.join(cfg.profile_dir, c)) for f in fs]
+        assert files, f"no trace written for {c}"
+    # nothing outside the windows: the only top-level entries are the cycles
+    assert sorted(os.listdir(cfg.profile_dir)) == cycles
+
+
+def test_output_test_result_single_pass(tmp_path, wd_cfg):
+    """``test()`` with output_test_result must evaluate the split ONCE —
+    eval_step already returns scores + metric state, so the dump and the
+    epoch metrics share one pass."""
+    import math
+
+    cfg = wd_cfg.replace(output_test_result=True)
+    tr, (_, _, test_ds), kind = _make_trainer(
+        cfg, output_test_result_path=str(tmp_path / "tr.txt"))
+    calls = []
+    orig = tr.fns.eval_step
+    tr.fns = tr.fns._replace(eval_step=lambda *a: (calls.append(1), orig(*a))[1])
+    out = tr.test(test_ds, kind=kind)
+    assert np.isfinite(out["loss"]) and out["accs"]
+    assert len(calls) == math.ceil(len(test_ds) / cfg.batch_size), len(calls)
+    lines = (tmp_path / "tr.txt").read_text().strip().splitlines()
+    assert len(lines) == len(test_ds)
+
+
 def test_store_config_mismatch_is_actionable(tmp_path, wd_cfg):
     """A store built for a different candidate count must fail with a clear
     message naming the knob, not a raw reshape traceback."""

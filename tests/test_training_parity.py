@@ -84,3 +84,151 @@ def test_drin_five_step_training_parity():
     for k in ours_flat:
         np.testing.assert_allclose(ours_flat[k], ref_flat[k], rtol=5e-2, atol=5e-4,
                                    err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# full-harness trajectory A/B (the last unpinned reference behavior)
+
+
+def _load_reference_harness(cfg, tmp_store: str):
+    """Configure the reference for the tiny shared store and import its
+    ACTUAL harness module (train.py) in place.
+
+    ``train.py`` can't be imported by name (our repo's train.py shadows it —
+    reference_oracle appends, never prepends, /root/reference), so it loads
+    via an explicit file spec under a private module name.  Its
+    ``MELModel``/``EpochLogger``/``create_trainer`` then bind the mutated
+    config values through the star import, exactly as a real run would."""
+    import importlib.util
+
+    args = load_reference("wikidiverse", "drin")
+    args.preprocess_dir = tmp_store
+    args.bert_embed_dim = cfg.bert_embed_dim
+    args.resnet_embed_dim = cfg.resnet_embed_dim
+    args.gcn_embed_dim = cfg.gcn_embed_dim
+    args.mention_final_output_dim = cfg.mention_final_output_dim
+    args.entity_final_output_dim = cfg.entity_final_output_dim
+    args.max_mention_sentence_len = cfg.max_mention_sentence_len
+    args.max_entity_attr_token_len = cfg.max_entity_attr_token_len
+    args.resnet_num_region = cfg.resnet_num_region
+    args.batch_size = cfg.batch_size
+    args.num_candidates_data = cfg.num_candidates_data
+    args.num_candidates_model = cfg.num_candidates_model
+    args.metrics_topk = list(cfg.metrics_topk)
+    args.acc_correction = list(cfg.acc_correction)
+    args.shuffle_train_data = False
+    args.dataloader_workers = 0
+    args.mention_mmap = args.entity_mmap = None
+    args.output_test_result = False
+    args.profiling = False
+    args.debug = False
+    # drin conditional block derives output dims from gcn_embed_dim
+    # (args.py:33-34); re-derive at the tiny width
+    args.mention_final_output_dim = args.entity_final_output_dim = cfg.gcn_embed_dim
+    for m in ("drin", "drin.model", "drin.data"):
+        import sys as _sys
+
+        _sys.modules.pop(m, None)
+    spec = importlib.util.spec_from_file_location(
+        "_reference_train_harness", "/root/reference/train.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _drive_reference_harness(ref_train, model, loaders, chunks: int, tei: int):
+    """The reference's fit/test chunk schedule (train.py:141-144) with
+    Lightning-core loop semantics — the pieces Lightning itself would run:
+
+      * fresh Trainer per chunk -> ``configure_optimizers`` re-runs at every
+        fit (train.py:55-56): Adam restarts each chunk,
+      * per-epoch: train epoch then validation epoch, metrics reset at each
+        epoch start (EpochLogger.epoch_start, train.py:72-77),
+      * eval under no_grad/eval-mode; ragged final DataLoader batches run
+        as-is (drop_last=False default).
+
+    Returns per-epoch valid records and per-chunk test records."""
+    import torch
+
+    def run_eval(step_fn, loader):
+        for m in model.metrics:
+            m.reset()
+        model.eval()
+        losses = []
+        with torch.no_grad():
+            for bi, batch in enumerate(loader):
+                losses.append(float(step_fn(batch, bi)))
+        return {"loss": float(np.mean(losses)),
+                "accs": [float(m.compute()) for m in model.metrics]}
+
+    valid_traj, test_traj = [], []
+    for _ in range(chunks):
+        opt = model.configure_optimizers()  # fresh Adam per fit chunk
+        for _ in range(tei):
+            for m in model.metrics:
+                m.reset()
+            model.train()
+            for bi, batch in enumerate(loaders[0]):
+                opt.zero_grad()
+                loss = model.training_step(batch, bi)
+                loss.backward()
+                opt.step()
+            valid_traj.append(run_eval(model.validation_step, loaders[1]))
+        test_traj.append(run_eval(model.test_step, loaders[2]))
+    return valid_traj, test_traj
+
+
+def test_full_harness_trajectory(tmp_path, capsys):
+    """Multi-chunk trajectory A/B: the reference's own harness classes run
+    in place on a shared tiny store vs our train harness, from identical
+    weights, 2 fit/test chunks x 2 epochs.  Asserts the per-epoch valid and
+    per-chunk test loss + top-k trajectories agree — pinning the epoch
+    schedule, the per-chunk optimizer reset, metric resets, ragged-tail
+    loss normalization and answer-column handling in one observable."""
+    import torch
+
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+    from drin_tpu.train.trainer import Trainer
+    from drin_tpu.train import metrics as M
+
+    store = str(tmp_path / "shared-store")
+    # correction zeroed on both sides: the reference applies it only in its
+    # display string (train.py:38), and here we record raw metric.compute()
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=store).replace(
+        shuffle_train_data=False, acc_correction=(0.0, 0.0, 0.0))
+    assert cfg.reset_optimizer_per_fit  # the reference-parity default
+    # n=10 with batch 4 -> a ragged 2-row train tail; valid/test are ragged
+    # 3-row single batches
+    make_synthetic_store(cfg, n_mentions=10, seed=5)
+
+    ref_train = _load_reference_harness(cfg, store)
+    torch.manual_seed(0)
+    ref_model = ref_train.MELModel(ref_train.model_module.Model())
+    loaders = ref_train.data_module.create_datasets()
+    ref_valid, ref_test = _drive_reference_harness(ref_train, ref_model, loaders,
+                                                   chunks=2, tei=2)
+    capsys.readouterr()  # swallow the reference's \r status spam
+
+    # ours, from the converted initial weights
+    torch.manual_seed(0)
+    init_sd = {k: v.numpy() for k, v in
+               ref_train.model_module.Model().state_dict().items()}
+    params = jax.tree.map(jnp.asarray,
+                          drin_params_from_torch(init_sd, cfg.num_gcn_layers))
+    from drin_tpu.models.drin import DRIN
+
+    model = DRIN(cfg)
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params,
+                 log=lambda *a: None)
+    our_valid, our_test = [], []
+    for _ in range(2):
+        our_valid += tr.fit(train_ds, valid_ds, 2, kind="drin")
+        our_test.append(tr.test(test_ds, kind="drin"))
+
+    assert len(our_valid) == len(ref_valid) == 4
+    for ours, ref in zip(our_valid + our_test, ref_valid + ref_test):
+        np.testing.assert_allclose(ours["loss"], ref["loss"], rtol=5e-3, atol=5e-4)
+        our_accs = [ours["accs"][k] for k in cfg.metrics_topk]
+        np.testing.assert_allclose(our_accs, ref["accs"], atol=1e-6)
