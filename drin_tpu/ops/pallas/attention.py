@@ -15,10 +15,14 @@ whole (L=512, Dh=64 -> 64 KB each in bf16), so the kernel computes the exact
 row softmax directly — same numerics as the XLA path, cheaper than the
 streaming form.
 
-Backward: ``pallas_call`` has no automatic reverse-mode AD; gradients
-re-derive through the XLA reference implementation (custom_vjp, same pattern
-as ops/pallas/gcn_layer.py) — the fused forward still shrinks fine-tuning
-peak memory when combined with per-layer remat (Config.bert_remat).
+Backward: a second Pallas kernel implements the standard flash backward —
+recompute the softmax tile in VMEM from q/k/v (nothing but q/k/v/mask is
+saved as residuals), then dV = PᵀdO, dS = P ⊙ (dO Vᵀ − rowsum(P ⊙ dO Vᵀ)),
+dQ = s·dS K, dK = s·dSᵀQ — so the [L, L] logits never reach HBM in either
+direction and fine-tuning keeps the forward's memory/bandwidth win.  Each
+(batch, head) pair is one kernel instance owning its dq/dk/dv outputs
+(no cross-instance accumulation); the [L, L] f32 tiles cost ~3 MB of VMEM
+at L=512, well under the 16 MB scoped limit.
 """
 
 from __future__ import annotations
@@ -86,15 +90,80 @@ def _fused_forward(q, k, v, additive_mask, block_q: int, interpret: bool):
     return out.reshape(B, H, L, Dh)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dm_ref, *, scale: float):
+    q = q_ref[0]  # [L, Dh]
+    k = k_ref[0]
+    v = v_ref[0]
+    m = m_ref[0]  # [1, L]
+    do = do_ref[0]  # [L, Dh]
+    # recompute the exact softmax tile (flash backward: residuals are only
+    # q/k/v/mask — the [L, L] probabilities never touched HBM)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + m.astype(jnp.float32)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [Lq, Lk] f32
+    # dV = Pᵀ dO
+    dv = jax.lax.dot_general(
+        p, do.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [Lk, Dh]
+    # dP = dO Vᵀ ; dS = P ⊙ (dP − rowsum(P ⊙ dP))
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # [Lq, 1]
+    ds = p * (dp - delta)  # [Lq, Lk] f32 (grad wrt pre-scale+mask logits)
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    # mask broadcasts over heads and query rows, so its per-instance grad is
+    # the row-sum of dS; the caller sums over heads
+    dm_ref[0] = jnp.sum(ds, axis=0, keepdims=True).astype(dm_ref.dtype)
+
+
+def _fused_backward(q, k, v, additive_mask, g, interpret: bool):
+    B, H, L, Dh = q.shape
+    had_mask = additive_mask is not None
+    if additive_mask is None:
+        additive_mask = jnp.zeros((B, L), q.dtype)
+    qf, kf, vf = (x.reshape(B * H, L, Dh) for x in (q, k, v))
+    mf = additive_mask.reshape(B, 1, L)
+    gf = g.reshape(B * H, L, Dh)
+    full = lambda: pl.BlockSpec((1, L, Dh), lambda bh: (bh, 0, 0))
+    dq, dk, dv, dm = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=Dh ** -0.5),
+        grid=(B * H,),
+        in_specs=[full(), full(), full(),
+                  pl.BlockSpec((1, 1, L), lambda bh, H=H: (bh // H, 0, 0)),
+                  full()],
+        out_specs=[full(), full(), full(),
+                   pl.BlockSpec((1, 1, L), lambda bh: (bh, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B * H, L, Dh), q.dtype)] * 3
+        + [jax.ShapeDtypeStruct((B * H, 1, L), jnp.float32)],
+        interpret=interpret,
+    )(qf, kf, vf, mf, gf)
+    dq, dk, dv = (x.reshape(B, H, L, Dh) for x in (dq, dk, dv))
+    dmask = (dm.reshape(B, H, L).sum(axis=1).astype(additive_mask.dtype)
+             if had_mask else None)
+    return dq, dk, dv, dmask
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_attention(q, k, v, additive_mask, block_q: int = 512,
                     interpret: bool = False):
     """Fused attention: q/k/v [B, H, L, Dh], optional additive mask [B, L].
 
-    Forward runs the Pallas kernel; backward re-derives via the XLA
-    reference (recomputing the logits — the flash-style memory saving
-    applies to the forward/frozen path; pair with Config.bert_remat for
-    fine-tuning)."""
+    Both directions run Pallas kernels: the forward emits the attention
+    output in one VMEM pass; the backward recomputes the softmax tile from
+    the saved q/k/v and produces dq/dk/dv (and the mask cotangent) without
+    ever materializing the [L, L] logits in HBM."""
     return _fused_forward(q, k, v, additive_mask, block_q, interpret)
 
 
@@ -105,12 +174,7 @@ def _fwd(q, k, v, additive_mask, block_q, interpret):
 
 def _bwd(block_q, interpret, res, g):
     q, k, v, additive_mask = res
-    if additive_mask is None:
-        _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, None), q, k, v)
-        dq, dk, dv = vjp(g)
-        return dq, dk, dv, None
-    _, vjp = jax.vjp(attention_reference, q, k, v, additive_mask)
-    return vjp(g)
+    return _fused_backward(q, k, v, additive_mask, g, interpret)
 
 
 fused_attention.defvjp(_fwd, _bwd)

@@ -206,6 +206,43 @@ def test_fused_attention_grads_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_attention_backward_kernel_unmasked_and_mask_cotangent():
+    """The Pallas backward kernel (no XLA re-derivation): unmasked grads and
+    the additive-mask cotangent both match the reference VJP."""
+    from drin_tpu.ops.pallas.attention import attention_reference, fused_attention
+
+    rng = np.random.default_rng(3)
+    q, k, v = (rng.standard_normal((2, 2, 32, 16)).astype(np.float32) for _ in range(3))
+    # unmasked: the backward must return None for the absent mask
+    loss_f = lambda q, k, v: jnp.sum(fused_attention(q, k, v, None, 128, True) ** 2)
+    loss_r = lambda q, k, v: jnp.sum(attention_reference(q, k, v, None) ** 2)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    # differentiable mask: cotangent flows through the kernel's dS row-sums
+    mask = (rng.standard_normal((2, 32)) * 0.1).astype(np.float32)
+    gm_f = jax.grad(lambda m: jnp.sum(fused_attention(q, k, v, m, 128, True) ** 2))(mask)
+    gm_r = jax.grad(lambda m: jnp.sum(attention_reference(q, k, v, m) ** 2))(mask)
+    np.testing.assert_allclose(np.asarray(gm_f), np.asarray(gm_r), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_backward_bf16():
+    """bf16 inputs: backward kernel grads track the reference within bf16
+    tolerance (intermediates are f32 in both paths)."""
+    from drin_tpu.ops.pallas.attention import attention_reference, fused_attention
+
+    rng = np.random.default_rng(4)
+    q, k, v = (rng.standard_normal((1, 2, 64, 32)).astype(jnp.bfloat16) for _ in range(3))
+    loss_f = lambda q, k, v: jnp.sum(fused_attention(q, k, v, None, 128, True).astype(jnp.float32) ** 2)
+    loss_r = lambda q, k, v: jnp.sum(attention_reference(q, k, v, None).astype(jnp.float32) ** 2)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
 def test_bert_fused_attention_end_to_end():
     """BertModel(fused_attention=True) == the einsum path (interpret mode),
     through the full GHMFCOnline forward."""
