@@ -84,7 +84,8 @@ def extract_mention(tokens: np.ndarray, start: int, end: int, max_len: int,
     return ids, mask, 1, end - start + 1
 
 
-def bucket_trim(ids: np.ndarray, mask: np.ndarray, bucket: int, floor: int = 1):
+def bucket_trim(ids: np.ndarray, mask: np.ndarray, bucket: int, floor: int = 1,
+                used: int | None = None):
     """Trim trailing all-padding token columns down to the batch's max
     content length rounded up to ``bucket`` (≥ ``floor``).
 
@@ -92,12 +93,17 @@ def bucket_trim(ids: np.ndarray, mask: np.ndarray, bucket: int, floor: int = 1):
     padding in every row, already excluded from each kept position by the
     additive attention mask — their softmax terms are exact zeros, so
     ``p @ V`` and all per-position ops are unchanged.  The reference always
-    runs the full ``max_bert_len`` columns (baselines/data.py pads to 512)."""
+    runs the full ``max_bert_len`` columns (baselines/data.py pads to 512).
+
+    ``used`` overrides the batch-derived max content length — multi-process
+    SPMD passes the GLOBAL batch max (derived from precomputed per-example
+    lengths) so every host trims to the same shape."""
     if not bucket:
         return ids, mask
-    used = int(mask.sum(-1).max()) if mask.size else 1
+    if used is None:
+        used = int(mask.sum(-1).max()) if mask.size else 1
     L = ids.shape[-1]
-    new_len = min(L, max(floor, ((max(used, 1) + bucket - 1) // bucket) * bucket))
+    new_len = min(L, max(floor, ((max(int(used), 1) + bucket - 1) // bucket) * bucket))
     return ids[..., :new_len], mask[..., :new_len]
 
 
@@ -159,7 +165,7 @@ def _zip_row(args):
 
 
 def mention_tokens(cfg: Config, tokenizer, sentences, starts_tok, ends_tok,
-                   bucket: int):
+                   bucket: int, used: int | None = None):
     """Mention-side token assembly shared by the dataset and serving paths:
     tokenize padded to ``max_bert_len``, CLS-shift the RAW token positions
     (baselines/data.py:162), optionally re-pack as standalone
@@ -182,11 +188,13 @@ def mention_tokens(cfg: Config, tokenizer, sentences, starts_tok, ends_tok,
                 cfg.max_bert_len, tokenizer.cls_id, tokenizer.sep_id)
         ids, mask, start, end = new_ids, new_mask, s, e
     # floor: the model slices the mention tower to max_mention_sentence_len
-    ids, mask = bucket_trim(ids, mask, bucket, floor=cfg.max_mention_sentence_len)
+    ids, mask = bucket_trim(ids, mask, bucket, floor=cfg.max_mention_sentence_len,
+                            used=used)
     return ids, mask, start, end
 
 
-def entity_tokens(cfg: Config, tokenizer, texts_rows, bucket: int, pool=None):
+def entity_tokens(cfg: Config, tokenizer, texts_rows, bucket: int, pool=None,
+                  used: int | None = None):
     """Entity-side token assembly shared by the dataset and serving paths:
     zipped candidate sentences (zip_entities + length bucket) when
     ``num_entity_sentence`` is set, else direct per-candidate ``[B, C, Le]``
@@ -209,7 +217,7 @@ def entity_tokens(cfg: Config, tokenizer, texts_rows, bucket: int, pool=None):
                                for t in texts_rows[b]]
                 ids[b], mask[b], sep[b] = zip_entities(
                     token_lists, S, cfg.max_bert_len, tokenizer.cls_id)
-        ids, mask = bucket_trim(ids, mask, bucket)
+        ids, mask = bucket_trim(ids, mask, bucket, used=used)
     else:
         flat = [str(t) for row in texts_rows for t in row]
         e = tokenizer(flat, padding="max_length", truncation=True,
@@ -263,11 +271,17 @@ class OnlineMELDataset:
             self.mention_image = npy_io.load_field(d, "mention_image_feature", split, cfg.mention_mmap)
         if cfg.entity_final_layer_name == "multimodal":
             self.entity_image = npy_io.load_field(d, "entity_image_feature", split, cfg.entity_mmap)
-        # length bucketing needs one global batch shape across hosts, so it
-        # only applies in single-process runs (Config.online_length_buckets)
+        # length bucketing: multi-process SPMD needs ONE global batch shape,
+        # so under >1 process the trim length is derived from per-example
+        # token lengths precomputed once from the (identical) store — every
+        # host computes the same global batch max with zero communication
+        # (the trainer passes the GLOBAL batch indices via ``bucket_idx``)
         import jax
 
-        self._bucket = cfg.online_length_buckets if jax.process_count() == 1 else 0
+        self._bucket = cfg.online_length_buckets
+        self._men_len = self._ent_len = None
+        if self._bucket and jax.process_count() > 1:
+            self._men_len, self._ent_len = self._precompute_lengths()
         self._pool = None
         # a fork pool only pays off with real cores to spread the GIL-bound
         # tokenizer over (verified: on a 1-core host IPC overhead makes it a
@@ -284,6 +298,37 @@ class OnlineMELDataset:
             )
             atexit.register(self.close)
 
+    def _precompute_lengths(self):
+        """Per-example token content lengths, tokenized once at load.
+
+        Mention: the attention-mask content length of the padded encoding
+        (or the repacked [CLS mention SEP] length under pre_extract_mention).
+        Entity (zipped mode): the max used length over the S packed
+        sentences, replicating zip_entities' layout (1 CLS column + the sum
+        of per-candidate bodies).  These let every host derive the same
+        global-batch bucket without communication; numerics are unchanged
+        (the trim stays above every row's content)."""
+        cfg, tok = self.cfg, self.tokenizer
+        if cfg.pre_extract_mention:
+            men = (np.asarray(self.end_pos, np.int64)
+                   - np.asarray(self.start_pos, np.int64) + 2)
+        else:
+            men = np.array([len(tok.encode(str(t), truncation=True))
+                            for t in self.mention_text], np.int64)
+        men = np.minimum(men, cfg.max_bert_len)
+        ent = None
+        if cfg.num_entity_sentence:
+            S = cfg.num_entity_sentence
+            C = cfg.num_candidates_model
+            per = (C + S - 1) // S
+            ent = np.zeros((len(self),), np.int64)
+            for i in range(len(self)):
+                body = [len(tok.encode(str(t), truncation=True)) - 1
+                        for t in self.entity_text[i]]
+                ent[i] = max(1 + sum(body[s * per : (s + 1) * per])
+                             for s in range(S))
+        return men, ent
+
     def close(self):
         if self._pool is not None:
             self._pool.terminate()
@@ -293,17 +338,25 @@ class OnlineMELDataset:
     def __len__(self):
         return len(self.answer)
 
-    def online_batch(self, idx: np.ndarray) -> OnlineBatch:
+    def online_batch(self, idx: np.ndarray, bucket_idx: np.ndarray | None = None) -> OnlineBatch:
         cfg = self.cfg
         tok = self.tokenizer
         B = len(idx)
         C = cfg.num_candidates_model
+        used_m = used_e = None
+        if self._men_len is not None:
+            # global-batch bucket: same trim on every host regardless of
+            # which rows this process assembles
+            bidx = np.asarray(idx if bucket_idx is None else bucket_idx)
+            used_m = int(self._men_len[bidx].max())
+            if self._ent_len is not None:
+                used_e = int(self._ent_len[bidx].max())
         mention_ids, mention_mask, start_pos, end_pos = mention_tokens(
             cfg, tok, [str(t) for t in self.mention_text[idx]],
-            self.start_pos[idx], self.end_pos[idx], self._bucket)
+            self.start_pos[idx], self.end_pos[idx], self._bucket, used=used_m)
         ids, mask, sep = entity_tokens(
             cfg, tok, [self.entity_text[idx[b]] for b in range(B)],
-            self._bucket, self._pool)
+            self._bucket, self._pool, used=used_e)
 
         mi = (np.asarray(self.mention_image[idx]) if self.mention_image is not None
               else np.zeros((B,), np.float32))
@@ -328,11 +381,16 @@ class OnlineMELDataset:
         a = np.asarray(self.answer[idx])
         return np.where(a >= self.onehot.shape[0] - 1, 0, a)
 
-    def make_batch(self, idx: np.ndarray, kind: str = "online"):
+    # the trainer passes the GLOBAL batch indices as ``bucket_idx`` so all
+    # hosts derive the same length-bucket shape (see _precompute_lengths)
+    accepts_bucket_idx = True
+
+    def make_batch(self, idx: np.ndarray, kind: str = "online",
+                   bucket_idx: np.ndarray | None = None):
         """Assemble the batch for explicit mention indices (the hook the
         trainer's host-sharded iterator uses: each process builds only the
         rows its devices own, parallel/distributed.py)."""
-        return self.online_batch(idx)
+        return self.online_batch(idx, bucket_idx=bucket_idx)
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 kind: str = "online", drop_remainder: bool = False, pad_to_full: bool = False):

