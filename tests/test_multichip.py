@@ -186,6 +186,90 @@ def test_sharded_nonpooled_table_gather_exact():
     assert np.isfinite(float(loss))
 
 
+def _collective_shapes(hlo_text: str, kind: str):
+    """Element counts of every ``kind`` collective's result in compiled HLO."""
+    import re
+
+    out = []
+    for dt, dims in re.findall(r"(\w+)\[([0-9,]*)\][^=]*? " + kind + r"\(", hlo_text):
+        out.append(int(np.prod([int(d) for d in dims.split(",") if d] or [1])))
+    return out
+
+
+def test_sharded_gather_hlo_structure():
+    """Static guard on the row-sharded table path's compiled collectives
+    (device_store.py design intent; the only multi-chip perf signal
+    available on a 1-chip host): the post-GSPMD train step must keep one
+    reduce-scatter per table (the psum_scatter combine over C) and must NOT
+    contain any table-scale all-gather/all-reduce — a partitioner regression
+    that re-replicates the table would show up exactly there."""
+    from drin_tpu.data.device_store import DeviceEntityStore
+    import __graft_entry__ as g
+
+    cfg = tiny_config("wikimel", "drin").replace(
+        num_candidates_data=7, batch_size=8, metrics_topk=(1, 5),
+        cache_entity_pooling=False)
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    C = cfg.num_candidates_model
+    rng = np.random.default_rng(5)
+    N = 512  # table rows >> batch so table-vs-activation sizes can't collide
+    tables = _entity_tables(cfg, N, rng, pooled=False)
+    store = DeviceEntityStore(cfg, tables, dtype=np.float32, mesh=mesh, shard_rows=True)
+    feats, answer = g._random_drin_batch(cfg, B=8, rng=rng)
+    rows = rng.integers(0, N, (8, C)).astype(np.int32)
+    rows_batch = feats[:7] + (rows, feats[12], feats[13])
+    ff = store.drin_feats_fn()
+    got = ff(tuple(jnp.asarray(np.asarray(x)) for x in rows_batch))
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(0), got)["params"]
+    st, tx = create_train_state(params, cfg)
+    rows_fields = FIELDS[:7] + ("entity_rows", "miet_similarity", "mtei_similarity", "answer")
+    full = rows_batch + (answer,)
+    fns = build_step_fns(lambda p, f: model.apply({"params": p}, f), cfg, tx,
+                         mesh, rows_fields, full, ff)
+    put = pmesh.put_batch(full, fns.batch_shardings)
+    m = jax.device_put(M.init_state(cfg.metrics_topk), fns.replicated)
+    st = jax.device_put(st, fns.replicated)
+    valid = jax.device_put(np.ones((8,), np.float32), fns.valid_sharding)
+    txt = fns.train_step.lower(st, put, valid, m).compile().as_text()
+
+    n_tables = 5  # text, mask, image, object, object_score
+    rs = _collective_shapes(txt, "reduce-scatter")
+    assert len(rs) >= n_tables, f"expected >= {n_tables} reduce-scatters, got {rs}"
+    # the text table is the one row-sharding exists for: its per-rank shard
+    # is the size floor no legitimate activation collective approaches
+    text_shard_elems = int(np.prod(store.text.shape)) // mesh.shape["model"]
+    for kind in ("all-gather", "all-reduce"):
+        sizes = _collective_shapes(txt, kind)
+        big = [s for s in sizes if s >= text_shard_elems // 2]
+        assert not big, (f"table-scale {kind} in the compiled step: {big} elems "
+                         f"(text shard = {text_shard_elems}) — the sharded "
+                         f"gather no longer keeps the table in place")
+
+
+def test_candidate_sharded_batch_hlo_structure():
+    """Same static guard for the plain candidate-sharded batch path: the
+    entity-side [B, C, ...] tensors stay sharded over (data, model) — no
+    all-gather may rebuild a full entity batch tensor (only small
+    cross-candidate activation gathers are expected)."""
+    cfg, model, batch, params, apply_fn = _setup()
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    st, tx = create_train_state(params, cfg)
+    fns = build_step_fns(apply_fn, cfg, tx, mesh, FIELDS, batch)
+    put = pmesh.put_batch(batch, fns.batch_shardings)
+    m = jax.device_put(M.init_state(cfg.metrics_topk), fns.replicated)
+    st = jax.device_put(st, fns.replicated)
+    valid = jax.device_put(np.ones((8,), np.float32), fns.valid_sharding)
+    txt = fns.train_step.lower(st, put, valid, m).compile().as_text()
+    # largest sharded batch tensor (entity text [B, C, Le, D]) full size
+    ent_elems = int(np.prod(np.asarray(batch[7]).shape))
+    for kind in ("all-gather", "all-reduce"):
+        sizes = _collective_shapes(txt, kind)
+        big = [s for s in sizes if s >= ent_elems]
+        assert not big, (f"full entity-batch {kind} in the compiled step: "
+                         f"{big} elems (entity batch = {ent_elems})")
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
