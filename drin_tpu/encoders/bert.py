@@ -115,14 +115,14 @@ class BertLayer(nn.Module):
 
 def resolve_fused_attention(flag, finetune: bool = False) -> bool:
     """Config.bert_fused_attention tri-state: None = auto — fused on a
-    single-device TPU backend with frozen BERT; einsum on CPU, on meshes
-    (pallas_call partitioning isn't wired) and under fine-tuning (the
-    custom_vjp backward re-derives XLA attention, so the fused forward
-    measured slightly slower there, BASELINE.md).  Short sequences are
-    additionally gated per-call in BertSelfAttention."""
+    single-device TPU backend (frozen AND fine-tuning: the Pallas flash
+    backward kernel measured 839 vs 909 ms/step for zipped finetune+remat,
+    BASELINE.md); einsum on CPU and on meshes (pallas_call partitioning
+    isn't wired).  Short sequences are additionally gated per-call in
+    BertSelfAttention."""
+    del finetune  # the backward kernel wins there too (round 3)
     if flag is None:
-        return (jax.default_backend() == "tpu" and jax.device_count() == 1
-                and not finetune)
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     return bool(flag)
 
 

@@ -55,8 +55,23 @@ def make_detector(cfg: Config, frcnn_cfg=None):
     With ``cfg.detector_checkpoint`` set, loads + converts the torch
     state_dict (mask_rcnn checkpoints share the box branch; their mask head
     is unused since the pipeline consumes boxes+scores only).  Without a
-    checkpoint, falls back to :class:`WholeImageDetector`."""
+    checkpoint, falls back to :class:`WholeImageDetector` — LOUDLY: the
+    reference always runs a real pretrained Faster R-CNN
+    (resnet.py:134-141), so a store built with the stub has degraded
+    object features and the miei edge degenerates to whole-image cosines."""
     if not cfg.detector_checkpoint:
+        import sys
+        import warnings
+
+        msg = ("detector_checkpoint is unset: using WholeImageDetector — one "
+               "degenerate whole-image 'object' per image instead of the "
+               "reference's pretrained Faster R-CNN "
+               f"({cfg.drin_object_detector}, resnet.py:134-141). Object "
+               "features in the store will be whole-image features; set "
+               "Config.detector_checkpoint to a converted torchvision "
+               "state_dict for production preprocessing.")
+        warnings.warn(msg)
+        print(f"WARNING: {msg}", file=sys.stderr, flush=True)
         return WholeImageDetector(cfg)
     from drin_tpu.encoders.checkpoints import load_torch_state_dict
     from drin_tpu.encoders.frcnn import FRCNNConfig, detector_params_from_torch

@@ -1046,3 +1046,77 @@ def test_wikimel_clip_sources_parity_vs_legacy_reference(tmp_path, monkeypatch):
         md[i]
     np.testing.assert_array_equal(np.asarray(captured, dtype=object),
                                   np.asarray(entity_texts, dtype=object))
+
+
+def test_resnet_stage_with_frcnn_detector_pipeline(tmp_path):
+    """The composition the reference always runs (resnet.py:144-162) with a
+    REAL converted detector: FRCNNDetector (random torch-layout weights via
+    the checkpoint-conversion path) -> detect -> crop -> re-encode -> .npy
+    store.  Previously only the bare FasterRCNN module was tested."""
+    import torch
+
+    from drin_tpu.preprocess.detector import FRCNNDetector, make_detector
+    from drin_tpu.preprocess.stages import ResnetStage
+    from tests.test_frcnn import TINY, _fabricate_torchvision_sd
+
+    rng = np.random.default_rng(21)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.jpg"
+        _write_image(p, rng, size=(72, 56))
+        paths.append(str(p))
+    _write_image(tmp_path / "default.jpg", rng)
+    ckpt = str(tmp_path / "frcnn.pt")
+    torch.save({k: torch.as_tensor(v)
+                for k, v in _fabricate_torchvision_sd(TINY, new_style=True).items()}, ckpt)
+
+    assets = _tiny_encoders(["some text"])
+    store = tmp_path / "store"
+    os.makedirs(store)
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=str(store)).replace(
+        resnet_embed_dim=24, image_input_size=(64, 64), resnet_num_region=4,
+        default_image=str(tmp_path / "default.jpg"), preprocess_batch_size=2,
+        detector_checkpoint=ckpt)
+    det = make_detector(cfg, frcnn_cfg=TINY)
+    assert isinstance(det, FRCNNDetector)  # checkpoint selected the real one
+    stage = ResnetStage(cfg, assets["resnet_params"], assets["resnet_cfg"],
+                        detector=det)
+    stage.infer("train", "mention", "last_hidden_state", "pooler_output", paths)
+
+    from drin_tpu.common.npy_io import load_field
+
+    feats = load_field(str(store), "mention_image_feature", "train")
+    scores = load_field(str(store), "mention_object_score", "train")
+    objs = load_field(str(store), "mention_object_feature", "train")
+    K = cfg.object_topk["mention"]
+    assert feats.shape == (3, 4, 24) and np.all(np.isfinite(feats))
+    assert scores.shape == (3, K) and np.all(scores >= 0) and np.all(scores <= 1)
+    assert objs.shape == (3, K, 1, 24) and np.all(np.isfinite(objs))
+    # detector boxes are in RESIZED (image_input_size) coordinates while the
+    # crop stage applies them to the original image — the reference's quirk
+    # (resnet.py:79-84 resizes before detection; ImageRegionData crops the
+    # original), preserved here (preprocess/detector.py module docstring)
+    boxes, s = stage.detect(paths, K)
+    assert boxes.shape == (3, K, 4)
+    found = s > 0
+    assert found.any(), "random-weight detector found no boxes (seed-dependent)"
+    fb = boxes[found]
+    assert np.all(fb >= 0) and np.all(fb <= 64 + 1e-3)
+
+
+def test_whole_image_detector_stub_warns_loudly(tmp_path, capsys):
+    """Falling back to the stub detector must be impossible to miss: a
+    warning AND a stderr line (the reference always runs a real pretrained
+    Faster R-CNN, resnet.py:134-141)."""
+    import warnings
+
+    from drin_tpu.preprocess.detector import WholeImageDetector, make_detector
+
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=str(tmp_path))
+    assert not cfg.detector_checkpoint
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        det = make_detector(cfg)
+    assert isinstance(det, WholeImageDetector)
+    assert any("WholeImageDetector" in str(x.message) for x in w)
+    assert "WholeImageDetector" in capsys.readouterr().err
