@@ -130,6 +130,43 @@ def main():
             "ms_per_batch": round(dt * 1e3, 3),
             "pairs_per_sec": round(B * C / dt, 1)}), flush=True)
 
+    # sustained concurrent serving: many client threads firing single-mention
+    # requests — direct interleaved jit calls vs the micro-batching queue
+    # (serve.BatchingRanker).  End-to-end wall clock including host work and
+    # transport: this is the serving story, not pure device time.
+    import concurrent.futures as cf
+
+    from drin_tpu.serve import BatchingRanker
+
+    feats1, _ = g._random_drin_batch(cfg, B=1, rng=rng)
+    rows1 = rng.integers(0, N, (1, C)).astype(np.int32)
+    req = tuple(np.asarray(x, np.float32) if np.asarray(x).dtype == np.float64
+                else np.asarray(x) for x in feats1[:7] + (rows1,) + feats1[12:14])
+    n_req, n_clients = 192, 32
+    br = BatchingRanker(ranker, max_batch=64, wait_ms=3.0, buckets=(1, 8, 16, 32, 64))
+    # warm both programs (bucket shapes) before timing
+    ranker.rank(req, 5)
+    ranker.rank(tuple(np.repeat(x, 64, axis=0) for x in req), 5)
+    for b in (8, 16, 32):
+        ranker.rank(tuple(np.repeat(x, b, axis=0) for x in req), 5)
+    for label, call in (("direct", lambda: ranker.rank(req, 5)),
+                        ("micro-batched", lambda: br.rank(req, 5))):
+        log(f"concurrent serve [{label}]...")
+        import time as _time
+
+        t0 = _time.perf_counter()
+        with cf.ThreadPoolExecutor(n_clients) as ex:
+            list(ex.map(lambda _: call(), range(n_req)))
+        dt = _time.perf_counter() - t0
+        out = {"measurement": "serve_concurrent", "mode": label,
+               "clients": n_clients, "requests": n_req,
+               "requests_per_sec": round(n_req / dt, 1),
+               "ms_per_request_sustained": round(dt / n_req * 1e3, 2)}
+        if label == "micro-batched":
+            out["device_calls"] = br._batches_run
+        print(json.dumps(out), flush=True)
+    br.close()
+
 
 if __name__ == "__main__":
     main()

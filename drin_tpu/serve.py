@@ -213,16 +213,19 @@ class Ranker:
         from drin_tpu.data.online import assemble_online_feats
 
         if tokenizer is None:
-            if getattr(self, "_tokenizer", None) is None:
-                from drin_tpu.text.wordpiece import BertTokenizer
-
-                self._tokenizer = BertTokenizer(
-                    vocab_file=self.cfg.bert_vocab, do_lower_case=False,
-                    model_max_length=self.cfg.max_bert_len)
-            tokenizer = self._tokenizer
+            tokenizer = self._ensure_tokenizer()
         feats = assemble_online_feats(self.cfg, tokenizer, sentences, char_spans,
                                       candidate_texts, mention_images)
         return self.rank(feats, k)
+
+    def _ensure_tokenizer(self):
+        if getattr(self, "_tokenizer", None) is None:
+            from drin_tpu.text.wordpiece import BertTokenizer
+
+            self._tokenizer = BertTokenizer(
+                vocab_file=self.cfg.bert_vocab, do_lower_case=False,
+                model_max_length=self.cfg.max_bert_len)
+        return self._tokenizer
 
     def retrieve(self, mention_repr: np.ndarray, k: int = 100):
         """Stage-1 retrieval: cosine top-k of ``mention_repr`` [B, D]
@@ -252,6 +255,159 @@ class Ranker:
         table = self._retrieval_table
         scores, idx = self._retrieve_jit(jnp.asarray(mention_repr, table.dtype), table, k)
         return np.asarray(scores), np.asarray(idx)
+
+
+# ---------------------------------------------------------------------------
+# micro-batching front end
+
+
+class BatchingRanker:
+    """Micro-batching wrapper: concurrent ``rank()`` calls coalesce into one
+    jitted call on the device.
+
+    ThreadingHTTPServer handles each request on its own thread; without
+    coalescing, N concurrent requests issue N interleaved jit calls that
+    serialize on the device queue at single-request batch shapes (throughput
+    = latency x 1).  Here a dispatcher thread collects requests for up to
+    ``wait_ms`` (or until ``max_batch`` rows), pads the combined batch to
+    the next bucket size (a handful of XLA programs instead of one per batch
+    shape), runs ONE ``ranker.rank`` and splits the results back.  Requests
+    with different ``k`` are grouped per flush.  Exceptions propagate to the
+    issuing caller only."""
+
+    def __init__(self, ranker: Ranker, max_batch: int = 64, wait_ms: float = 2.0,
+                 buckets: tuple = (1, 2, 4, 8, 16, 32, 64), pipeline_depth: int = 2):
+        import concurrent.futures as cf
+        import queue
+
+        self.ranker = ranker
+        self.cfg = ranker.cfg
+        self.max_batch = max_batch
+        self.wait_s = wait_ms / 1e3
+        self.buckets = tuple(sorted(set(buckets) | {max_batch}))
+        self._q: "queue.Queue" = queue.Queue()
+        self._batches_run = 0  # observability: jit calls actually issued
+        self._rows_run = 0
+        self._stop = False
+        # pipeline_depth > 1 overlaps flush k+1's host->device upload with
+        # flush k's device compute/fetch (each flush is independent; order
+        # within a flush is preserved by its own futures)
+        self._flush_pool = (cf.ThreadPoolExecutor(pipeline_depth)
+                            if pipeline_depth > 1 else None)
+        self._inflight = threading.Semaphore(max(pipeline_depth, 1))
+        self._thread = threading.Thread(target=self._dispatch, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=10)
+        if self._flush_pool is not None:
+            self._flush_pool.shutdown(wait=True)
+
+    # -- caller side ---------------------------------------------------
+    def rank(self, feats, k: int = 5):
+        """Same contract as :meth:`Ranker.rank`; blocks until the coalesced
+        device call for this request's flush completes."""
+        import concurrent.futures as cf
+
+        feats = tuple(np.asarray(x) for x in feats)
+        fut: "cf.Future" = cf.Future()
+        self._q.put((feats, int(k), fut))
+        return fut.result()
+
+    def rank_text(self, sentences, char_spans, candidate_texts, k: int = 5,
+                  mention_images=None, tokenizer=None):
+        """Tokenize on the calling thread (CPU, parallel across requests),
+        coalesce the resulting feature batches on the device."""
+        from drin_tpu.data.online import assemble_online_feats
+
+        assert self.cfg.online_bert, "rank_text needs the online-BERT model"
+        if tokenizer is None:
+            tokenizer = self.ranker._ensure_tokenizer()
+        feats = assemble_online_feats(self.cfg, tokenizer, sentences, char_spans,
+                                      candidate_texts, mention_images)
+        return self.rank(feats, k)
+
+    # -- dispatcher side -----------------------------------------------
+    def _take_window(self):
+        """Block for the first request, then drain for up to wait_ms /
+        max_batch rows."""
+        import queue
+        import time as _time
+
+        first = self._q.get()
+        if first is None:
+            return None
+        items = [first]
+        rows = first[0][0].shape[0]
+        deadline = _time.monotonic() + self.wait_s
+        while rows < self.max_batch:
+            timeout = deadline - _time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                it = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if it is None:
+                self._q.put(None)  # re-signal stop after this flush
+                break
+            items.append(it)
+            rows += it[0][0].shape[0]
+        return items
+
+    def _flush(self, items):
+        by_k: dict = {}
+        for feats, k, fut in items:
+            by_k.setdefault(k, []).append((feats, fut))
+        for k, group in by_k.items():
+            futs, sizes = [f for _, f in group], [f[0].shape[0] for f, _ in group]
+            try:
+                n = sum(sizes)
+                bucket = next(b for b in self.buckets if b >= n) if n <= self.max_batch else n
+                fields = zip(*[f for f, _ in group])
+                batch = tuple(np.concatenate(col, axis=0) for col in fields)
+                if bucket > n:  # pad rows by repeating row 0; sliced off below
+                    batch = tuple(
+                        np.concatenate([c, np.repeat(c[:1], bucket - n, axis=0)])
+                        for c in batch)
+                scores, idx = self.ranker.rank(batch, k)
+                self._batches_run += 1
+                self._rows_run += n
+                off = 0
+                for fut, sz in zip(futs, sizes):
+                    fut.set_result((scores[off : off + sz], idx[off : off + sz]))
+                    off += sz
+            except Exception:
+                # a malformed request must fail only its own caller: retry
+                # the group one-by-one so each future gets its own outcome
+                for feats, fut in group:
+                    try:
+                        out = self.ranker.rank(feats, k)
+                        self._batches_run += 1
+                        self._rows_run += feats[0].shape[0]
+                        fut.set_result(out)
+                    except Exception as e:
+                        fut.set_exception(e)
+
+    def _dispatch(self):
+        while not self._stop:
+            items = self._take_window()
+            if items is None:
+                return
+            if self._flush_pool is None:
+                self._flush(items)
+                continue
+            self._inflight.acquire()  # bounded: at most pipeline_depth in flight
+
+            def run(items=items):
+                try:
+                    self._flush(items)
+                finally:
+                    self._inflight.release()
+
+            self._flush_pool.submit(run)
 
 
 # ---------------------------------------------------------------------------
