@@ -15,8 +15,6 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from drin_tpu.ops.core import topk_mask
-
 MetricState = Dict[str, jax.Array]  # {"correct_{k}": [], "total": []}
 
 
@@ -46,15 +44,30 @@ def update(state: MetricState, y_pred: jax.Array, y_true: jax.Array, topk: Seque
     """Accumulate counters for one batch (utils.py:60-66): the answer column
     is stripped, a candidate counts as hit when its score >= the k-th
     largest (ties included).  ``valid`` masks padded rows of a static-shape
-    ragged batch."""
+    ragged batch.
+
+    Computed by RANK comparison, not sort: only the GOLD candidate's
+    top-k membership matters, and (with the reference's tie rule) gold's
+    score >= the k-th largest  ⟺  fewer than k scores are strictly greater
+    than it.  One [B, C] comparison pass replaces a top_k sort per k —
+    sorts are serial-latency-bound on the VPU and dominate the eval step's
+    metrics tail, where (unlike training) no backward hides them
+    (BASELINE.md roofline: 377µs/batch standalone).  Equivalence vs the
+    sort-based mask is pinned by test_ops.py::test_update_rank_equals_mask
+    and the reference-parity metric tests."""
     from drin_tpu.train.loss import _strip_answer_column
 
     y_pred = _strip_answer_column(y_true, y_pred)
     new = dict(state)
-    vw = valid[:, None] if valid is not None else 1.0
+    vw = valid if valid is not None else jnp.ones((), jnp.float32)
+    s_gold = jnp.sum(y_pred * y_true.astype(y_pred.dtype), axis=-1)
+    # all-zero one-hot rows ("answer not in candidates", drin/data.py:159-161)
+    # must never count as hits
+    has_gold = (jnp.sum(y_true, axis=-1) > 0).astype(jnp.float32)
+    n_greater = jnp.sum(y_pred > s_gold[:, None], axis=-1)
     for k in topk:
-        mask = topk_mask(y_pred, k).astype(y_true.dtype)
-        new[f"correct_{k}"] = state[f"correct_{k}"] + jnp.sum(y_true * mask * vw)
+        hit = (n_greater < k).astype(jnp.float32) * has_gold
+        new[f"correct_{k}"] = state[f"correct_{k}"] + jnp.sum(hit * vw)
     n = jnp.sum(valid) if valid is not None else y_pred.shape[0]
     new["total"] = state["total"] + n
     return new

@@ -96,3 +96,32 @@ def test_topk_mask_threshold_semantics(rng):
     m = np.asarray(topk_mask(jnp.asarray(scores), 2))
     # ties at the k-th value are ALL included (utils.py:63-65)
     np.testing.assert_array_equal(m, [[True, True, True, False], [False, False, True, True]])
+
+
+def test_update_rank_equals_mask(rng):
+    """metrics.update's sort-free rank formulation must equal the reference's
+    sort-based mask math (utils.py:60-66) on every corner: ties at the k-th
+    value, the stripped answer column, all-zero one-hot rows, valid masks."""
+    from drin_tpu.train import metrics as M
+
+    B, C = 16, 7
+    for trial in range(6):
+        r = np.random.default_rng(trial)
+        scores = r.standard_normal((B, C + 1)).astype(np.float32)
+        if trial % 2:  # force score ties incl. at the gold position
+            scores = np.round(scores * 2) / 2
+        gold = r.integers(0, C + 1, B)  # C means "answer absent" -> zero row
+        y_true = np.zeros((B, C), np.float32)
+        y_true[gold < C, gold[gold < C]] = 1.0
+        valid = (r.uniform(size=B) > 0.2).astype(np.float32)
+        topk = (1, 3, 5)
+        got = M.update(M.init_state(topk), jnp.asarray(scores), jnp.asarray(y_true),
+                       topk, jnp.asarray(valid))
+        # oracle: the reference's mask math, answer column stripped
+        yp = scores[:, :-1]
+        for k in topk:
+            kth = np.sort(yp, axis=-1)[:, -k]
+            mask = yp >= kth[:, None]
+            want = float(np.sum(y_true * mask * valid[:, None]))
+            assert float(got[f"correct_{k}"]) == want, (trial, k)
+        assert float(got["total"]) == float(valid.sum())
