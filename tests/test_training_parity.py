@@ -90,7 +90,7 @@ def test_drin_five_step_training_parity():
 # full-harness trajectory A/B (the last unpinned reference behavior)
 
 
-def _load_reference_harness(cfg, tmp_store: str):
+def _load_reference_harness(cfg, tmp_store: str, model_type: str = "drin"):
     """Configure the reference for the tiny shared store and import its
     ACTUAL harness module (train.py) in place.
 
@@ -101,7 +101,7 @@ def _load_reference_harness(cfg, tmp_store: str):
     config values through the star import, exactly as a real run would."""
     import importlib.util
 
-    args = load_reference("wikidiverse", "drin")
+    args = load_reference("wikidiverse", model_type)
     args.preprocess_dir = tmp_store
     args.bert_embed_dim = cfg.bert_embed_dim
     args.resnet_embed_dim = cfg.resnet_embed_dim
@@ -122,10 +122,18 @@ def _load_reference_harness(cfg, tmp_store: str):
     args.output_test_result = False
     args.profiling = False
     args.debug = False
-    # drin conditional block derives output dims from gcn_embed_dim
-    # (args.py:33-34); re-derive at the tiny width
-    args.mention_final_output_dim = args.entity_final_output_dim = cfg.gcn_embed_dim
-    for m in ("drin", "drin.model", "drin.data"):
+    if model_type == "drin":
+        # drin conditional block derives output dims from gcn_embed_dim
+        # (args.py:33-34); re-derive at the tiny width
+        args.mention_final_output_dim = args.entity_final_output_dim = cfg.gcn_embed_dim
+    else:  # ghmfc/melhi read the transformer-block knobs (args.py:60-64)
+        args.transformer_num_layers = cfg.transformer_num_layers
+        args.transformer_num_heads = cfg.transformer_num_heads
+        args.transformer_ffn_hidden_size = cfg.transformer_ffn_hidden_size
+        args.transformer_dropout = cfg.transformer_dropout
+        args.pre_extract_mention = cfg.pre_extract_mention
+    for m in ("drin", "drin.model", "drin.data", "baselines", "baselines.ghmfc",
+              "baselines.melhi", "baselines.data"):
         import sys as _sys
 
         _sys.modules.pop(m, None)
@@ -230,5 +238,57 @@ def test_full_harness_trajectory(tmp_path, capsys):
     assert len(our_valid) == len(ref_valid) == 4
     for ours, ref in zip(our_valid + our_test, ref_valid + ref_test):
         np.testing.assert_allclose(ours["loss"], ref["loss"], rtol=5e-3, atol=5e-4)
+        our_accs = [ours["accs"][k] for k in cfg.metrics_topk]
+        np.testing.assert_allclose(our_accs, ref["accs"], atol=1e-6)
+
+
+def test_full_harness_trajectory_ghmfc(tmp_path, capsys):
+    """The baseline-family version of the trajectory A/B: the reference's
+    harness + its baselines data loaders + GHMFC (multimodal fusion config,
+    dropout zeroed on both sides for determinism) vs our harness, 2 fit/test
+    chunks from converted identical weights."""
+    import torch
+
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+    from drin_tpu.models.ghmfc import GHMFC
+    from drin_tpu.models.torch_import import ghmfc_params_from_torch
+    from drin_tpu.train.trainer import Trainer
+
+    store = str(tmp_path / "shared-store-g")
+    cfg = tiny_config("wikidiverse", "ghmfc", preprocess_dir=store).replace(
+        shuffle_train_data=False, acc_correction=(0.0, 0.0, 0.0),
+        transformer_dropout=0.0)
+    assert cfg.mention_final_layer_name == "multimodal"  # the reference default
+    make_synthetic_store(cfg, n_mentions=10, seed=7)
+
+    ref_train = _load_reference_harness(cfg, store, model_type="ghmfc")
+    # the reference's create_datasets downloads a tokenizer it never touches
+    # in offline mode (baselines/data.py:212) — impossible (and unused) in a
+    # zero-egress environment
+    ref_train.data_module.BertTokenizer = type(
+        "TokStub", (), {"from_pretrained": staticmethod(lambda name: None)})
+    torch.manual_seed(0)
+    ref_model = ref_train.MELModel(ref_train.model_module.Model())
+    loaders = ref_train.data_module.create_datasets()
+    ref_valid, ref_test = _drive_reference_harness(ref_train, ref_model, loaders,
+                                                   chunks=2, tei=2)
+    capsys.readouterr()
+
+    torch.manual_seed(0)
+    init_sd = {k: v.numpy() for k, v in
+               ref_train.model_module.Model().state_dict().items()}
+    params = jax.tree.map(jnp.asarray, ghmfc_params_from_torch(init_sd, cfg))
+    model = GHMFC(cfg)
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params,
+                 log=lambda *a: None)
+    our_valid, our_test = [], []
+    for _ in range(2):
+        our_valid += tr.fit(train_ds, valid_ds, 2, kind="baseline")
+        our_test.append(tr.test(test_ds, kind="baseline"))
+
+    for ours, ref in zip(our_valid + our_test, ref_valid + ref_test):
+        np.testing.assert_allclose(ours["loss"], ref["loss"], rtol=1e-2, atol=1e-3)
         our_accs = [ours["accs"][k] for k in cfg.metrics_topk]
         np.testing.assert_allclose(our_accs, ref["accs"], atol=1e-6)
