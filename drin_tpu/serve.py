@@ -311,6 +311,8 @@ class BatchingRanker:
         device call for this request's flush completes."""
         import concurrent.futures as cf
 
+        if self._stop:
+            raise RuntimeError("BatchingRanker is closed")
         feats = tuple(np.asarray(x) for x in feats)
         fut: "cf.Future" = cf.Future()
         self._q.put((feats, int(k), fut))
@@ -434,7 +436,13 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
     POST /rank_text {"sentences": [...], "spans": [[s, e], ...],
                      "candidates": [[...], ...], "k": 5}  (online model only)
                     -> {"scores": [[...]], "indices": [[...]]}
+    POST /retrieve  {"query": <b64 npz {"q": [B, D]}>, "k": 100}
+                    -> {"scores": [[...]], "indices": [[...]]}
+                    (stage-1 retrieval over the full entity table; needs
+                    device entity tables)
     GET  /health    -> {"status": "ok"}
+    ``ranker`` may be a :class:`Ranker` or a :class:`BatchingRanker` (the
+    micro-batching front end; /retrieve then uses its wrapped ranker).
     Returns the server object (call ``.shutdown()`` from another thread)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -459,7 +467,7 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path not in ("/rank", "/rank_text"):
+            if self.path not in ("/rank", "/rank_text", "/retrieve"):
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
@@ -469,6 +477,10 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                     scores, idx = ranker.rank_text(
                         req["sentences"], req["spans"], req["candidates"],
                         int(req.get("k", 5)))
+                elif self.path == "/retrieve":
+                    base = getattr(ranker, "ranker", ranker)  # unwrap BatchingRanker
+                    q = _decode_arrays(req["query"])["q"]
+                    scores, idx = base.retrieve(q, int(req.get("k", 100)))
                 else:
                     arrays = _decode_arrays(req["features"])
                     order = fields or sorted(arrays)

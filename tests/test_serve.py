@@ -209,6 +209,30 @@ def test_http_concurrent_rank_through_batcher(served):
         br.close()
 
 
+def test_http_retrieve_endpoint(served):
+    """POST /retrieve runs stage-1 retrieval over the full entity table and
+    matches the programmatic Ranker.retrieve."""
+    from drin_tpu.serve import Ranker, serve_http, _encode_arrays
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    q = np.random.default_rng(3).standard_normal((2, cfg.bert_embed_dim)).astype(np.float32)
+    want_s, want_i = r.retrieve(q, k=5)
+    server = serve_http(r, port=0)
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/retrieve",
+            data=json.dumps({"query": _encode_arrays({"q": q}), "k": 5}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        np.testing.assert_allclose(np.asarray(out["scores"]), want_s, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out["indices"]), want_i)
+    finally:
+        server.shutdown()
+
+
 def test_ghmfc_entity_precompute_matches_model(tmp_path):
     """Serving fast path: precomputed [N, D] entity reprs + rank_rows must
     equal the full GHMFC forward, and retrieve() switches to model space."""
