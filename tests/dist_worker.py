@@ -43,12 +43,33 @@ def main():
 
     ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else ""
     mode = sys.argv[7] if len(sys.argv) > 7 else "wd"
-    dataset_name = "wikimel" if mode == "wm_rows" else "wikidiverse"
-    cfg = tiny_config(dataset_name, "drin", preprocess_dir=store).replace(
-        batch_size=8, learning_rate=3e-3,
-        enable_checkpointing=bool(ckpt_dir), checkpoint_dir=ckpt_dir or "unused")
-    train_ds, valid_ds, test_ds = create_datasets(cfg)
-    model, kind = get_model(cfg)
+    if mode == "online":
+        # online GHMFC with GLOBAL length bucketing: every host must derive
+        # the same bucket shape from the global batch indices
+        # (data/online._precompute_lengths; VERDICT r2 weak #5)
+        from drin_tpu.data.online import OnlineMELDataset
+        from drin_tpu.data.synthetic import make_synthetic_online_store
+        from drin_tpu.encoders.bert import BertConfig
+        from drin_tpu.models.ghmfc import GHMFCOnline
+
+        cfg, tok = make_synthetic_online_store(store, write=False)
+        cfg = cfg.replace(batch_size=8, learning_rate=3e-3, metrics_topk=(1,))
+        train_ds, valid_ds, test_ds = (
+            OnlineMELDataset(cfg, s, tokenizer=tok) for s in ("train", "valid", "test"))
+        if nproc > 1:
+            assert train_ds._men_len is not None, "bucketing must stay ACTIVE multi-process"
+            assert train_ds._ent_len is not None
+        bert_cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                              num_attention_heads=2, intermediate_size=32,
+                              max_position_embeddings=cfg.max_bert_len)
+        model, kind = GHMFCOnline(cfg, bert_cfg), "online"
+    else:
+        dataset_name = "wikimel" if mode == "wm_rows" else "wikidiverse"
+        cfg = tiny_config(dataset_name, "drin", preprocess_dir=store).replace(
+            batch_size=8, learning_rate=3e-3,
+            enable_checkpointing=bool(ckpt_dir), checkpoint_dir=ckpt_dir or "unused")
+        train_ds, valid_ds, test_ds = create_datasets(cfg)
+        model, kind = get_model(cfg)
     mesh = pmesh.make_mesh(devices=jax.devices(), data=4, model=2)
     feats_fn = None
     if mode == "wm_rows":
@@ -62,7 +83,8 @@ def main():
     assert not (ckpt_dir and mode == "wm_rows")
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
     # init from a dense batch (host-gathered) so no collective runs pre-jit
-    dense = next(test_ds.batches(cfg.batch_size, kind="drin", pad_to_full=True))
+    dense_kind = "online" if mode == "online" else "drin"
+    dense = next(test_ds.batches(cfg.batch_size, kind=dense_kind, pad_to_full=True))
     params = model.init(jax.random.key(0), tuple(np.asarray(x) for x in dense[:-1]))["params"]
     tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params, mesh,
                  batch_fields=type(example)._fields, example_batch=example,

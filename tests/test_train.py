@@ -326,6 +326,30 @@ def test_checkpoint_save_restore(tmp_path, wd_cfg):
         np.testing.assert_array_equal(a, b)
 
 
+def test_checkpoint_resume_continues_trajectory(tmp_path, wd_cfg):
+    """Interrupted-and-resumed training must reproduce the uninterrupted run
+    bit-for-bit: fit(2)+fit(2) in one trainer == fit(2), checkpoint, fresh
+    trainer restore, fit(2).  Pins epoch-seeded shuffle continuation, the
+    step counter through restore, and the per-chunk optimizer-reset
+    semantics interacting with resume."""
+    cfg = wd_cfg.replace(enable_checkpointing=True,
+                         checkpoint_dir=str(tmp_path / "cont-a"))
+    tr, (train_ds, valid_ds, _), kind = _make_trainer(cfg)
+    tr.fit(train_ds, valid_ds, 2, kind=kind)
+    tr.fit(train_ds, valid_ds, 2, kind=kind)
+    want = jax.device_get(tr.state.params)
+
+    cfg2 = wd_cfg.replace(enable_checkpointing=True,
+                          checkpoint_dir=str(tmp_path / "cont-b"))
+    tr2a, _, _ = _make_trainer(cfg2)
+    tr2a.fit(train_ds, valid_ds, 2, kind=kind)
+    tr2b, _, _ = _make_trainer(cfg2)  # restores the chunk-1 checkpoint
+    assert tr2b.epoch == 2 and int(tr2b.state.step) == int(tr2a.state.step)
+    tr2b.fit(train_ds, valid_ds, 2, kind=kind)
+    jax.tree.map(np.testing.assert_array_equal, want,
+                 jax.device_get(tr2b.state.params))
+
+
 def test_output_test_result_dump(tmp_path, wd_cfg):
     """The golden-output hook (reference train.py:40-43): every test score
     vector + label lands in the dump file."""

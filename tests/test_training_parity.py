@@ -292,3 +292,58 @@ def test_full_harness_trajectory_ghmfc(tmp_path, capsys):
         np.testing.assert_allclose(ours["loss"], ref["loss"], rtol=1e-2, atol=1e-3)
         our_accs = [ours["accs"][k] for k in cfg.metrics_topk]
         np.testing.assert_allclose(our_accs, ref["accs"], atol=1e-6)
+
+
+def test_full_harness_trajectory_melhi(tmp_path, capsys):
+    """Third model family: the reference harness + MELHI (LSTM contexts +
+    image gates) vs our harness over 2 fit/test chunks.  The reference's
+    ``lstm_extract_last`` bug is corrected on its side (the same oracle
+    substitution as test_parity_baselines.test_melhi_forward_parity — we
+    implement the intended semantics, documented deviation)."""
+    import torch
+
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+    from drin_tpu.models.melhi import MELHI
+    from drin_tpu.models.torch_import import melhi_params_from_torch
+    from drin_tpu.train.trainer import Trainer
+
+    store = str(tmp_path / "shared-store-m")
+    cfg = tiny_config("wikidiverse", "melhi", preprocess_dir=store).replace(
+        shuffle_train_data=False, acc_correction=(0.0, 0.0, 0.0))
+    make_synthetic_store(cfg, n_mentions=10, seed=9)
+
+    ref_train = _load_reference_harness(cfg, store, model_type="melhi")
+    ref_train.data_module.BertTokenizer = type(
+        "TokStub", (), {"from_pretrained": staticmethod(lambda name: None)})
+
+    def correct_extract_last(packed):
+        padded, lengths = torch.nn.utils.rnn.pad_packed_sequence(packed, batch_first=True)
+        idx = (lengths - 1).clamp(min=0)
+        return padded[torch.arange(padded.shape[0]), idx]
+
+    ref_train.model_module.lstm_extract_last = correct_extract_last
+    torch.manual_seed(0)
+    ref_model = ref_train.MELModel(ref_train.model_module.Model())
+    loaders = ref_train.data_module.create_datasets()
+    ref_valid, ref_test = _drive_reference_harness(ref_train, ref_model, loaders,
+                                                   chunks=2, tei=2)
+    capsys.readouterr()
+
+    torch.manual_seed(0)
+    init_sd = {k: v.numpy() for k, v in
+               ref_train.model_module.Model().state_dict().items()}
+    params = jax.tree.map(jnp.asarray, melhi_params_from_torch(init_sd))
+    model = MELHI(cfg)
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params,
+                 log=lambda *a: None)
+    our_valid, our_test = [], []
+    for _ in range(2):
+        our_valid += tr.fit(train_ds, valid_ds, 2, kind="baseline")
+        our_test.append(tr.test(test_ds, kind="baseline"))
+
+    for ours, ref in zip(our_valid + our_test, ref_valid + ref_test):
+        np.testing.assert_allclose(ours["loss"], ref["loss"], rtol=1e-2, atol=1e-3)
+        our_accs = [ours["accs"][k] for k in cfg.metrics_topk]
+        np.testing.assert_allclose(our_accs, ref["accs"], atol=1e-6)
