@@ -360,10 +360,14 @@ class BatchingRanker:
         return items
 
     def _flush(self, items):
+        # group by (k, trailing shapes): concatenation needs matching field
+        # shapes beyond the batch dim — e.g. rank_text requests tokenized to
+        # different length buckets each get their own device call
         by_k: dict = {}
         for feats, k, fut in items:
-            by_k.setdefault(k, []).append((feats, fut))
-        for k, group in by_k.items():
+            key = (k, tuple(np.asarray(f).shape[1:] for f in feats))
+            by_k.setdefault(key, []).append((feats, fut))
+        for (k, _), group in by_k.items():
             futs, sizes = [f for _, f in group], [f[0].shape[0] for f, _ in group]
             try:
                 n = sum(sizes)

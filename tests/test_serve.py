@@ -345,6 +345,29 @@ def test_rank_text_raw_strings(tmp_path):
     finally:
         server.shutdown()
 
+    # concurrent raw-text requests through the micro-batching front end:
+    # same-shape requests coalesce; a different-length sentence lands in its
+    # own shape group instead of poisoning the flush
+    import concurrent.futures as cf
+
+    from drin_tpu.serve import BatchingRanker
+
+    br = BatchingRanker(r, wait_ms=100.0)
+    try:
+        with cf.ThreadPoolExecutor(3) as ex:
+            f1 = ex.submit(br.rank_text, [sentences[0]], [spans[0]], [cands[0]], 2)
+            f2 = ex.submit(br.rank_text, [sentences[1]], [spans[1]], [cands[1]], 2)
+            f3 = ex.submit(br.rank_text, ["Alpha beta gamma delta epsilon zeta eta theta " * 2],
+                           [(0, 5)], [cands[0]], 2)
+            for fut, row in ((f1, 0), (f2, 1)):
+                s_, i_ = fut.result(timeout=120)
+                np.testing.assert_allclose(s_[0], scores[row], rtol=1e-5)
+                np.testing.assert_array_equal(i_[0], idx[row])
+            s3, _ = f3.result(timeout=120)
+            assert s3.shape == (1, 2)
+    finally:
+        br.close()
+
 
 def test_set_store_rebinds_tables(served):
     """Swapping entity tables must change scoring results only via
