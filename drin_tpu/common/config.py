@@ -270,16 +270,15 @@ class Config:
 
     @property
     def num_devices(self) -> int:
-        """Total mesh size.  ``mesh_data == -1`` means "all remaining devices"
-        (mesh.make_mesh semantics) and resolves against the live backend —
-        without this, ``num_devices`` would be negative and the mesh branch in
-        train.py could never trigger for the documented -1 value."""
-        md = self.mesh_data
-        if md == -1:
-            import jax
-
-            md = max(len(jax.devices()) // max(self.mesh_model, 1), 1)
-        return md * self.mesh_model
+        """Total mesh size.  ``mesh_data == -1`` ("all remaining devices",
+        mesh.make_mesh semantics) must be resolved by the entry point AFTER
+        any jax.distributed initialization (train.py:resolve_mesh_data) —
+        querying the backend from a config property would initialize JAX as
+        a side effect of merely reading config."""
+        assert self.mesh_data != -1, (
+            "resolve mesh_data=-1 against jax.devices() first "
+            "(train.py resolves it after cluster init)")
+        return self.mesh_data * self.mesh_model
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

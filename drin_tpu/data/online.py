@@ -164,6 +164,15 @@ def _zip_row(args):
     return zip_entities(token_lists, S, max_len, tok.cls_id)
 
 
+def _zip_len_row(args):
+    """Pool worker: max used length over the S zipped sentences of one
+    example (the per-example piece of _precompute_lengths)."""
+    texts, S, per = args
+    tok = _WORKER_TOK
+    body = [len(tok.encode(str(t), truncation=True)) - 1 for t in texts]
+    return max(1 + sum(body[s * per : (s + 1) * per]) for s in range(S))
+
+
 def mention_tokens(cfg: Config, tokenizer, sentences, starts_tok, ends_tok,
                    bucket: int, used: int | None = None):
     """Mention-side token assembly shared by the dataset and serving paths:
@@ -271,17 +280,6 @@ class OnlineMELDataset:
             self.mention_image = npy_io.load_field(d, "mention_image_feature", split, cfg.mention_mmap)
         if cfg.entity_final_layer_name == "multimodal":
             self.entity_image = npy_io.load_field(d, "entity_image_feature", split, cfg.entity_mmap)
-        # length bucketing: multi-process SPMD needs ONE global batch shape,
-        # so under >1 process the trim length is derived from per-example
-        # token lengths precomputed once from the (identical) store — every
-        # host computes the same global batch max with zero communication
-        # (the trainer passes the GLOBAL batch indices via ``bucket_idx``)
-        import jax
-
-        self._bucket = cfg.online_length_buckets
-        self._men_len = self._ent_len = None
-        if self._bucket and jax.process_count() > 1:
-            self._men_len, self._ent_len = self._precompute_lengths()
         self._pool = None
         # a fork pool only pays off with real cores to spread the GIL-bound
         # tokenizer over (verified: on a 1-core host IPC overhead makes it a
@@ -297,6 +295,51 @@ class OnlineMELDataset:
                 initargs=(self.tokenizer.vocab, cfg.max_bert_len),
             )
             atexit.register(self.close)
+        # length bucketing: multi-process SPMD needs ONE global batch shape,
+        # so under >1 process the trim length is derived from per-example
+        # token lengths precomputed once from the (identical) store — every
+        # host computes the same global batch max with zero communication
+        # (the trainer passes the GLOBAL batch indices via ``bucket_idx``).
+        # The lengths are cached on disk next to the store (keyed by the
+        # knobs + vocab that determine them) and computed through the fork
+        # pool, so the full-corpus tokenization pass is paid once, not per
+        # host per run (at WikiMEL scale it is ~N*C tokenizer calls).
+        import jax
+
+        self._bucket = cfg.online_length_buckets
+        self._men_len = self._ent_len = None
+        if self._bucket and jax.process_count() > 1:
+            self._men_len, self._ent_len = self._cached_lengths(split)
+
+    def _lengths_cache_key(self) -> str:
+        """Hash of everything the precomputed lengths depend on: the
+        tokenizer vocab and the config knobs shaping tokenization/packing."""
+        import hashlib
+
+        cfg = self.cfg
+        h = hashlib.md5()
+        h.update("\n".join(sorted(self.tokenizer.vocab)).encode())
+        h.update(repr((cfg.num_candidates_model, cfg.num_entity_sentence,
+                       cfg.max_bert_len, cfg.max_entity_attr_char_len,
+                       cfg.pre_extract_mention, cfg.entity_text_type)).encode())
+        return h.hexdigest()[:16]
+
+    def _cached_lengths(self, split: str):
+        """Load the per-example lengths from the store-adjacent cache or
+        compute + persist them (atomic replace: concurrent hosts compute
+        identical bytes, so last-write-wins is safe)."""
+        path = os.path.join(self.cfg.preprocess_dir,
+                            f".lengths-{split}-{self._lengths_cache_key()}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                return z["men"], (z["ent"] if "ent" in z.files else None)
+        men, ent = self._precompute_lengths()
+        # np.savez appends .npz unless the name already ends with it
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        arrays = {"men": men} if ent is None else {"men": men, "ent": ent}
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+        return men, ent
 
     def _precompute_lengths(self):
         """Per-example token content lengths, tokenized once at load.
@@ -307,7 +350,8 @@ class OnlineMELDataset:
         sentences, replicating zip_entities' layout (1 CLS column + the sum
         of per-candidate bodies).  These let every host derive the same
         global-batch bucket without communication; numerics are unchanged
-        (the trim stays above every row's content)."""
+        (the trim stays above every row's content).  The entity pass runs
+        through the fork pool when available (it is the N*C-call bulk)."""
         cfg, tok = self.cfg, self.tokenizer
         if cfg.pre_extract_mention:
             men = (np.asarray(self.end_pos, np.int64)
@@ -321,12 +365,17 @@ class OnlineMELDataset:
             S = cfg.num_entity_sentence
             C = cfg.num_candidates_model
             per = (C + S - 1) // S
-            ent = np.zeros((len(self),), np.int64)
-            for i in range(len(self)):
-                body = [len(tok.encode(str(t), truncation=True)) - 1
-                        for t in self.entity_text[i]]
-                ent[i] = max(1 + sum(body[s * per : (s + 1) * per])
-                             for s in range(S))
+            if self._pool is not None:
+                jobs = [(list(map(str, self.entity_text[i])), S, per)
+                        for i in range(len(self))]
+                ent = np.asarray(self._pool.map(_zip_len_row, jobs), np.int64)
+            else:
+                ent = np.zeros((len(self),), np.int64)
+                for i in range(len(self)):
+                    body = [len(tok.encode(str(t), truncation=True)) - 1
+                            for t in self.entity_text[i]]
+                    ent[i] = max(1 + sum(body[s * per : (s + 1) * per])
+                                 for s in range(S))
         return men, ent
 
     def close(self):

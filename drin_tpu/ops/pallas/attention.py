@@ -90,26 +90,22 @@ def _fused_forward(q, k, v, additive_mask, block_q: int, interpret: bool):
     return out.reshape(B, H, L, Dh)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, dm_ref, *, scale: float):
-    q = q_ref[0]  # [L, Dh]
-    k = k_ref[0]
-    v = v_ref[0]
-    m = m_ref[0]  # [1, L]
-    do = do_ref[0]  # [L, Dh]
-    # recompute the exact softmax tile (flash backward: residuals are only
-    # q/k/v/mask — the [L, L] probabilities never touched HBM)
+def _attn_bwd_math(q, k, v, m, do, scale: float):
+    """Flash backward core for one (batch, head) tile: recompute the exact
+    softmax from q/k/v (the [L, L] probabilities never touched HBM), then
+    dV = Pᵀ dO ; dS = P ⊙ (dO Vᵀ − rowsum(P ⊙ dO Vᵀ)) ; dQ = s·dS K ;
+    dK = s·dSᵀ Q.  ``m`` is the [1, L] additive mask (or None)."""
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + m.astype(jnp.float32)
+    ) * scale
+    if m is not None:
+        logits = logits + m.astype(jnp.float32)
     mx = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - mx)
     p = p / jnp.sum(p, axis=-1, keepdims=True)  # [Lq, Lk] f32
-    # dV = Pᵀ dO
     dv = jax.lax.dot_general(
         p, do.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [Lk, Dh]
-    # dP = dO Vᵀ ; dS = P ⊙ (dP − rowsum(P ⊙ dP))
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # [Lq, 1]
@@ -120,6 +116,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
     dk = jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
+    return dq, dk, dv, ds
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dm_ref, *, scale: float):
+    dq, dk, dv, ds = _attn_bwd_math(q_ref[0], k_ref[0], v_ref[0], m_ref[0],
+                                    do_ref[0], scale)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -128,30 +131,48 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
     dm_ref[0] = jnp.sum(ds, axis=0, keepdims=True).astype(dm_ref.dtype)
 
 
+def _attn_bwd_kernel_nomask(q_ref, k_ref, v_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref, *, scale: float):
+    # unmasked variant: no dm output, no zeros-mask input — the common
+    # frozen/fine-tune path skips the cotangent entirely
+    dq, dk, dv, _ = _attn_bwd_math(q_ref[0], k_ref[0], v_ref[0], None,
+                                   do_ref[0], scale)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _fused_backward(q, k, v, additive_mask, g, interpret: bool):
     B, H, L, Dh = q.shape
-    had_mask = additive_mask is not None
-    if additive_mask is None:
-        additive_mask = jnp.zeros((B, L), q.dtype)
     qf, kf, vf = (x.reshape(B * H, L, Dh) for x in (q, k, v))
-    mf = additive_mask.reshape(B, 1, L)
     gf = g.reshape(B * H, L, Dh)
     full = lambda: pl.BlockSpec((1, L, Dh), lambda bh: (bh, 0, 0))
-    dq, dk, dv, dm = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=Dh ** -0.5),
-        grid=(B * H,),
-        in_specs=[full(), full(), full(),
-                  pl.BlockSpec((1, 1, L), lambda bh, H=H: (bh // H, 0, 0)),
-                  full()],
-        out_specs=[full(), full(), full(),
-                   pl.BlockSpec((1, 1, L), lambda bh: (bh, 0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((B * H, L, Dh), q.dtype)] * 3
-        + [jax.ShapeDtypeStruct((B * H, 1, L), jnp.float32)],
-        interpret=interpret,
-    )(qf, kf, vf, mf, gf)
+    if additive_mask is None:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_attn_bwd_kernel_nomask, scale=Dh ** -0.5),
+            grid=(B * H,),
+            in_specs=[full(), full(), full(), full()],
+            out_specs=[full(), full(), full()],
+            out_shape=[jax.ShapeDtypeStruct((B * H, L, Dh), q.dtype)] * 3,
+            interpret=interpret,
+        )(qf, kf, vf, gf)
+        dmask = None
+    else:
+        mf = additive_mask.reshape(B, 1, L)
+        dq, dk, dv, dm = pl.pallas_call(
+            functools.partial(_attn_bwd_kernel, scale=Dh ** -0.5),
+            grid=(B * H,),
+            in_specs=[full(), full(), full(),
+                      pl.BlockSpec((1, 1, L), lambda bh, H=H: (bh // H, 0, 0)),
+                      full()],
+            out_specs=[full(), full(), full(),
+                       pl.BlockSpec((1, 1, L), lambda bh: (bh, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((B * H, L, Dh), q.dtype)] * 3
+            + [jax.ShapeDtypeStruct((B * H, 1, L), jnp.float32)],
+            interpret=interpret,
+        )(qf, kf, vf, mf, gf)
+        dmask = dm.reshape(B, H, L).sum(axis=1).astype(additive_mask.dtype)
     dq, dk, dv = (x.reshape(B, H, L, Dh) for x in (dq, dk, dv))
-    dmask = (dm.reshape(B, H, L).sum(axis=1).astype(additive_mask.dtype)
-             if had_mask else None)
     return dq, dk, dv, dmask
 
 

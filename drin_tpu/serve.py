@@ -289,6 +289,7 @@ class BatchingRanker:
         self._batches_run = 0  # observability: jit calls actually issued
         self._rows_run = 0
         self._stop = False
+        self._close_lock = threading.Lock()  # orders rank() vs close()
         # pipeline_depth > 1 overlaps flush k+1's host->device upload with
         # flush k's device compute/fetch (each flush is independent; order
         # within a flush is preserved by its own futures)
@@ -299,11 +300,24 @@ class BatchingRanker:
         self._thread.start()
 
     def close(self):
-        self._stop = True
-        self._q.put(None)
+        import queue
+
+        with self._close_lock:
+            self._stop = True
+            self._q.put(None)
         self._thread.join(timeout=10)
         if self._flush_pool is not None:
             self._flush_pool.shutdown(wait=True)
+        # fail any request that raced past the _stop check and enqueued
+        # behind the sentinel — its future would otherwise never resolve
+        # (e.g. an HTTP handler thread blocking forever during shutdown)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].done():
+                item[2].set_exception(RuntimeError("BatchingRanker closed"))
 
     # -- caller side ---------------------------------------------------
     def rank(self, feats, k: int = 5):
@@ -311,11 +325,12 @@ class BatchingRanker:
         device call for this request's flush completes."""
         import concurrent.futures as cf
 
-        if self._stop:
-            raise RuntimeError("BatchingRanker is closed")
         feats = tuple(np.asarray(x) for x in feats)
         fut: "cf.Future" = cf.Future()
-        self._q.put((feats, int(k), fut))
+        with self._close_lock:
+            if self._stop:
+                raise RuntimeError("BatchingRanker is closed")
+            self._q.put((feats, int(k), fut))
         return fut.result()
 
     def rank_text(self, sentences, char_spans, candidate_texts, k: int = 5,

@@ -210,6 +210,15 @@ class WindowedProfiler:
             self.cycles += 1
             self.pos = 0
 
+    def begin_fit(self):
+        """Re-entry for the next fit chunk: the instance persists across
+        chunks so cycle numbering continues and ``repeat`` bounds the TOTAL
+        trace count for the run (not per chunk); whole-fit mode restarts
+        its trace for the new chunk."""
+        if not self.windowed and not self.tracing:
+            jax.profiler.start_trace(self.dir)
+            self.tracing = True
+
     def stop(self):
         if self.tracing:
             jax.profiler.stop_trace()
@@ -419,7 +428,12 @@ class Trainer:
                 opt_state = jax.device_put(opt_state, self.fns.replicated)
             self.state = TrainState(self.state.params, opt_state, self.state.step)
         if cfg.profiling and self._is_main:
-            self._profiler = WindowedProfiler(cfg)
+            # one profiler for the whole run: windowed cycles continue across
+            # fit chunks instead of rewriting cycle0 every chunk
+            if self._profiler is None:
+                self._profiler = WindowedProfiler(cfg)
+            else:
+                self._profiler.begin_fit()
 
         interrupted = {}
         prev_handlers = {}
@@ -445,8 +459,7 @@ class Trainer:
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
             if self._profiler is not None:
-                self._profiler.stop()
-                self._profiler = None
+                self._profiler.stop()  # instance kept: cycles span chunks
         return results
 
     def test(self, test_ds, kind: str = "drin"):

@@ -367,40 +367,11 @@ def test_length_bucketing_is_exact():
 
 
 def _make_online_store(tmpdir, n=6, C=3, max_len=32):
-    """Tiny online intermediate store with raw mentions of varied lengths +
-    qid candidates (same field contract as test_pre_extract_mention)."""
-    import json
-    import os
+    """Tiny online intermediate store + matching cfg/tokenizer (the shared
+    fabricator — also used by the 2-process dist worker)."""
+    from drin_tpu.data.synthetic import make_synthetic_online_store
 
-    from drin_tpu.common import npy_io
-    from drin_tpu.data.synthetic import tiny_config
-    from drin_tpu.text.wordpiece import BertTokenizer, build_tiny_vocab
-
-    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
-             "theta", "iota", "kappa"]
-    rng = np.random.default_rng(11)
-    sentences = [" ".join(rng.choice(words, size=int(rng.integers(3, 9))))
-                 for _ in range(n)]
-    vocab = build_tiny_vocab(words + ["name", "attr", "text"]
-                             + [f"Q{i}" for i in range(4)])
-    tok = BertTokenizer(vocab=vocab, model_max_length=max_len)
-    npy_io.save_field(tmpdir, "mention_text_raw", np.asarray(sentences), "train")
-    npy_io.save_field(tmpdir, "start_pos", np.ones(n, np.int64), "train")
-    npy_io.save_field(tmpdir, "end_pos", np.full(n, 2, np.int64), "train")
-    npy_io.save_field(tmpdir, "answer", (np.arange(n) % (C - 1)).astype(np.int64), "train")
-    npy_io.save_field(tmpdir, "entity_name_raw",
-                      np.asarray([f"Q{i % 4}" for i in range(n * C)]), "train")
-    with open(os.path.join(tmpdir, "qid2ne.json"), "w") as f:
-        json.dump({f"Q{i}": f"name Q{i}" + " attr" * i for i in range(4)}, f)
-    with open(os.path.join(tmpdir, "qid2abs.json"), "w") as f:
-        json.dump({f"Q{i}": "attr text" * (i + 1) for i in range(4)}, f)
-    cfg = tiny_config("wikimel", "ghmfc", preprocess_dir=tmpdir).replace(
-        num_candidates_data=C - 1, online_bert=True, max_bert_len=max_len,
-        num_entity_sentence=2, online_length_buckets=4,
-        mention_final_layer_name="linear", entity_final_layer_name="linear",
-        qid2entity_path=os.path.join(tmpdir, "qid2ne.json"),
-        qid2attr_path=os.path.join(tmpdir, "qid2abs.json"))
-    return cfg, tok
+    return make_synthetic_online_store(tmpdir, n=n, C=C, max_len=max_len)
 
 
 def test_global_length_bucket_matches_local(tmp_path):

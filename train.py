@@ -42,6 +42,11 @@ def main(argv=None) -> None:
         from drin_tpu.parallel import distributed as dist
 
         dist.initialize(cfg)
+    if cfg.mesh_data == -1:
+        # "all remaining devices" — resolved here, after cluster init, so the
+        # global device count is correct (and so reading cfg.num_devices never
+        # touches the backend as a side effect)
+        cfg = cfg.replace(mesh_data=max(len(jax.devices()) // max(cfg.mesh_model, 1), 1))
     if jax.process_index() == 0:
         print(config_summary(cfg))
 
