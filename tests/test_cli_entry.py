@@ -62,6 +62,22 @@ def test_train_py_main_mesh(tmp_path, capsys):
     assert "devices: 8 (mesh)" in out
 
 
+def test_train_py_mesh_data_all_remaining(tmp_path, capsys):
+    """mesh_data=-1 ("all remaining devices") resolves against the live
+    backend AFTER cluster init and actually builds the mesh — previously it
+    silently trained single-chip (ADVICE r2)."""
+    sys.modules.pop("train", None)
+    import train as train_entry
+
+    cfg = tiny_config("wikidiverse", "drin", preprocess_dir=str(tmp_path))
+    make_synthetic_store(cfg, n_mentions=10, seed=8)
+    argv = ["model_type=drin", "dataset_name=wikidiverse",
+            "mesh_data=-1", "mesh_model=2"] + _overrides(cfg, batch_size=8)
+    train_entry.main(argv)
+    out = capsys.readouterr().out
+    assert "devices: 8 (mesh)" in out  # 8 virtual devices / model 2 -> data 4
+
+
 def test_train_py_test_only(tmp_path, capsys):
     sys.modules.pop("train", None)
     import train as train_entry
