@@ -631,6 +631,18 @@ def test_hybrid_mesh_honors_data_width():
         pmesh.make_hybrid_mesh(fake_slices, model=1, data=3)
 
 
+def test_hybrid_mesh_refuses_half_idle_pod():
+    """An IMPLICIT layout that would idle >= half the pod (one badly
+    degraded slice dragging every slice's contribution down) must refuse
+    with an actionable message instead of silently training on a fraction
+    of the devices; an explicit data width stays a warn-only deliberate
+    choice (test_hybrid_mesh_honors_data_width)."""
+    devs = jax.devices()[:8]
+    lopsided = [devs[:6], devs[6:]]  # smallest slice = 2 -> 4/8 used
+    with pytest.raises(ValueError, match="idle"):
+        pmesh.make_hybrid_mesh(lopsided, model=2)
+
+
 def test_max_pooling_survives_candidate_padding():
     """entity_final_pooling='max' (non-cacheable token-level path): the
     zero-padded fake candidates have empty pooling spans, which used to pool
