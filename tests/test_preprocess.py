@@ -1120,3 +1120,35 @@ def test_whole_image_detector_stub_warns_loudly(tmp_path, capsys):
     assert isinstance(det, WholeImageDetector)
     assert any("WholeImageDetector" in str(x.message) for x in w)
     assert "WholeImageDetector" in capsys.readouterr().err
+
+
+def test_clip_stage_resumable(wd_raw, tmp_path):
+    """ClipStage skips any split whose similarity files already exist — the
+    reference's resumability contract (clip.py:163-169).  A second run must
+    embed nothing and leave the files byte-identical."""
+    from drin_tpu.preprocess.prepare import run_prepare
+    from drin_tpu.preprocess.stages import BertStage, ClipStage
+
+    root, sentences, names, n_cand = wd_raw
+    assets = _tiny_encoders(sentences + [f"{n}: a thing" for n in names])
+    cfg = _wd_cfg_for(root, n_cand, tmp_path / "store", assets)
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+    run_prepare(cfg)
+    stage = ClipStage.__new__(ClipStage)
+    _init_clip_stage(stage, cfg, assets)
+    stage.run()
+    sim_files = sorted(f for f in os.listdir(cfg.preprocess_dir)
+                       if f.startswith("similarity"))
+    assert len(sim_files) == 6  # miet + eimt x 3 splits
+    before = {f: open(os.path.join(cfg.preprocess_dir, f), "rb").read()
+              for f in sim_files}
+
+    def _explode(*a, **k):
+        raise AssertionError("resumable run re-embedded")
+
+    stage._embed_images = _explode
+    stage._embed_texts = _explode
+    stage.run()  # all outputs exist: must not touch the encoders
+    after = {f: open(os.path.join(cfg.preprocess_dir, f), "rb").read()
+             for f in sim_files}
+    assert before == after
