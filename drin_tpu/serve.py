@@ -257,6 +257,53 @@ class Ranker:
         return np.asarray(scores), np.asarray(idx)
 
 
+    # ------------------------------------------------------------------
+    def save_bundle(self, path: str):
+        """Write a self-contained deployable artifact: config + trained
+        params + the (possibly projected) entity tables, reloadable with
+        :meth:`from_bundle` on any host — no checkpoint dir, raw store or
+        training code required.  Layout: ``config.json`` + an Orbax
+        checkpoint of ``{"params", "tables"}``."""
+        import dataclasses
+
+        import orbax.checkpoint as ocp
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(self.cfg), f, indent=1)
+        payload = {"params": jax.device_get(self.params)}
+        if self.store is not None:
+            payload["tables"] = {
+                "entity_text_feature": np.asarray(self.store.text, np.float32),
+                "entity_image_feature": np.asarray(self.store.image, np.float32),
+                "entity_object_feature": np.asarray(self.store.obj, np.float32),
+                "entity_object_score": np.asarray(self.store.obj_score, np.float32),
+            }
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(os.path.abspath(os.path.join(path, "state")), payload)
+        ckpt.wait_until_finished()
+
+    @classmethod
+    def from_bundle(cls, path: str, model=None) -> "Ranker":
+        """Reconstruct a Ranker from a :meth:`save_bundle` directory."""
+        import orbax.checkpoint as ocp
+
+        from drin_tpu.common.config import Config
+
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
+        # JSON turns tuples into lists; restore the tuple-typed fields
+        for k, v in raw.items():
+            if isinstance(v, list):
+                raw[k] = tuple(v)
+        cfg = Config(**raw)
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(path, "state")))
+        tables = restored.get("tables")
+        return cls(cfg, params=restored["params"], entity_tables=tables,
+                   model=model)
+
+
 # ---------------------------------------------------------------------------
 # micro-batching front end
 

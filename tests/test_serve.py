@@ -209,6 +209,25 @@ def test_http_concurrent_rank_through_batcher(served):
         br.close()
 
 
+def test_save_load_bundle_roundtrip(served, tmp_path):
+    """save_bundle -> from_bundle reproduces scoring exactly: config,
+    params and the device entity tables travel in one deployable dir."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    want = r.score(batch[:-1])
+    r.save_bundle(str(tmp_path / "bundle"))
+    r2 = Ranker.from_bundle(str(tmp_path / "bundle"))
+    assert r2.cfg.model_type == cfg.model_type
+    assert r2.cfg.num_candidates_data == cfg.num_candidates_data
+    np.testing.assert_allclose(r2.score(batch[:-1]), want, rtol=1e-6)
+    s, i = r2.rank(batch[:-1], k=3)
+    ws, wi = r.rank(batch[:-1], k=3)
+    np.testing.assert_allclose(s, ws, rtol=1e-6)
+    np.testing.assert_array_equal(i, wi)
+
+
 def test_http_retrieve_endpoint(served):
     """POST /retrieve runs stage-1 retrieval over the full entity table and
     matches the programmatic Ranker.retrieve."""
