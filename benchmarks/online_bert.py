@@ -43,10 +43,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_batch(cfg, bert_cfg, B, rng):
+def make_batch(cfg, bert_cfg, B, rng, bucket_len: int = 0):
     """Random token batch at the config's online shapes (OnlineBatch order,
-    minus the answer split)."""
-    L = cfg.max_bert_len
+    minus the answer split).  ``bucket_len`` emulates the data layer's exact
+    length bucketing (Config.online_length_buckets trims token tensors to
+    the batch-max content length; typical zipped content is ~300 tokens →
+    384-col bucket)."""
+    L = bucket_len or cfg.max_bert_len
     C = cfg.num_candidates_model
     V = bert_cfg.vocab_size
     mids = rng.integers(5, V, (B, L)).astype(np.int32)
@@ -72,7 +75,7 @@ def make_batch(cfg, bert_cfg, B, rng):
     return feats + (answer,)
 
 
-def run_variant(name: str, B: int, steps: int, **cfg_kw):
+def run_variant(name: str, B: int, steps: int, bucket_len: int = 0, **cfg_kw):
     import jax
 
     from drin_tpu.common.config import make_config
@@ -87,10 +90,10 @@ def run_variant(name: str, B: int, steps: int, **cfg_kw):
     bert_cfg = BertConfig()  # bert-base-cased dims
     model = GHMFCOnline(cfg, bert_cfg)
     rng = np.random.default_rng(0)
-    batch = make_batch(cfg, bert_cfg, B, rng)
+    batch = make_batch(cfg, bert_cfg, B, rng, bucket_len)
     # init at B=2: params are batch-independent and init traces the forward
     # in f32, which at benchmark batch would blow HBM on its own
-    init_batch = make_batch(cfg, bert_cfg, 2, np.random.default_rng(1))
+    init_batch = make_batch(cfg, bert_cfg, 2, np.random.default_rng(1), bucket_len)
     params = model.init(jax.random.key(0), init_batch[:-1])["params"]
     state, tx = create_train_state(params, cfg)
     fns = build_step_fns(lambda p, f: model.apply({"params": p}, f), cfg, tx)
@@ -107,10 +110,11 @@ def run_variant(name: str, B: int, steps: int, **cfg_kw):
 
     # tokens BERT processes per step
     S = cfg.num_entity_sentence
+    L_eff = bucket_len or cfg.max_bert_len
     if S:
-        tokens = B * (1 + S) * cfg.max_bert_len
+        tokens = B * (1 + S) * L_eff
     else:
-        tokens = B * (cfg.max_bert_len + cfg.num_candidates_model * cfg.max_entity_attr_token_len)
+        tokens = B * (L_eff + cfg.num_candidates_model * cfg.max_entity_attr_token_len)
 
     flops = None
     try:
@@ -169,6 +173,12 @@ def main():
         ("zipped-finetune-fusedattn", dict(B=16, steps=4, finetune_bert=True,
                                            bert_remat=True,
                                            bert_fused_attention=True)),
+        # all three levers stacked: flash fwd + flash bwd + the data layer's
+        # 384-col length bucket (measured 662 ms/step, BASELINE.md)
+        ("zipped-finetune-fusedattn-384", dict(B=16, steps=4, finetune_bert=True,
+                                               bert_remat=True,
+                                               bert_fused_attention=True,
+                                               bucket_len=384)),
     ):
         try:
             run_variant(name, **kw)
