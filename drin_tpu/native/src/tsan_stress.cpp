@@ -21,6 +21,13 @@
 extern "C" int32_t drin_gather_rows(const void* src, void* dst,
                                     const int32_t* rows, int64_t n,
                                     int64_t row_nbytes, int32_t n_threads);
+extern "C" void* drin_wp_build(const char* buf, int64_t n_bytes,
+                               int32_t max_chars);
+extern "C" void drin_wp_free(void* h);
+extern "C" int64_t drin_bert_encode(void* h, const uint8_t* flags,
+                                    const char* text, int64_t len,
+                                    int32_t unk_id, int32_t* out_ids,
+                                    int64_t cap);
 
 namespace {
 
@@ -56,6 +63,25 @@ bool one_caller(const std::vector<char>& table, unsigned seed) {
   return true;
 }
 
+bool tokenizer_caller(void* vocab, const uint8_t* flags, unsigned seed,
+                      const int32_t* want, int64_t want_n) {
+  // concurrent encodes over one SHARED read-only vocab handle + flags table
+  // (the serving threads' usage pattern); results must be deterministic
+  std::mt19937 rng(seed);
+  const char text[] = "alpha beta gamma, delta! epsilon zeta eta theta";
+  std::vector<int32_t> out(64);
+  for (int it = 0; it < 200; ++it) {
+    const int64_t n = drin_bert_encode(vocab, flags, text, sizeof(text) - 1, 1,
+                                       out.data(), 64);
+    if (n != want_n || std::memcmp(out.data(), want, n * sizeof(int32_t))) {
+      std::fprintf(stderr, "tokenizer output diverged (n=%lld)\n",
+                   static_cast<long long>(n));
+      return false;
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 int main() {
@@ -75,7 +101,37 @@ int main() {
       return 1;
     }
   }
-  std::printf("tsan_stress ok: %d callers x %d gathers verified\n", kCallers,
-              kIters);
+  // shared-vocab concurrent tokenization (read-only after build)
+  const char vocab_txt[] =
+      "[PAD]\n[UNK]\nalpha\nbeta\ngamma\ndelta\nepsilon\nzeta\neta\n"
+      "theta\n,\n!\n##a\n##l\nph";
+  void* vocab = drin_wp_build(vocab_txt, sizeof(vocab_txt) - 1, 100);
+  std::vector<uint8_t> flags(0x10000, 0);
+  flags[' '] = 1;
+  flags[','] = flags['!'] = 4;
+  const char text[] = "alpha beta gamma, delta! epsilon zeta eta theta";
+  std::vector<int32_t> want(64);
+  const int64_t want_n =
+      drin_bert_encode(vocab, flags.data(), text, sizeof(text) - 1, 1,
+                       want.data(), 64);
+  std::vector<std::thread> toks;
+  std::vector<int> tok_ok(kCallers, 0);
+  for (int c = 0; c < kCallers; ++c) {
+    toks.emplace_back([&, c] {
+      tok_ok[c] = tokenizer_caller(vocab, flags.data(), 2000u + c, want.data(),
+                                   want_n);
+    });
+  }
+  for (auto& t : toks) t.join();
+  drin_wp_free(vocab);
+  for (int c = 0; c < kCallers; ++c) {
+    if (!tok_ok[c]) {
+      std::fprintf(stderr, "tokenizer caller %d failed\n", c);
+      return 1;
+    }
+  }
+  std::printf("tsan_stress ok: %d callers x %d gathers + concurrent "
+              "tokenization verified\n",
+              kCallers, kIters);
   return 0;
 }

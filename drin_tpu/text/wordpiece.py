@@ -161,6 +161,19 @@ class BertTokenizer:
         self.cls_id = vocab[cls_token]
         self.sep_id = vocab[sep_token]
         self.pad_id = vocab[pad_token]
+        # fused native tokenizer (C++ BasicTokenizer pass over a
+        # Python-built unicodedata table + WordPiece match, one
+        # GIL-releasing call per text) when the library is built;
+        # byte-exact either way (tests/test_native.py) — texts with astral
+        # codepoints and lowercasing configs take the Python path
+        self._native = None
+        if not do_lower_case:
+            try:
+                from drin_tpu.native import BertEncodeNative
+
+                self._native = BertEncodeNative(vocab, unk_id=vocab[unk_token])
+            except Exception:
+                pass
 
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
@@ -168,9 +181,20 @@ class BertTokenizer:
             out.extend(self.wordpiece.tokenize(word))
         return out
 
+    def _word_ids(self, text: str) -> List[int]:
+        """Vocab ids of tokenize(text) — the native fast path when built."""
+        if self._native is not None:
+            ids = self._native.encode_ids(text)
+            if ids is not None:
+                return ids
+        out: List[int] = []
+        for w in self.basic.tokenize(text):
+            out.extend(self.vocab[t] for t in self.wordpiece.tokenize(w))
+        return out
+
     def encode(self, text: str, truncation: bool = False) -> List[int]:
         # tokenize() only emits vocab tokens or [UNK]
-        ids = [self.cls_id] + [self.vocab[t] for t in self.tokenize(text)] + [self.sep_id]
+        ids = [self.cls_id] + self._word_ids(text) + [self.sep_id]
         if truncation and len(ids) > self.model_max_length:
             ids = ids[: self.model_max_length - 1] + [self.sep_id]
         return ids
@@ -182,7 +206,7 @@ class BertTokenizer:
         cap = max_length or self.model_max_length
         seqs = []
         for t in texts:
-            ids = [self.cls_id] + [self.vocab[tok] for tok in self.tokenize(t)] + [self.sep_id]
+            ids = [self.cls_id] + self._word_ids(t) + [self.sep_id]
             if truncation and len(ids) > cap:
                 ids = ids[: cap - 1] + [self.sep_id]
             seqs.append(ids)

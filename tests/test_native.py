@@ -81,3 +81,71 @@ def test_gather_tsan_stress():
     assert run.returncode == 0, f"tsan: {run.stdout}\n{run.stderr}"
     assert "ThreadSanitizer" not in run.stderr, run.stderr
     assert "ok" in run.stdout
+
+
+def test_native_tokenizer_matches_python_fuzz():
+    """The fused native tokenizer (C++ BasicTokenizer pass + WordPiece) must
+    be byte-exact vs the pure-Python path over random text incl. unicode,
+    punctuation bursts, CJK, overlong words and whitespace runs; inputs
+    outside the native fast path (astral chars, control chars) must fall
+    back rather than diverge."""
+    import numpy as np
+
+    from drin_tpu.native import BertEncodeNative
+    from drin_tpu.text.wordpiece import BertTokenizer
+
+    rng = np.random.default_rng(17)
+    base_words = ["alpha", "beta", "gamma", "delta", "kappa", "zeta",
+                  "übermut", "naïve", "héllo"]
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "[MASK]": 4}
+    for w in base_words + ["##pha", "al", "##ta", "be", ",", ".", "!", "漢", "字"]:
+        if w not in vocab:
+            vocab[w] = len(vocab)
+    tok = BertTokenizer(vocab=vocab, model_max_length=64)
+    assert isinstance(tok._native, BertEncodeNative), "native path not active"
+    tok_py = BertTokenizer(vocab=vocab, model_max_length=64)
+    tok_py._native = None
+
+    pieces = base_words + [",", ".", "!", "漢字", "  ", "\t", "unknownword",
+                           "a" * 120, "ü" * 5, "\x00x", "e‍moji", "😀"]
+    for trial in range(200):
+        text = "".join(rng.choice(pieces, size=int(rng.integers(1, 12))))
+        assert tok.encode(text, truncation=True) == tok_py.encode(text, truncation=True), repr(text)
+        a = tok(text, padding="max_length", truncation=True, max_length=32)
+        b = tok_py(text, padding="max_length", truncation=True, max_length=32)
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+        np.testing.assert_array_equal(a["attention_mask"], b["attention_mask"])
+
+
+def test_native_tokenizer_fallback_paths():
+    """Astral codepoints and control chars return None from the native
+    encoder (the Python path handles them); non-contiguous vocab ids refuse
+    native construction."""
+    import pytest
+
+    from drin_tpu.native import BertEncodeNative
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "hello": 4}
+    enc = BertEncodeNative(vocab, unk_id=1)
+    assert enc.encode_ids("hello") == [4]
+    assert enc.encode_ids("😀 astral") is None
+    assert enc.encode_ids("con\x00trol") is None
+    with pytest.raises(ValueError, match="contiguous"):
+        BertEncodeNative({"[UNK]": 1, "x": 7}, unk_id=1)
+
+
+def test_native_wordpiece_word_matcher():
+    """The word-level native matcher (WordPieceNative) equals the Python
+    WordPieceTokenizer on continuation pieces, UNK collapse and the
+    max-chars rule."""
+    from drin_tpu.native import WordPieceNative
+    from drin_tpu.text.wordpiece import WordPieceTokenizer
+
+    vocab = {"[UNK]": 0, "un": 1, "##aff": 2, "##able": 3, "##a": 4, "b": 5}
+    nat = WordPieceNative(vocab, unk_id=0)
+    py = WordPieceTokenizer(vocab, "[UNK]")
+    for word in ["unaffable", "una", "b", "zzz", "a" * 101, "un", ""]:
+        want = [vocab[t] for t in py.tokenize(word)] if word else []
+        assert nat.tokenize_ids([word] if word else []) == want, word
+    # multi-word call concatenates per-word results
+    assert nat.tokenize_ids(["unaffable", "b", "zzz"]) == [1, 2, 3, 5, 0]
