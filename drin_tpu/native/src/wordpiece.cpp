@@ -45,7 +45,9 @@ void* drin_wp_build(const char* buf, int64_t n_bytes, int32_t max_chars) {
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
     const size_t len = nl ? static_cast<size_t>(nl - p)
                           : static_cast<size_t>(end - p);
-    v->map.emplace(std::string(p, len), id++);
+    // assignment, not emplace: a duplicate token keeps the LAST id, matching
+    // the Python dict loader (text/wordpiece.py vocab[line] = i)
+    v->map[std::string(p, len)] = id++;
     p = nl ? nl + 1 : end;
   }
   return v;
