@@ -160,7 +160,7 @@ def _init_tok_worker(vocab, max_len):
 def _zip_row(args):
     texts, S, max_len = args
     tok = _WORKER_TOK
-    token_lists = [tok.encode(str(t), truncation=True) for t in texts]
+    token_lists = tok.encode_batch(texts, truncation=True)
     return zip_entities(token_lists, S, max_len, tok.cls_id)
 
 
@@ -169,7 +169,7 @@ def _zip_len_row(args):
     example (the per-example piece of _precompute_lengths)."""
     texts, S, per = args
     tok = _WORKER_TOK
-    body = [len(tok.encode(str(t), truncation=True)) - 1 for t in texts]
+    body = [len(ids) - 1 for ids in tok.encode_batch(texts, truncation=True)]
     return max(1 + sum(body[s * per : (s + 1) * per]) for s in range(S))
 
 
@@ -221,9 +221,12 @@ def entity_tokens(cfg: Config, tokenizer, texts_rows, bucket: int, pool=None,
             for b, (i_, m_, s_) in enumerate(pool.map(_zip_row, jobs)):
                 ids[b], mask[b], sep[b] = i_, m_, s_
         else:
+            batch_encode = getattr(tokenizer, "encode_batch", None)
             for b in range(B):
-                token_lists = [tokenizer.encode(str(t), truncation=True)
-                               for t in texts_rows[b]]
+                token_lists = (batch_encode(texts_rows[b], truncation=True)
+                               if batch_encode is not None else
+                               [tokenizer.encode(str(t), truncation=True)
+                                for t in texts_rows[b]])
                 ids[b], mask[b], sep[b] = zip_entities(
                     token_lists, S, cfg.max_bert_len, tokenizer.cls_id)
         ids, mask = bucket_trim(ids, mask, bucket, used=used)
@@ -372,8 +375,8 @@ class OnlineMELDataset:
             else:
                 ent = np.zeros((len(self),), np.int64)
                 for i in range(len(self)):
-                    body = [len(tok.encode(str(t), truncation=True)) - 1
-                            for t in self.entity_text[i]]
+                    body = [len(ids) - 1 for ids in
+                            tok.encode_batch(self.entity_text[i], truncation=True)]
                     ent[i] = max(1 + sum(body[s * per : (s + 1) * per])
                                  for s in range(S))
         return men, ent

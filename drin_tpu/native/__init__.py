@@ -75,6 +75,18 @@ def _load_lib():
                     ctypes.c_int64,  # out capacity
                 ]
                 lib.drin_bert_encode.restype = ctypes.c_int64
+                lib.drin_bert_encode_batch.argtypes = [
+                    ctypes.c_void_p,  # vocab handle
+                    ctypes.c_char_p,  # BMP classification flags [65536]
+                    ctypes.c_char_p,  # concatenated utf-8 texts
+                    ctypes.POINTER(ctypes.c_int64),  # text byte offsets [n+1]
+                    ctypes.c_int64,  # n texts
+                    ctypes.c_int32,  # unk id
+                    ctypes.POINTER(ctypes.c_int32),  # out ids
+                    ctypes.c_int64,  # out capacity
+                    ctypes.POINTER(ctypes.c_int64),  # per-text cumulative ends
+                ]
+                lib.drin_bert_encode_batch.restype = ctypes.c_int64
             _LIB = lib
         except OSError:
             _LIB = None
@@ -247,3 +259,42 @@ class BertEncodeNative:
             return None
         assert total >= 0, "native encode overflow (capacity bug)"
         return out[:total].tolist()
+
+    def encode_ids_batch(self, texts):
+        """``encode_ids`` for many texts in ONE foreign call (per-call
+        overhead dominates short candidate strings).  Returns a list with a
+        per-text id list, or None at positions the native path can't
+        express (astral chars, drop-class chars) — the caller re-encodes
+        just those in Python."""
+        n = len(texts)
+        if n == 0:
+            return []
+        blobs = []
+        skip = [False] * n
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            if any(c >= 0xF0 for c in b):
+                skip[i] = True  # astral: empty native span, Python fallback
+                b = b""
+            blobs.append(b)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        blob = b"".join(blobs)
+        cap = int(offsets[-1]) + 8
+        out = np.empty(cap, np.int32)
+        ends = np.empty(n, np.int64)
+        total = self._lib.drin_bert_encode_batch(
+            self._handle, self._flags, blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            self._unk, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        assert total >= 0, "native batch encode overflow (capacity bug)"
+        res = []
+        prev = 0
+        for i in range(n):
+            if skip[i] or ends[i] < 0:
+                res.append(None)
+            else:
+                res.append(out[prev : int(ends[i])].tolist())
+                prev = int(ends[i])
+        return res

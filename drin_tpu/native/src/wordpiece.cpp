@@ -241,3 +241,35 @@ int64_t drin_bert_encode(void* h, const uint8_t* flags, const char* text,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched drin_bert_encode: `n_texts` texts concatenated in `buf` (text t
+// spanning bytes [offsets[t], offsets[t+1])), one foreign call for e.g. all
+// B*C candidate strings of a batch (per-call overhead dominates short
+// texts).  Per-text cumulative id counts land in `out_ends`; a text the
+// span representation can't express (control/NUL/U+FFFD, see
+// drin_bert_encode) gets out_ends[t] = -1 and contributes no ids — the
+// caller re-encodes just that text in Python.  Returns the total id count
+// or -1 if `cap` is too small.
+int64_t drin_bert_encode_batch(void* h, const uint8_t* flags, const char* buf,
+                               const int64_t* offsets, int64_t n_texts,
+                               int32_t unk_id, int32_t* out_ids, int64_t cap,
+                               int64_t* out_ends) {
+  int64_t total = 0;
+  for (int64_t t = 0; t < n_texts; ++t) {
+    const int64_t r =
+        drin_bert_encode(h, flags, buf + offsets[t], offsets[t + 1] - offsets[t],
+                         unk_id, out_ids + total, cap - total);
+    if (r == -1) return -1;
+    if (r == -2) {
+      out_ends[t] = -1;
+      continue;
+    }
+    total += r;
+    out_ends[t] = total;
+  }
+  return total;
+}
+
+}  // extern "C"

@@ -181,15 +181,35 @@ class BertTokenizer:
             out.extend(self.wordpiece.tokenize(word))
         return out
 
+    def _py_word_ids(self, text: str) -> List[int]:
+        out: List[int] = []
+        for w in self.basic.tokenize(text):
+            out.extend(self.vocab[t] for t in self.wordpiece.tokenize(w))
+        return out
+
     def _word_ids(self, text: str) -> List[int]:
         """Vocab ids of tokenize(text) — the native fast path when built."""
         if self._native is not None:
             ids = self._native.encode_ids(text)
             if ids is not None:
                 return ids
-        out: List[int] = []
-        for w in self.basic.tokenize(text):
-            out.extend(self.vocab[t] for t in self.wordpiece.tokenize(w))
+        return self._py_word_ids(text)
+
+    def encode_batch(self, texts, truncation: bool = False) -> List[List[int]]:
+        """``encode`` for many texts in one native call (per-call overhead
+        dominates short candidate strings); identical output to a per-text
+        loop, with per-text Python fallback where needed."""
+        texts = [str(t) for t in texts]
+        rows = (self._native.encode_ids_batch(texts)
+                if self._native is not None else [None] * len(texts))
+        out = []
+        for t, ids in zip(texts, rows):
+            if ids is None:
+                ids = self._py_word_ids(t)
+            ids = [self.cls_id] + ids + [self.sep_id]
+            if truncation and len(ids) > self.model_max_length:
+                ids = ids[: self.model_max_length - 1] + [self.sep_id]
+            out.append(ids)
         return out
 
     def encode(self, text: str, truncation: bool = False) -> List[int]:
@@ -204,9 +224,12 @@ class BertTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         cap = max_length or self.model_max_length
+        rows = (self._native.encode_ids_batch([str(t) for t in texts])
+                if self._native is not None else [None] * len(texts))
         seqs = []
-        for t in texts:
-            ids = [self.cls_id] + self._word_ids(t) + [self.sep_id]
+        for t, pre in zip(texts, rows):
+            ids = [self.cls_id] + (pre if pre is not None
+                                   else self._py_word_ids(str(t))) + [self.sep_id]
             if truncation and len(ids) > cap:
                 ids = ids[: cap - 1] + [self.sep_id]
             seqs.append(ids)

@@ -149,3 +149,28 @@ def test_native_wordpiece_word_matcher():
         assert nat.tokenize_ids([word] if word else []) == want, word
     # multi-word call concatenates per-word results
     assert nat.tokenize_ids(["unaffable", "b", "zzz"]) == [1, 2, 3, 5, 0]
+
+
+def test_native_encode_batch_matches_per_text():
+    """encode_batch == a per-text encode loop, including texts that take the
+    Python fallback (astral / control chars) interleaved with native ones."""
+    from drin_tpu.text.wordpiece import BertTokenizer
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "hello": 4,
+             "world": 5, ",": 6, "##d": 7, "worl": 8}
+    tok = BertTokenizer(vocab=vocab, model_max_length=8)
+    assert tok._native is not None
+    texts = ["hello world", "😀 astral", "world, hello", "", "a\x00b",
+             "hello " * 10, "worl"]
+    want = [tok.encode(t, truncation=True) for t in texts]
+    got = tok.encode_batch(texts, truncation=True)
+    assert got == want
+    # and through __call__ (batched path with padding)
+    import numpy as np
+
+    a = tok(texts, padding="max_length", truncation=True, max_length=8)
+    tok_py = BertTokenizer(vocab=vocab, model_max_length=8)
+    tok_py._native = None
+    b = tok_py(texts, padding="max_length", truncation=True, max_length=8)
+    np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+    np.testing.assert_array_equal(a["attention_mask"], b["attention_mask"])
