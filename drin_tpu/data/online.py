@@ -314,9 +314,12 @@ class OnlineMELDataset:
         if self._bucket and jax.process_count() > 1:
             self._men_len, self._ent_len = self._cached_lengths(split)
 
-    def _lengths_cache_key(self) -> str:
+    def _lengths_cache_key(self, split: str) -> str:
         """Hash of everything the precomputed lengths depend on: the
-        tokenizer vocab and the config knobs shaping tokenization/packing."""
+        tokenizer vocab, the config knobs shaping tokenization/packing, and
+        (size, mtime) fingerprints of the SOURCE files the texts come from —
+        a regenerated store must invalidate the cache, else a stale trim
+        would silently cut real tokens."""
         import hashlib
 
         cfg = self.cfg
@@ -325,6 +328,21 @@ class OnlineMELDataset:
         h.update(repr((cfg.num_candidates_model, cfg.num_entity_sentence,
                        cfg.max_bert_len, cfg.max_entity_attr_char_len,
                        cfg.pre_extract_mention, cfg.entity_text_type)).encode())
+        d = cfg.preprocess_dir
+        sources = [os.path.join(d, f"mention-text-raw_{split}.npy"),
+                   os.path.join(d, f"start-pos_{split}.npy"),
+                   os.path.join(d, f"end-pos_{split}.npy")]
+        if cfg.dataset_name == "wikimel":
+            sources += [os.path.join(d, f"entity-name-raw_{split}.npy"),
+                        cfg.qid2entity_path, cfg.qid2attr_path]
+        else:
+            sources += [os.path.join(d, f"entity-attr-raw_{split}.npy")]
+        for p in sources:
+            try:
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(f"{p}:absent".encode())
         return h.hexdigest()[:16]
 
     def _cached_lengths(self, split: str):
@@ -332,7 +350,7 @@ class OnlineMELDataset:
         compute + persist them (atomic replace: concurrent hosts compute
         identical bytes, so last-write-wins is safe)."""
         path = os.path.join(self.cfg.preprocess_dir,
-                            f".lengths-{split}-{self._lengths_cache_key()}.npz")
+                            f".lengths-{split}-{self._lengths_cache_key(split)}.npz")
         if os.path.exists(path):
             with np.load(path) as z:
                 return z["men"], (z["ent"] if "ent" in z.files else None)

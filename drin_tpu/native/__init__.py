@@ -49,7 +49,8 @@ def _load_lib():
                 ctypes.c_int32,  # n threads
             ]
             lib.drin_gather_rows.restype = ctypes.c_int32
-            if hasattr(lib, "drin_wp_build"):  # older prebuilt .so: gather only
+            try:  # tokenizer entry points (a stale prebuilt .so may lack
+                # some of them — degrade to gather-only, never crash callers)
                 lib.drin_wp_build.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                               ctypes.c_int32]
                 lib.drin_wp_build.restype = ctypes.c_void_p
@@ -87,6 +88,9 @@ def _load_lib():
                     ctypes.POINTER(ctypes.c_int64),  # per-text cumulative ends
                 ]
                 lib.drin_bert_encode_batch.restype = ctypes.c_int64
+                lib._has_wordpiece = True
+            except AttributeError:
+                lib._has_wordpiece = False
             _LIB = lib
         except OSError:
             _LIB = None
@@ -133,6 +137,19 @@ def gather_rows(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
     return out.reshape(rows.shape + table.shape[1:])
 
 
+def _vocab_buffer(vocab: dict) -> bytes:
+    """'\n'-joined tokens in id order for drin_wp_build; raises ValueError on
+    non-contiguous or duplicate ids so callers fall back to the Python
+    matcher."""
+    n = len(vocab)
+    by_id = [None] * n
+    for tok, i in vocab.items():
+        if not (0 <= i < n) or by_id[i] is not None:
+            raise ValueError("vocab ids must be contiguous 0..n-1 and unique")
+        by_id[i] = tok
+    return "\n".join(by_id).encode("utf-8")
+
+
 class WordPieceNative:
     """Native greedy longest-match WordPiece over a fixed vocab
     (``src/wordpiece.cpp``; byte-exact vs text/wordpiece.WordPieceTokenizer).
@@ -144,15 +161,9 @@ class WordPieceNative:
 
     def __init__(self, vocab: dict, unk_id: int, max_chars: int = 100):
         lib = _load_lib()
-        if lib is None or not hasattr(lib, "drin_wp_build"):
+        if lib is None or not getattr(lib, "_has_wordpiece", False):
             raise RuntimeError("native library not built (make -C drin_tpu/native)")
-        n = len(vocab)
-        by_id = [None] * n
-        for tok, i in vocab.items():
-            if not (0 <= i < n) or by_id[i] is not None:
-                raise ValueError("vocab ids must be contiguous 0..n-1 and unique")
-            by_id[i] = tok
-        buf = "\n".join(by_id).encode("utf-8")
+        buf = _vocab_buffer(vocab)
         self._lib = lib
         self._handle = ctypes.c_void_p(lib.drin_wp_build(buf, len(buf), max_chars))
         self._unk = int(unk_id)
@@ -223,16 +234,9 @@ class BertEncodeNative:
 
     def __init__(self, vocab: dict, unk_id: int, max_chars: int = 100):
         lib = _load_lib()
-        if lib is None or not hasattr(lib, "drin_bert_encode"):
+        if lib is None or not getattr(lib, "_has_wordpiece", False):
             raise RuntimeError("native library not built (make -C drin_tpu/native)")
-        n = len(vocab)
-        by_id = [None] * n
-        for tok, i in vocab.items():
-            if not (0 <= i < n) or by_id[i] is not None:
-                raise ValueError("vocab ids must be contiguous 0..n-1 and unique")
-        for tok, i in vocab.items():
-            by_id[i] = tok
-        buf = "\n".join(by_id).encode("utf-8")
+        buf = _vocab_buffer(vocab)
         self._lib = lib
         self._handle = ctypes.c_void_p(lib.drin_wp_build(buf, len(buf), max_chars))
         self._unk = int(unk_id)
@@ -246,7 +250,7 @@ class BertEncodeNative:
 
     def encode_ids(self, text: str):
         blob = text.encode("utf-8")
-        if any(b >= 0xF0 for b in blob):
+        if blob and max(blob) >= 0xF0:
             return None  # astral chars: Python path keeps exactness
         cap = len(blob) + 8
         out = np.empty(cap, np.int32)
@@ -273,8 +277,8 @@ class BertEncodeNative:
         skip = [False] * n
         for i, t in enumerate(texts):
             b = t.encode("utf-8")
-            if any(c >= 0xF0 for c in b):
-                skip[i] = True  # astral: empty native span, Python fallback
+            if b and max(b) >= 0xF0:  # astral: Python fallback (C-speed scan)
+                skip[i] = True
                 b = b""
             blobs.append(b)
         offsets = np.zeros(n + 1, np.int64)

@@ -29,6 +29,13 @@ struct WpVocab {
   int32_t max_chars;
 };
 
+// one word's greedy longest-match (defined below, shared by every entry
+// point); returns the new cumulative id count or -1 on overflow
+int64_t wp_match(const WpVocab* v, const char* s, int64_t len, int32_t unk_id,
+                 int32_t* out_ids, int64_t cap, int64_t total,
+                 std::string& sub, std::vector<int64_t>& cps,
+                 std::vector<int32_t>& word_ids);
+
 }  // namespace
 
 extern "C" {
@@ -66,52 +73,12 @@ int64_t drin_wp_tokenize(void* h, const char* words_buf, const int64_t* offsets,
   const auto* v = static_cast<const WpVocab*>(h);
   int64_t total = 0;
   std::string sub;
-  std::vector<int64_t> cps;       // byte offset of each codepoint (+ end)
-  std::vector<int32_t> word_ids;  // staged: an unmatchable tail voids the word
+  std::vector<int64_t> cps;
+  std::vector<int32_t> word_ids;
   for (int64_t w = 0; w < n_words; ++w) {
-    const char* s = words_buf + offsets[w];
-    const int64_t len = offsets[w + 1] - offsets[w];
-    cps.clear();
-    for (int64_t i = 0; i < len;) {
-      cps.push_back(i);
-      const unsigned char c = static_cast<unsigned char>(s[i]);
-      i += (c < 0x80) ? 1 : (c < 0xE0) ? 2 : (c < 0xF0) ? 3 : 4;
-    }
-    cps.push_back(len);
-    const int64_t n_cp = static_cast<int64_t>(cps.size()) - 1;
-    word_ids.clear();
-    bool ok = n_cp <= v->max_chars;
-    if (ok) {
-      int64_t start = 0;
-      while (start < n_cp) {
-        int64_t end_cp = n_cp;
-        int32_t cur = -1;
-        while (start < end_cp) {
-          sub.clear();
-          if (start > 0) sub.append("##");
-          sub.append(s + cps[start],
-                     static_cast<size_t>(cps[end_cp] - cps[start]));
-          const auto it = v->map.find(sub);
-          if (it != v->map.end()) {
-            cur = it->second;
-            break;
-          }
-          --end_cp;
-        }
-        if (cur < 0) {
-          ok = false;
-          break;
-        }
-        word_ids.push_back(cur);
-        start = end_cp;
-      }
-    }
-    if (!ok) {
-      word_ids.clear();
-      word_ids.push_back(unk_id);
-    }
-    if (total + static_cast<int64_t>(word_ids.size()) > cap) return -1;
-    for (const int32_t id : word_ids) out_ids[total++] = id;
+    total = wp_match(v, words_buf + offsets[w], offsets[w + 1] - offsets[w],
+                     unk_id, out_ids, cap, total, sub, cps, word_ids);
+    if (total < 0) return -1;
     out_word_ends[w] = total;
   }
   return total;
@@ -126,11 +93,10 @@ namespace {
 // need to live here)
 constexpr uint8_t kWs = 1, kCtrl = 2, kPunct = 4, kCjk = 8, kDrop = 16;
 
-inline int64_t wp_match(const WpVocab* v, const char* s, int64_t len,
-                        int32_t unk_id, int32_t* out_ids, int64_t cap,
-                        int64_t total, std::string& sub,
-                        std::vector<int64_t>& cps,
-                        std::vector<int32_t>& word_ids) {
+int64_t wp_match(const WpVocab* v, const char* s, int64_t len, int32_t unk_id,
+                 int32_t* out_ids, int64_t cap, int64_t total,
+                 std::string& sub, std::vector<int64_t>& cps,
+                 std::vector<int32_t>& word_ids) {
   // one word's greedy longest-match; returns new total or -1 on overflow
   cps.clear();
   for (int64_t i = 0; i < len;) {

@@ -280,7 +280,9 @@ class Ranker:
                 "entity_object_score": np.asarray(self.store.obj_score, np.float32),
             }
         ckpt = ocp.StandardCheckpointer()
-        ckpt.save(os.path.abspath(os.path.join(path, "state")), payload)
+        # force: refreshing a deployment artifact in place must overwrite
+        ckpt.save(os.path.abspath(os.path.join(path, "state")), payload,
+                  force=True)
         ckpt.wait_until_finished()
 
     @classmethod

@@ -223,6 +223,13 @@ class WindowedProfiler:
         if self.tracing:
             jax.profiler.stop_trace()
             self.tracing = False
+            if self.windowed:
+                # a chunk ending mid-active-window finalizes that cycle: the
+                # partial trace counts toward `repeat` and the next chunk
+                # starts a fresh wait/warmup into its own cycle dir (never a
+                # second dump into the same cycle{n})
+                self.cycles += 1
+                self.pos = 0
 
 
 class Trainer:

@@ -226,6 +226,10 @@ def test_save_load_bundle_roundtrip(served, tmp_path):
     ws, wi = r.rank(batch[:-1], k=3)
     np.testing.assert_allclose(s, ws, rtol=1e-6)
     np.testing.assert_array_equal(i, wi)
+    # refreshing a bundle in place must overwrite, not crash
+    r.save_bundle(str(tmp_path / "bundle"))
+    r3 = Ranker.from_bundle(str(tmp_path / "bundle"))
+    np.testing.assert_allclose(r3.score(batch[:-1]), want, rtol=1e-6)
 
 
 def test_http_retrieve_endpoint(served):

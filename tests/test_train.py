@@ -148,6 +148,26 @@ def test_profiler_windowed_schedule(tmp_path, wd_cfg):
     assert sorted(os.listdir(cfg.profile_dir)) == cycles
 
 
+def test_profiler_midwindow_chunk_end_finalizes_cycle(tmp_path, wd_cfg):
+    """A fit chunk ending mid-active-window finalizes that cycle (partial
+    trace counts toward repeat); the next chunk opens a FRESH cycle dir —
+    never a second dump into the same cycle{n}."""
+    import os
+
+    cfg = wd_cfg.replace(profiling=True, profile_dir=str(tmp_path / "pmw"))
+    tr, (train_ds, valid_ds, _), kind = _make_trainer(cfg)
+    # 3 train steps/chunk: the window (skip=2, active=3) is still open when
+    # the chunk ends
+    tr.fit(train_ds, valid_ds, 1, kind=kind)
+    assert sorted(os.listdir(cfg.profile_dir)) == ["cycle0"]
+    tr.fit(train_ds, valid_ds, 1, kind=kind)
+    cycles = sorted(os.listdir(cfg.profile_dir))
+    assert cycles == ["cycle0", "cycle1"], cycles
+    for c in cycles:  # exactly one trace session dump per cycle dir
+        sessions = os.listdir(os.path.join(cfg.profile_dir, c, "plugins", "profile"))
+        assert len(sessions) == 1, (c, sessions)
+
+
 def test_output_test_result_single_pass(tmp_path, wd_cfg):
     """``test()`` with output_test_result must evaluate the split ONCE —
     eval_step already returns scores + metric state, so the dump and the

@@ -26,7 +26,6 @@ def main(argv=None) -> None:
     from drin_tpu.common.config import config_summary, make_config
     from drin_tpu.data.dataset import create_datasets
     from drin_tpu.models import get_model
-    from drin_tpu.parallel.mesh import make_mesh
     from drin_tpu.train.trainer import Trainer
 
     overrides = parse_overrides(argv if argv is not None else sys.argv[1:])
@@ -42,11 +41,32 @@ def main(argv=None) -> None:
         from drin_tpu.parallel import distributed as dist
 
         dist.initialize(cfg)
-    if cfg.mesh_data == -1:
-        # "all remaining devices" — resolved here, after cluster init, so the
-        # global device count is correct (and so reading cfg.num_devices never
-        # touches the backend as a side effect)
-        cfg = cfg.replace(mesh_data=max(len(jax.devices()) // max(cfg.mesh_model, 1), 1))
+    # mesh selection.  mesh_data == -1 means "all remaining devices": on a
+    # single slice it resolves to len(devices) // mesh_model; on a
+    # multi-slice pod it stays IMPLICIT (data=None) so make_hybrid_mesh can
+    # size the data axis per slice (uneven slices contribute
+    # min(slice)//model rows each — an explicit global width can't express
+    # that).  Resolution happens here, after cluster init, so the global
+    # device count is correct and reading cfg.num_devices never touches the
+    # backend as a side effect.
+    from drin_tpu.parallel.mesh import group_by_slice, make_hybrid_mesh, make_mesh
+
+    implicit = cfg.mesh_data == -1
+    slices = group_by_slice()
+    mesh = None
+    if implicit or cfg.num_devices > 1:
+        if len(slices) > 1:
+            # multi-slice pod: model (candidate) axis within a slice so its
+            # per-step collectives ride ICI; only DP reductions cross DCN
+            mesh = make_hybrid_mesh(
+                slices, model=cfg.mesh_model,
+                data=None if implicit else cfg.mesh_data)
+        else:
+            mesh = make_mesh(cfg)  # resolves -1 against the device list
+        # record the realized width so downstream cfg.num_devices is real
+        cfg = cfg.replace(mesh_data=mesh.shape["data"])
+        if mesh.devices.size == 1:
+            mesh = None  # a 1-device "mesh" is just single-chip
     if jax.process_index() == 0:
         print(config_summary(cfg))
 
@@ -55,21 +75,6 @@ def main(argv=None) -> None:
     root_key = jax.random.key(cfg.seed)
 
     model, kind = get_model(cfg)
-    mesh = None
-    if cfg.num_devices > 1:
-        from drin_tpu.parallel.mesh import group_by_slice, make_hybrid_mesh
-
-        slices = group_by_slice()
-        if len(slices) > 1:
-            # multi-slice pod: lay the model (candidate) axis within a slice
-            # so its per-step collectives ride ICI; only DP reductions cross
-            # DCN (parallel/mesh.make_hybrid_mesh).  Honors the configured
-            # mesh sizes (mesh_data = -1 means all remaining devices).
-            mesh = make_hybrid_mesh(
-                slices, model=cfg.mesh_model,
-                data=None if cfg.mesh_data == -1 else cfg.mesh_data)
-        else:
-            mesh = make_mesh(cfg)
     feats_fn = None
     if kind == "online":
         from drin_tpu.data.online import OnlineMELDataset
