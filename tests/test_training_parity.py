@@ -90,7 +90,8 @@ def test_drin_five_step_training_parity():
 # full-harness trajectory A/B (the last unpinned reference behavior)
 
 
-def _load_reference_harness(cfg, tmp_store: str, model_type: str = "drin"):
+def _load_reference_harness(cfg, tmp_store: str, model_type: str = "drin",
+                            dataset: str = "wikidiverse", extra: dict = None):
     """Configure the reference for the tiny shared store and import its
     ACTUAL harness module (train.py) in place.
 
@@ -101,7 +102,7 @@ def _load_reference_harness(cfg, tmp_store: str, model_type: str = "drin"):
     config values through the star import, exactly as a real run would."""
     import importlib.util
 
-    args = load_reference("wikidiverse", model_type)
+    args = load_reference(dataset, model_type)
     args.preprocess_dir = tmp_store
     args.bert_embed_dim = cfg.bert_embed_dim
     args.resnet_embed_dim = cfg.resnet_embed_dim
@@ -110,6 +111,8 @@ def _load_reference_harness(cfg, tmp_store: str, model_type: str = "drin"):
     args.entity_final_output_dim = cfg.entity_final_output_dim
     args.max_mention_sentence_len = cfg.max_mention_sentence_len
     args.max_entity_attr_token_len = cfg.max_entity_attr_token_len
+    args.max_bert_len = cfg.max_bert_len
+    args.max_entity_attr_char_len = cfg.max_entity_attr_char_len
     args.resnet_num_region = cfg.resnet_num_region
     args.batch_size = cfg.batch_size
     args.num_candidates_data = cfg.num_candidates_data
@@ -132,6 +135,8 @@ def _load_reference_harness(cfg, tmp_store: str, model_type: str = "drin"):
         args.transformer_ffn_hidden_size = cfg.transformer_ffn_hidden_size
         args.transformer_dropout = cfg.transformer_dropout
         args.pre_extract_mention = cfg.pre_extract_mention
+    for k, v in (extra or {}).items():
+        setattr(args, k, v)
     for m in ("drin", "drin.model", "drin.data", "baselines", "baselines.ghmfc",
               "baselines.melhi", "baselines.data"):
         import sys as _sys
@@ -342,6 +347,147 @@ def test_full_harness_trajectory_melhi(tmp_path, capsys):
     for _ in range(2):
         our_valid += tr.fit(train_ds, valid_ds, 2, kind="baseline")
         our_test.append(tr.test(test_ds, kind="baseline"))
+
+    for ours, ref in zip(our_valid + our_test, ref_valid + ref_test):
+        np.testing.assert_allclose(ours["loss"], ref["loss"], rtol=1e-2, atol=1e-3)
+        our_accs = [ours["accs"][k] for k in cfg.metrics_topk]
+        np.testing.assert_allclose(our_accs, ref["accs"], atol=1e-6)
+
+
+class _TorchTokShim:
+    """HF-API facade over our BertTokenizer for the reference's online data
+    path (baselines/data.py:144-152): single-text calls with
+    return_tensors='pt' -> padded torch dict; list calls without tensors ->
+    python id lists (what the reference's zip_entities consumes)."""
+
+    def __init__(self, tok):
+        self.tok = tok
+
+    def __call__(self, text, return_tensors=None, padding=False,
+                 truncation=False, max_length=None):
+        import torch
+
+        texts = [text] if isinstance(text, (str, np.str_)) else list(text)
+        cap = max_length or self.tok.model_max_length
+        seqs = self.tok.encode_batch([str(t) for t in texts], truncation=False)
+        if truncation:
+            seqs = [(s[: cap - 1] + [self.tok.sep_id]) if len(s) > cap else s
+                    for s in seqs]
+        if return_tensors == "pt":
+            L = max(len(s) for s in seqs) if padding else max(len(s) for s in seqs)
+            ids = torch.full((len(seqs), L), self.tok.pad_id, dtype=torch.int64)
+            mask = torch.zeros((len(seqs), L), dtype=torch.int64)
+            for i, s in enumerate(seqs):
+                ids[i, : len(s)] = torch.as_tensor(s)
+                mask[i, : len(s)] = 1
+            return {"input_ids": ids, "token_type_ids": torch.zeros_like(ids),
+                    "attention_mask": mask}
+        return {"input_ids": [list(s) for s in seqs],
+                "attention_mask": [[1] * len(s) for s in seqs]}
+
+
+def test_full_harness_trajectory_ghmfc_online(tmp_path, capsys):
+    """The ONLINE path end to end: the reference's harness + its online
+    MELDataset (raw text -> tokenize -> zip_entities) + GHMFC online zipped
+    mode (its ghmfc.py:225 crash corrected on the oracle side, as in
+    test_ghmfc_online) vs our harness + OnlineMELDataset (with length
+    bucketing active — exact numerics), from converted identical weights,
+    2 fit/test chunks.  Pins the full combination: online tokenization
+    equality, zip packing, frozen-BERT training dynamics, harness schedule."""
+    import torch
+
+    from drin_tpu.data.online import OnlineMELDataset
+    from drin_tpu.data.synthetic import make_synthetic_online_store
+    from drin_tpu.encoders.bert import bert_params_from_torch, config_from_torch
+    from drin_tpu.models.ghmfc import GHMFCOnline
+    from drin_tpu.models.torch_import import _wrapped_linear
+    from drin_tpu.train.trainer import Trainer
+    from tests.test_ghmfc_online import _tiny_hf_bert
+
+    store = str(tmp_path / "shared-online")
+    cfg, tok = make_synthetic_online_store(store, n=8, C=3, max_len=32)
+    cfg = cfg.replace(shuffle_train_data=False, acc_correction=(0.0, 0.0, 0.0),
+                      batch_size=4, metrics_topk=(1,),
+                      mention_final_output_dim=16, entity_final_output_dim=16)
+    assert cfg.online_length_buckets  # bucketing stays ON (exact numerics)
+
+    hf_bert, hf_cfg = _tiny_hf_bert(vocab_size=len(tok.vocab), hidden=16, max_len=64)
+    for p in hf_bert.parameters():  # the reference's bert_model() freeze
+        p.requires_grad_(False)
+
+    extra = dict(CLS=tok.cls_id, SEP=tok.sep_id, online_bert=True,
+                 finetune_bert=False, num_entity_sentence=cfg.num_entity_sentence,
+                 entity_text_type="attr", pre_extract_mention=False,
+                 qid2entity_path=cfg.qid2entity_path,
+                 qid2attr_path=cfg.qid2attr_path,
+                 mention_final_layer_name="linear",
+                 entity_final_layer_name="linear", entity_final_pooling="avg",
+                 mention_final_output_dim=16, entity_final_output_dim=16)
+    ref_train = _load_reference_harness(cfg, store, model_type="ghmfc",
+                                        dataset="wikimel", extra=extra)
+    ref_train.data_module.BertTokenizer = type(
+        "TokStub", (),
+        {"from_pretrained": staticmethod(lambda name, tok=tok: _TorchTokShim(tok))})
+    ref_train.model_module.bert_model = lambda: hf_bert
+    torch.manual_seed(0)
+    ref_inner = ref_train.model_module.Model()
+
+    # the reference's zipped entity branch crashes as written (ghmfc.py:225
+    # passes entity_dict where zipped_entity is intended); the oracle runs
+    # the intended math with the reference's own unzip_entities — the same
+    # substitution test_ghmfc_online_zipped_parity documents
+    S, L, D = cfg.num_entity_sentence, cfg.max_bert_len, 16
+
+    def corrected_entity_forward(batch):
+        entity_dict, sep_idx, _entity_image = batch
+        bs = sep_idx.shape[0]
+        with torch.no_grad():  # frozen bert
+            zl = entity_dict["input_ids"].shape[-1]
+            zipped = torch.empty([bs, S, zl, D])
+            for i in range(S):
+                d_i = {k: v[:, i, :] for k, v in entity_dict.items()}
+                zipped[:, i] = ref_inner.entity_encoder.text_encoder(**d_i)["last_hidden_state"]
+        enc = ref_inner.entity_encoder.unzip_entities(
+            zipped, sep_idx, ref_inner.entity_encoder.pooling)
+        return ref_inner.entity_encoder.final_layer(enc)
+
+    ref_inner.entity_encoder.forward = corrected_entity_forward
+    ref_model = ref_train.MELModel(ref_inner)
+    loaders = ref_train.data_module.create_datasets()
+    ref_valid, ref_test = _drive_reference_harness(ref_train, ref_model, loaders,
+                                                   chunks=2, tei=2)
+    capsys.readouterr()
+
+    # ours, from the converted weights of an identically-seeded fresh model
+    torch.manual_seed(0)
+    init_inner = ref_train.model_module.Model()
+    sd = {k: v.numpy() for k, v in init_inner.state_dict().items()}
+    bert_cfg = config_from_torch(hf_cfg)
+    # reference key layout: AvgLinear wraps `.linear`; the entity final layer
+    # is a bare nn.Linear
+    params = {
+        "bert": bert_params_from_torch(
+            {k: v.numpy() for k, v in hf_bert.state_dict().items()}, bert_cfg),
+        "mention_encoder": {
+            "final_layer": {"linear": _wrapped_linear(
+                sd, "mention_encoder.final_layer.linear")}},
+        "entity_final_layer": _wrapped_linear(sd, "entity_encoder.final_layer"),
+    }
+    model = GHMFCOnline(cfg, bert_cfg)
+    train_ds, valid_ds, test_ds = (OnlineMELDataset(cfg, s, tokenizer=tok)
+                                   for s in ("train", "valid", "test"))
+    example = train_ds.online_batch(np.arange(2))
+    ref_tree = jax.tree.map(lambda x: x.shape,
+                            model.init(jax.random.key(0), example[:-1])["params"])
+    got_tree = jax.tree.map(lambda x: np.asarray(x).shape, params)
+    assert ref_tree == got_tree  # conversion covers the exact param surface
+    params = jax.tree.map(jnp.asarray, params)
+    tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params,
+                 log=lambda *a: None)
+    our_valid, our_test = [], []
+    for _ in range(2):
+        our_valid += tr.fit(train_ds, valid_ds, 2, kind="online")
+        our_test.append(tr.test(test_ds, kind="online"))
 
     for ours, ref in zip(our_valid + our_test, ref_valid + ref_test):
         np.testing.assert_allclose(ours["loss"], ref["loss"], rtol=1e-2, atol=1e-3)
