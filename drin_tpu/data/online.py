@@ -262,6 +262,13 @@ class OnlineMELDataset:
             qids = npy_io.load_field(d, "entity_name_raw", split).reshape(-1, C)
             with open(cfg.qid2entity_path) as f:
                 qid2name = json.load(f)
+            if cfg.entity_text_type == "brief":
+                # no brief source exists in the wikimel store (the reference
+                # reads entity-brief-raw, a file none of its stages write —
+                # baselines/data.py:77-79); don't silently fall back to names
+                raise ValueError(
+                    "entity_text_type='brief' needs the wikidiverse store "
+                    "(prepare's entity2brief join); wikimel has 'attr'/'name'")
             if cfg.entity_text_type == "attr":
                 with open(cfg.qid2attr_path) as f:
                     qid2attr = json.load(f)

@@ -102,14 +102,19 @@ class BertStage:
         """Mirror of reference bert.py main (bert.py:86-109)."""
         cfg = self.cfg
         d = cfg.preprocess_dir
-        if cfg.entity_text_type not in ("attr", "name"):
-            # 'brief' is vestigial in the reference (its prepare stage never
-            # writes a brief source; README "Known gaps"): fail loudly
-            # instead of silently encoding attr-recipe text under the
-            # entity-brief-feature name
+        if cfg.entity_text_type not in ("attr", "name", "brief"):
             raise ValueError(
                 f"entity_text_type={cfg.entity_text_type!r} has no raw text "
-                "source in the prepared store; use 'attr' or 'name'")
+                "source in the prepared store; use 'attr', 'name' or 'brief'")
+        if cfg.entity_text_type == "brief" and cfg.dataset_name != "wikidiverse":
+            # The wikimel store has name/attr sources only (qid2entity /
+            # qid2attr joins); the reference's entity-brief-raw file is never
+            # produced by any of its stages either (baselines/data.py:77-79
+            # reads a file nothing writes).  Fail loudly instead of silently
+            # encoding name-recipe text under the entity-brief-feature name.
+            raise ValueError(
+                "entity_text_type='brief' needs the wikidiverse store (its "
+                "prepare stage joins entity2brief); wikimel has 'attr'/'name'")
         for split in splits:
             texts = load_field(d, "mention_text_raw", split)
             features, mask = self.encode_texts(texts, "last_hidden_state", cfg.max_mention_sentence_len)
@@ -118,7 +123,11 @@ class BertStage:
             if cfg.dataset_name == "wikidiverse":
                 # entity text source + output field follow entity_text_type
                 # (the reference's loader surface, baselines/data.py:100-105;
-                # its bert.py only ever produces the attr variant, bert.py:99-101)
+                # its bert.py only ever produces the attr variant, bert.py:99-101).
+                # 'brief' encodes the same strings prepare materialized — the
+                # wikidiverse prepare's entity text IS the brief join
+                # (reference prepare.py:91-97 stores it under the attr name) —
+                # but under the entity-brief-feature name the loader expects.
                 tt = cfg.entity_text_type
                 raw_field = "entity_name_raw" if tt == "name" else "entity_attr_raw"
                 texts = load_field(d, raw_field, split)

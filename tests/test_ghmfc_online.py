@@ -374,6 +374,20 @@ def _make_online_store(tmpdir, n=6, C=3, max_len=32):
     return make_synthetic_online_store(tmpdir, n=n, C=C, max_len=max_len)
 
 
+def test_online_wikimel_brief_refused(tmp_path):
+    """entity_text_type='brief' has no raw source in the wikimel store (the
+    reference reads entity-brief-raw, a file none of its stages write —
+    baselines/data.py:77-79); the loader must refuse instead of silently
+    substituting name-recipe text."""
+    import pytest
+
+    from drin_tpu.data.online import OnlineMELDataset
+
+    cfg, tok = _make_online_store(str(tmp_path))
+    with pytest.raises(ValueError, match="brief"):
+        OnlineMELDataset(cfg.replace(entity_text_type="brief"), "train", tokenizer=tok)
+
+
 def test_global_length_bucket_matches_local(tmp_path):
     """Precomputed per-example lengths must reproduce the mask-derived
     batch max exactly: a dataset with the multi-process global-bucket path

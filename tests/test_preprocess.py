@@ -257,6 +257,42 @@ def test_full_pipeline_wikidiverse(wd_raw, tmp_path):
     assert np.isfinite(float(loss))
 
 
+def test_bert_stage_brief_variant(wd_raw, tmp_path):
+    """entity_text_type='brief' on the wikidiverse store encodes the brief
+    strings prepare materialized (reference prepare.py:91-97 — its entity
+    text IS the brief join) under the entity-brief-feature name the loader
+    surface expects (baselines/data.py:100-105), and the offline dataset
+    reads it back; wikimel has no brief source and must refuse loudly."""
+    root, sentences, names, n_cand = wd_raw
+    assets = _tiny_encoders(sentences + [f"{n}: a thing" for n in names])
+    cfg = _wd_cfg_for(root, n_cand, tmp_path / "store", assets)
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+
+    from drin_tpu.preprocess.prepare import run_prepare
+    from drin_tpu.preprocess.stages import BertStage
+
+    run_prepare(cfg)
+    BertStage(cfg, assets["bert_params"], assets["bert_cfg"]).run(splits=("train",))
+    cfg_brief = cfg.replace(entity_text_type="brief")
+    BertStage(cfg_brief, assets["bert_params"], assets["bert_cfg"]).run(splits=("train",))
+    attr = np.load(os.path.join(cfg.preprocess_dir, "entity-attr-feature_train.npy"))
+    brief = np.load(os.path.join(cfg.preprocess_dir, "entity-brief-feature_train.npy"))
+    np.testing.assert_array_equal(brief, attr)  # same source strings by design
+
+    # the offline loader resolves the field name from entity_text_type
+    from drin_tpu.common import npy_io
+
+    etf = npy_io.load_field(cfg.preprocess_dir, "entity_brief_feature", "train")
+    assert etf.shape == brief.shape
+
+    with pytest.raises(ValueError, match="brief"):
+        BertStage(cfg_brief.replace(dataset_name="wikimel"),
+                  assets["bert_params"], assets["bert_cfg"]).run(splits=())
+    with pytest.raises(ValueError, match="brie|attr"):
+        BertStage(cfg.replace(entity_text_type="bogus"),
+                  assets["bert_params"], assets["bert_cfg"]).run(splits=())
+
+
 def _init_clip_stage(stage, cfg, assets):
     """ClipStage with in-memory tokenizer assets (no vocab files)."""
     import jax.numpy as jnp
