@@ -103,6 +103,43 @@ def main():
             "ms_per_query_batch": round(dt * 1e3, 3),
             "queries_per_sec": round(B / dt, 1)}), flush=True)
 
+    # shortlist + exact-rescore retrieval modes (serve.retrieve):
+    #   approx — bf16 scan + fused ApproxTopK shortlist (no precompute)
+    #   int8   — int8 coarse scan (half the resident bytes) + same shortlist
+    from drin_tpu.serve import quantize_rows, retrieve_quantized, retrieve_rescored
+
+    qt, qscales = jax.jit(quantize_rows)(norm_table)
+    kq, kc = 100, 400  # expand=4
+
+    # every device table rides through jit as an ARGUMENT (compile-hang
+    # hazard; see module docstring) — `body` receives them per call
+    def approx_body(q, table):
+        return retrieve_rescored(q, table, kq, kc)
+
+    def int8_body(q, table, qt, scales):
+        return retrieve_quantized(q, qt, scales, table, kq, kc)
+
+    for B in (1, 16):
+        q0 = jax.device_put(jnp.asarray(
+            rng.standard_normal((B, D)), jnp.float32))
+        for mode, body, extra in (("approx", approx_body, ()),
+                                  ("int8", int8_body, (qt, qscales))):
+            log(f"retrieve_{mode} B={B}...")
+
+            def retrieve_chain2(eps, q, *tbls, body=body, K=K):
+                for _ in range(K):
+                    scores, _ = body(q + eps.astype(q.dtype) * 1e-12, *tbls)
+                    eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
+                return eps
+
+            dt = timed_chain(jax.jit(retrieve_chain2),
+                             (q0, norm_table) + extra, K, iters=16)
+            print(json.dumps({
+                "measurement": f"stage1_retrieve_{mode}", "batch": B,
+                "entities": N_ENTITIES, "shortlist": kc,
+                "ms_per_query_batch": round(dt * 1e3, 3),
+                "queries_per_sec": round(B / dt, 1)}), flush=True)
+
     # full DRIN rank over device-resident tables (rows batch)
     apply_fn = lambda p, f: model.apply({"params": p}, f)
     dev_params = ranker.params

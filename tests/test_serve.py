@@ -74,6 +74,42 @@ def test_retrieve_full_table(served):
     assert np.allclose(scores[:, 0], 1.0, atol=1e-3)
 
 
+def test_retrieve_modes_match_exact(served):
+    """The approx (shortlist + exact rescore) and int8 (coarse scan +
+    rescore) modes return the same top-k as the exact scan — below the
+    4096-row ApproxTopK threshold the shortlist is an exact superset
+    (serve._shortlist), so equality is guaranteed, not probabilistic.
+    Mode selection: default is approx; int8 after quantize_retrieval;
+    set_store drops the quantized cache; unknown modes raise."""
+    from drin_tpu.serve import Ranker
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((3, tables["entity_text_feature"].shape[-1])).astype(np.float32)
+    fs, fi = r.retrieve(q, k=5, mode="exact")
+    as_, ai = r.retrieve(q, k=5, mode="approx")
+    qs, qi = r.retrieve(q, k=5, mode="int8")
+    np.testing.assert_array_equal(fi, ai)
+    np.testing.assert_array_equal(fi, qi)
+    np.testing.assert_allclose(as_, fs, rtol=2e-4, atol=1e-5)  # exact rescore
+    np.testing.assert_allclose(qs, fs, rtol=2e-4, atol=1e-5)
+    assert r._retrieval_q is not None
+    # auto mode now picks the quantized path
+    s2, i2 = r.retrieve(q, k=5)
+    np.testing.assert_array_equal(i2, qi)
+    # self-retrieval sanity through the int8 coarse scan
+    table = np.asarray(tables["entity_text_feature"][:, 0])
+    ss, si = r.retrieve(table[[3, 17]], k=2, mode="int8")
+    assert si[0, 0] == 3 and si[1, 0] == 17
+    with np.testing.assert_raises(ValueError):
+        r.retrieve(q, k=5, mode="fuzzy")
+    # set_store invalidates the quantized cache with the float one
+    r.set_store(DeviceEntityStore(cfg, tables, dtype=np.float32), tables)
+    assert r._retrieval_q is None
+
+
 def test_http_server_rank_and_health(served):
     from drin_tpu.serve import Ranker, serve_http, _encode_arrays
 
