@@ -104,6 +104,126 @@ def retrieve_quantized(q, qt, scales, table, k, kc):
     return _rescore_topk(qn, table, _shortlist(coarse, kc), k)
 
 
+RETRIEVE_AXIS = "retrieve"
+
+
+class ShardedRetrieval:
+    """Stage-1 retrieval over a row-sharded table on a 1-axis device mesh.
+
+    Scale-out for entity tables beyond one chip's HBM (the serving analogue
+    of the row-sharded train-step gather, data/device_store.py): each device
+    scans only its own [N/n, D] row shard, shortlists locally, rescores its
+    OWN full-precision rows and keeps a local top-k; one [n, B, k]
+    all-gather merges the per-shard winners.  Activations ride ICI — the
+    table never moves (HLO-guarded by
+    tests/test_serve.py::test_sharded_retrieval_hlo_structure).
+
+    Exactness: every true top-k row is by construction in its owning
+    shard's local top-k, so whenever the per-shard shortlist is exact
+    (< 4096 rows per shard, serve._shortlist) the merged result equals the
+    single-device exact scan — tie-break included, because the merge
+    concatenates shards in ascending-row order and ``top_k`` prefers the
+    first occurrence.  At scale each shard rides the same fused ApproxTopK
+    shortlist + exact rescore as the single-chip modes; ``quantize=True``
+    additionally builds the per-shard int8 coarse-scan cache
+    (:func:`quantize_rows` semantics).
+
+    ``table`` is used as given (callers pass pre-normalized rows, matching
+    ``Ranker._ensure_retrieval_table``); queries are normalized inside.
+    Rows are zero-padded to an even split; padded rows are masked to -inf
+    and can never surface."""
+
+    def __init__(self, table, devices=None, quantize: bool = False):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = list(devices if devices is not None else jax.devices())
+        self.n = len(devices)
+        self.mesh = Mesh(np.asarray(devices), (RETRIEVE_AXIS,))
+        self._sharding = NamedSharding(self.mesh, P(RETRIEVE_AXIS))
+        t = jnp.asarray(table)
+        self.n_valid = int(t.shape[0])
+        nl = -(-self.n_valid // self.n)
+        pad = nl * self.n - self.n_valid
+        if pad:
+            t = jnp.concatenate([t, jnp.zeros((pad,) + t.shape[1:], t.dtype)])
+        self.table = jax.device_put(t, self._sharding)
+        self.quant = None
+        if quantize:
+            self.ensure_quant()
+        self._fns: dict = {}
+
+    def ensure_quant(self):
+        """Build the row-sharded int8 cache (shard-local: quantize_rows is
+        per-row, so XLA keeps the row sharding with zero communication)."""
+        if self.quant is None:
+            s = self._sharding
+            self.quant = jax.jit(quantize_rows, out_shardings=(s, s))(self.table)
+
+    def _build(self, k: int, kc: int, quantized: bool):
+        from jax.sharding import PartitionSpec as P
+
+        n, n_valid = self.n, self.n_valid
+        nl = self.table.shape[0] // n
+        kl = min(kc, nl)          # per-shard shortlist width
+        kk = min(k, kl)           # per-shard survivors into the merge
+        padded = n * nl != n_valid
+
+        def body(q, t, *qargs):
+            me = jax.lax.axis_index(RETRIEVE_AXIS)
+            base = me * nl
+            qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+            if quantized:
+                qt, scales = qargs
+                qs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+                qs = jnp.where(qs == 0, 1.0, qs)
+                qq = jnp.clip(jnp.round(qn / qs * 127.0), -127, 127).astype(jnp.int8)
+                acc = jax.lax.dot_general(qq, qt, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.int32)
+                coarse = (acc.astype(jnp.bfloat16)
+                          * (qs / 127.0).astype(jnp.bfloat16)
+                          * scales[:, 0][None, :].astype(jnp.bfloat16))
+            else:
+                coarse = qn.astype(t.dtype) @ t.T          # [B, nl]
+            if padded:  # mask the zero-padded tail rows of the last shard
+                valid = (base + jnp.arange(nl))[None, :] < n_valid
+                coarse = jnp.where(valid, coarse, -jnp.inf)
+            cand = _shortlist(coarse, kl)                  # [B, kl] local rows
+            rows = jnp.take(t, cand, axis=0)               # shard-local gather
+            exact = jnp.einsum("bd,bkd->bk", qn.astype(t.dtype),
+                               rows).astype(jnp.float32)
+            if padded:
+                exact = jnp.where(base + cand < n_valid, exact, -jnp.inf)
+            s, i = jax.lax.top_k(exact, kk)
+            gi = jnp.take_along_axis(cand, i, axis=1) + base
+            s_all = jax.lax.all_gather(s, RETRIEVE_AXIS)   # [n, B, kk]
+            g_all = jax.lax.all_gather(gi, RETRIEVE_AXIS)
+            b = q.shape[0]
+            s2, j = jax.lax.top_k(
+                jnp.moveaxis(s_all, 0, 1).reshape(b, n * kk), min(k, n * kk))
+            return s2, jnp.take_along_axis(
+                jnp.moveaxis(g_all, 0, 1).reshape(b, n * kk), j, axis=1)
+
+        spec = (P(), P(RETRIEVE_AXIS))
+        if quantized:
+            spec += (P(RETRIEVE_AXIS), P(RETRIEVE_AXIS))
+        # outputs are genuinely replicated (every rank computes the same
+        # merge over the all-gathered [n, B, kk] winners) but the VMA
+        # checker cannot infer replication through top_k — disable it
+        return jax.jit(jax.shard_map(body, mesh=self.mesh, in_specs=spec,
+                                     out_specs=(P(), P()), check_vma=False))
+
+    def __call__(self, q, k: int, kc: int, quantized: bool = False):
+        if quantized:
+            self.ensure_quant()
+        key = (int(k), int(kc), bool(quantized))
+        if key not in self._fns:
+            self._fns[key] = self._build(*key)
+        args = (jnp.asarray(q, jnp.float32), self.table)
+        if quantized:
+            args += self.quant
+        return self._fns[key](*args)
+
+
 class Ranker:
     """Checkpoint-backed mention-candidate ranking service."""
 
@@ -176,6 +296,7 @@ class Ranker:
         self._retrieval_table = None
         self._retrieve_jit = None
         self._retrieval_q = None
+        self._sharded = None
         self._entity_reprs = None
         self._rank_rows = None
         self._build_score_fns()
@@ -198,6 +319,7 @@ class Ranker:
         self._feats_fn = self.store.drin_feats_fn()
         self._retrieval_table = None  # rebuild retrieval cache in model space
         self._retrieval_q = None
+        self._sharded = None
         self._build_score_fns()
 
     def _restore(self, checkpoint_dir: str, step: Optional[int]):
@@ -244,6 +366,7 @@ class Ranker:
         self._entity_reprs = jax.device_put(jnp.concatenate([jnp.asarray(o) for o in out]))
         self._retrieval_table = None  # rebuild retrieval cache in model space
         self._retrieval_q = None
+        self._sharded = None
 
         menc = MentionEncoder(self.cfg)
         mp = {"params": self.params["mention_encoder"]}
@@ -351,6 +474,23 @@ class Ranker:
         self._retrieval_expand = int(expand)
         self._retrieve_q_jit = jax.jit(retrieve_quantized, static_argnums=(4, 5))
 
+    def shard_retrieval(self, devices=None, expand: int = 4,
+                        quantize: bool = False):
+        """Scale-out stage-1 retrieval: row-shard the retrieval table over
+        ``devices`` (default: every visible device) so tables beyond one
+        chip's HBM stay resident — each device scans only its own shard and
+        one tiny [n, B, k] all-gather merges the per-shard winners
+        (:class:`ShardedRetrieval`).  Subsequent :meth:`retrieve` calls
+        route through the sharded path in every mode (``quantize=True``
+        pre-builds the int8 coarse cache; ``mode="int8"`` builds it on
+        demand either way).  Invalidated by ``set_store`` and the
+        ``precompute_*`` fast paths like the single-device caches."""
+        assert expand >= 1, expand
+        self._sharded = ShardedRetrieval(self._ensure_retrieval_table(),
+                                         devices=devices, quantize=quantize)
+        self._sharded_expand = int(expand)
+        return self._sharded
+
     def retrieve(self, mention_repr: np.ndarray, k: int = 100,
                  mode: Optional[str] = None, expand: int = 4):
         """Stage-1 retrieval: cosine top-k of ``mention_repr`` [B, D]
@@ -372,9 +512,27 @@ class Ranker:
           1.27-1.71x the exact scan (B=1-16).
         * ``None`` — ``"int8"`` if :meth:`quantize_retrieval` was called,
           else ``"approx"``.
-        """
+
+        After :meth:`shard_retrieval` every mode routes through the
+        row-sharded multi-device path (the scan dtype follows the mode;
+        ``"exact"``/``"approx"`` both ride the per-shard float scan, whose
+        shortlist is an exact superset below 4096 rows per shard)."""
         assert self.store is not None, "retrieve() needs device entity tables"
         table = self._ensure_retrieval_table()
+        sharded = getattr(self, "_sharded", None)
+        if sharded is not None:
+            if mode is None:
+                mode = "int8" if sharded.quant is not None else "approx"
+            if mode not in ("exact", "approx", "int8"):
+                raise ValueError(f"unknown retrieval mode {mode!r} "
+                                 "(exact | approx | int8)")
+            kq = min(k, sharded.n_valid)
+            scores, idx = sharded(
+                jnp.asarray(mention_repr, jnp.float32), kq,
+                min(k * getattr(self, "_sharded_expand", expand),
+                    sharded.n_valid),
+                quantized=mode == "int8")
+            return np.asarray(scores), np.asarray(idx)
         if mode is None:
             mode = "int8" if getattr(self, "_retrieval_q", None) is not None else "approx"
         if mode == "int8":

@@ -110,6 +110,83 @@ def test_retrieve_modes_match_exact(served):
     assert r._retrieval_q is None
 
 
+def test_sharded_retrieval_matches_exact(served):
+    """Row-sharded retrieval over the 8-device mesh equals the
+    single-device exact scan: each true top-k row is in its owning shard's
+    local top-k, and below the 4096-row/shard threshold the per-shard
+    shortlist is an exact superset (serve.ShardedRetrieval docstring).
+    Covers the uneven row count (25 rows over 8 devices -> zero-padded
+    tail shard), the int8 coarse path, mode dispatch through retrieve(),
+    and set_store invalidation."""
+    from drin_tpu.serve import Ranker
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    rng = np.random.default_rng(7)
+    D = tables["entity_text_feature"].shape[-1]
+    q = rng.standard_normal((3, D)).astype(np.float32)
+    fs, fi = r.retrieve(q, k=5, mode="exact")       # single-device baseline
+    sh = r.shard_retrieval()                        # all 8 virtual devices
+    assert sh.n == 8 and sh.table.shape[0] % 8 == 0  # padded even split
+    assert sh.n_valid == tables["entity_text_feature"].shape[0]
+    for mode in ("exact", "approx"):
+        ss, si = r.retrieve(q, k=5, mode=mode)
+        np.testing.assert_array_equal(fi, si)
+        np.testing.assert_allclose(ss, fs, rtol=2e-4, atol=1e-5)
+    # int8 coarse scan: quant cache built on demand, self-queries hit
+    table = np.asarray(tables["entity_text_feature"][:, 0])
+    es, ei = r.retrieve(table[[3, 17]], k=2, mode="int8")
+    assert sh.quant is not None
+    assert ei[0, 0] == 3 and ei[1, 0] == 17
+    np.testing.assert_allclose(es[:, 0], 1.0, atol=1e-2)
+    with np.testing.assert_raises(ValueError):
+        r.retrieve(q, k=5, mode="fuzzy")
+    # k past the table edge clamps to the row count
+    ks, ki = r.retrieve(q, k=len(table) + 9, mode="exact")
+    assert ki.shape == (3, len(table))
+    assert sorted(ki[0].tolist()) == list(range(len(table)))
+    # set_store invalidates the sharded cache with the others
+    r.set_store(DeviceEntityStore(cfg, tables, dtype=np.float32), tables)
+    assert r._sharded is None
+
+
+def test_sharded_retrieval_hlo_structure():
+    """Static guard on the sharded retrieval's compiled collectives (the
+    only multi-chip perf signal on a 1-chip host): only the [n, B, k]-scale
+    merge all-gather may move between devices — no collective touches a
+    table- or even shard-scale operand (the scan and the shortlist rescore
+    are shard-local by design)."""
+    import jax.numpy as jnp
+    from drin_tpu.serve import ShardedRetrieval
+    from test_multichip import _collective_shapes
+
+    rng = np.random.default_rng(0)
+    N, D, B, k, kc = 800, 64, 4, 5, 20
+    t = rng.standard_normal((N, D)).astype(np.float32)
+    for quantized in (False, True):
+        sr = ShardedRetrieval(jnp.asarray(t), devices=jax.devices()[:8],
+                              quantize=quantized)
+        q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        args = (q, sr.table) + (sr.quant if quantized else ())
+        txt = sr._build(k, kc, quantized).lower(*args).compile().as_text()
+        shard_elems = N // 8 * D
+        merge_elems = 8 * B * k
+        found = []
+        for kind in ("all-gather", "all-reduce", "all-to-all",
+                     "collective-permute"):
+            for s in _collective_shapes(txt, kind):
+                found.append((kind, s))
+                assert s <= 2 * merge_elems, (
+                    f"{kind} moves {s} elements (shard is {shard_elems})")
+        assert found, "expected the [n, B, k] merge all-gather"
+    # correctness of the standalone class at this scale too
+    sr = ShardedRetrieval(jnp.asarray(t), devices=jax.devices()[:8])
+    qn = t[:3] / np.linalg.norm(t[:3], axis=-1, keepdims=True)
+    s, i = sr(qn, 4, 16)
+    assert np.asarray(i)[:, 0].tolist() == [0, 1, 2]
+
+
 def test_http_server_rank_and_health(served):
     from drin_tpu.serve import Ranker, serve_http, _encode_arrays
 
