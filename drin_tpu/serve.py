@@ -272,8 +272,35 @@ class Ranker:
             lambda params, feats, tbl, k: jax.lax.top_k(score(params, feats, tbl), k),
             static_argnums=3,
         )
-        self._score = lambda params, feats: score_jit(params, feats, tables)
-        self._topk = lambda params, feats, k: topk_jit(params, feats, tables, k)
+        # a row-sharded store's in-step gather is a shard_map over the data
+        # axis, which needs B % n_data == 0 — serving requests have
+        # arbitrary B, so pad rows (repeats of row 0, always valid) up to
+        # the axis multiple and slice the scores back
+        from drin_tpu.parallel.mesh import DATA_AXIS
+
+        nd = (self.store.mesh.shape[DATA_AXIS]
+              if self.store is not None and self.store.sharded else 1)
+
+        def pad(feats):
+            b = int(np.asarray(feats[0]).shape[0])
+            extra = -b % nd
+            if not extra:
+                return feats, b
+            return tuple(
+                jnp.concatenate([x, jnp.repeat(x[:1], extra, axis=0)])
+                for x in map(jnp.asarray, feats)), b
+
+        def _score_fn(params, feats):
+            feats, b = pad(feats)
+            return score_jit(params, feats, tables)[:b]
+
+        def _topk_fn(params, feats, k):
+            feats, b = pad(feats)
+            s, i = topk_jit(params, feats, tables, k)
+            return s[:b], i[:b]
+
+        self._score = _score_fn
+        self._topk = _topk_fn
 
     def set_store(self, store, entity_tables: Optional[dict] = None):
         """Swap in a different DeviceEntityStore and rebuild the jitted

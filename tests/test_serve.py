@@ -187,6 +187,36 @@ def test_sharded_retrieval_hlo_structure():
     assert np.asarray(i)[:, 0].tolist() == [0, 1, 2]
 
 
+def test_ranker_over_row_sharded_store(served):
+    """Multi-chip serving of the RANK stage: a Ranker whose entity tables
+    are row-sharded over the (4, 2) mesh (device_store shard_rows — n×
+    table capacity, owner-gather + reduce-scatter in the jitted score)
+    returns the replicated store's scores bit-for-tolerance, including
+    request batches that don't divide the data axis (padded with row-0
+    repeats and sliced back)."""
+    from drin_tpu.parallel import mesh as pmesh
+    from drin_tpu.serve import Ranker
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    base4 = r.score(batch[:-1])
+    b3 = ds.drin_rows_batch(np.arange(3))
+    base3 = r.score(b3[:-1])
+
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    store = DeviceEntityStore(cfg, tables, dtype=np.float32, mesh=mesh,
+                              shard_rows=True)
+    r.set_store(store, tables)
+    np.testing.assert_allclose(r.score(batch[:-1]), base4, rtol=1e-5, atol=1e-6)
+    got3 = r.score(b3[:-1])  # B=3 does not divide data=4
+    assert got3.shape == base3.shape
+    np.testing.assert_allclose(got3, base3, rtol=1e-5, atol=1e-6)
+    s, i = r.rank(b3[:-1], k=3)
+    assert s.shape == (3, 3)
+    np.testing.assert_allclose(s[:, 0], got3.max(-1), rtol=1e-6)
+
+
 def test_http_server_rank_and_health(served):
     from drin_tpu.serve import Ranker, serve_http, _encode_arrays
 
