@@ -21,6 +21,7 @@ import base64
 import io
 import json
 import os
+import sys
 import threading
 from typing import Optional
 
@@ -892,3 +893,82 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+def main(argv=None):
+    """Deployment CLI: ``python -m drin_tpu.serve`` stands up the HTTP
+    ranking service from a bundle or a checkpoint.
+
+    Bundle mode (self-contained artifact from :meth:`Ranker.save_bundle`)::
+
+        python -m drin_tpu.serve bundle=/path/to/bundle port=8787
+
+    Checkpoint mode (any Config field is overridable, train.py-style)::
+
+        python -m drin_tpu.serve model_type=drin dataset_name=wikimel \\
+            checkpoint_dir=ckpt preprocess_dir=data/wikimel port=8787
+
+    Serving-only keys (consumed here, everything else is a Config
+    override):
+
+    * ``host``/``port`` — bind address (default 127.0.0.1:8787)
+    * ``micro_batch=true`` (+ ``wait_ms``, ``max_batch``) — put the
+      :class:`BatchingRanker` coalescing front end in front
+    * ``project_entities=true`` — `precompute_entity_projection` fast path
+    * ``quantize_retrieval=true`` / ``shard_retrieval=true`` /
+      ``retrieve_expand=N`` — stage-1 retrieval caches (int8 coarse scan;
+      row-sharding over all visible devices)
+
+    Returns the server object (tests use ``port=0`` + ``.shutdown()``); the
+    ``__main__`` path blocks until interrupted."""
+    from drin_tpu.common.cli import parse_overrides
+
+    overrides = parse_overrides(argv if argv is not None else sys.argv[1:])
+    bundle = overrides.pop("bundle", None)
+    host = overrides.pop("host", "127.0.0.1")
+    port = int(overrides.pop("port", 8787))
+    micro = overrides.pop("micro_batch", False)
+    wait_ms = float(overrides.pop("wait_ms", 2.0))
+    max_batch = int(overrides.pop("max_batch", 64))
+    project = overrides.pop("project_entities", False)
+    quant = overrides.pop("quantize_retrieval", False)
+    shard = overrides.pop("shard_retrieval", False)
+    expand = int(overrides.pop("retrieve_expand", 4))
+    if bundle is not None:
+        if overrides:
+            raise SystemExit("bundle mode takes no config overrides, got: "
+                             + ", ".join(sorted(overrides)))
+        ranker = Ranker.from_bundle(bundle)
+    else:
+        from drin_tpu.common.config import make_config
+
+        model_type = overrides.pop("model_type", "drin")
+        dataset_name = overrides.pop("dataset_name", "wikidiverse")
+        cfg = make_config(model_type, dataset_name, **overrides)
+        tables = None
+        if cfg.dataset_name == "wikimel" and cfg.entity_pooling_cached:
+            from drin_tpu.data.dataset import load_wikimel_entity_tables
+
+            tables = load_wikimel_entity_tables(cfg)
+        ranker = Ranker(cfg, entity_tables=tables)
+    if project:
+        ranker.precompute_entity_projection()
+    if shard:
+        ranker.shard_retrieval(expand=expand, quantize=bool(quant))
+    elif quant:
+        ranker.quantize_retrieval(expand=expand)
+    front = (BatchingRanker(ranker, max_batch=max_batch, wait_ms=wait_ms)
+             if micro else ranker)
+    server = serve_http(front, host=host, port=port)
+    print(f"serving {ranker.cfg.model_type}/{ranker.cfg.dataset_name} on "
+          f"http://{host}:{server.server_address[1]}"
+          + (" (micro-batched)" if micro else ""), flush=True)
+    return server
+
+
+if __name__ == "__main__":
+    _srv = main()
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        _srv.shutdown()

@@ -375,6 +375,40 @@ def test_save_load_bundle_roundtrip(served, tmp_path):
     np.testing.assert_allclose(r3.score(batch[:-1]), want, rtol=1e-6)
 
 
+def test_serve_cli_from_bundle(served, tmp_path):
+    """The deployment CLI (python -m drin_tpu.serve) stands up the HTTP
+    service from a bundle: /health answers, /retrieve with the sharded +
+    int8 caches enabled returns correct rows, and serving-only keys are
+    consumed without leaking into the Config."""
+    import urllib.request
+
+    from drin_tpu import serve
+    from drin_tpu.serve import Ranker, _encode_arrays
+
+    cfg, tables, ds, params, batch = served
+    Ranker(cfg, params=params, entity_tables=tables).save_bundle(
+        str(tmp_path / "bundle"))
+    srv = serve.main([f"bundle={tmp_path / 'bundle'}", "port=0",
+                      "shard_retrieval=true", "quantize_retrieval=true",
+                      "retrieve_expand=4"])
+    try:
+        port = srv.server_address[1]
+        out = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30).read())
+        assert out["status"] == "ok" and out["model"] == cfg.model_type
+        q = np.asarray(tables["entity_text_feature"][[2, 9], 0], np.float32)
+        req = json.dumps({"query": _encode_arrays({"q": q}), "k": 3}).encode()
+        out = json.loads(urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/retrieve", req,
+            {"Content-Type": "application/json"}), timeout=60).read())
+        assert np.asarray(out["indices"])[:, 0].tolist() == [2, 9]
+    finally:
+        srv.shutdown()
+    # bundle mode refuses config overrides
+    with pytest.raises(SystemExit):
+        serve.main([f"bundle={tmp_path / 'bundle'}", "batch_size=4"])
+
+
 def test_http_retrieve_endpoint(served):
     """POST /retrieve runs stage-1 retrieval over the full entity table and
     matches the programmatic Ranker.retrieve."""
