@@ -640,6 +640,17 @@ class Ranker:
 # micro-batching front end
 
 
+from typing import NamedTuple as _NamedTuple
+
+
+class _Req(_NamedTuple):
+    kind: str       # "rank" | "retrieve"
+    feats: tuple    # feature fields ("retrieve": the single [B, D] query)
+    k: int
+    extra: object   # "retrieve": the mode; "rank": unused
+    fut: object
+
+
 class BatchingRanker:
     """Micro-batching wrapper: concurrent ``rank()`` calls coalesce into one
     jitted call on the device.
@@ -652,7 +663,10 @@ class BatchingRanker:
     the next bucket size (a handful of XLA programs instead of one per batch
     shape), runs ONE ``ranker.rank`` and splits the results back.  Requests
     with different ``k`` are grouped per flush.  Exceptions propagate to the
-    issuing caller only."""
+    issuing caller only.  ``retrieve`` requests coalesce through the same
+    window (grouped by k/mode — query rows concatenate into one scan, the
+    dominant cost of which is the full-table read that would otherwise run
+    once PER request)."""
 
     def __init__(self, ranker: Ranker, max_batch: int = 64, wait_ms: float = 2.0,
                  buckets: tuple = (1, 2, 4, 8, 16, 32, 64), pipeline_depth: int = 2):
@@ -695,22 +709,30 @@ class BatchingRanker:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
-            if item is not None and not item[2].done():
-                item[2].set_exception(RuntimeError("BatchingRanker closed"))
+            if item is not None and not item.fut.done():
+                item.fut.set_exception(RuntimeError("BatchingRanker closed"))
 
     # -- caller side ---------------------------------------------------
-    def rank(self, feats, k: int = 5):
-        """Same contract as :meth:`Ranker.rank`; blocks until the coalesced
-        device call for this request's flush completes."""
+    def _submit(self, kind, feats, k, extra):
         import concurrent.futures as cf
 
-        feats = tuple(np.asarray(x) for x in feats)
         fut: "cf.Future" = cf.Future()
         with self._close_lock:
             if self._stop:
                 raise RuntimeError("BatchingRanker is closed")
-            self._q.put((feats, int(k), fut))
+            self._q.put(_Req(kind, feats, int(k), extra, fut))
         return fut.result()
+
+    def rank(self, feats, k: int = 5):
+        """Same contract as :meth:`Ranker.rank`; blocks until the coalesced
+        device call for this request's flush completes."""
+        return self._submit("rank", tuple(np.asarray(x) for x in feats), k, None)
+
+    def retrieve(self, mention_repr, k: int = 100, mode: Optional[str] = None):
+        """Same contract as :meth:`Ranker.retrieve`; concurrent queries with
+        the same k/mode coalesce into ONE full-table scan."""
+        return self._submit("retrieve",
+                            (np.asarray(mention_repr, np.float32),), k, mode)
 
     def rank_text(self, sentences, char_spans, candidate_texts, k: int = 5,
                   mention_images=None, tokenizer=None):
@@ -736,7 +758,7 @@ class BatchingRanker:
         if first is None:
             return None
         items = [first]
-        rows = first[0][0].shape[0]
+        rows = first.feats[0].shape[0]
         deadline = _time.monotonic() + self.wait_s
         while rows < self.max_batch:
             timeout = deadline - _time.monotonic()
@@ -750,18 +772,25 @@ class BatchingRanker:
                 self._q.put(None)  # re-signal stop after this flush
                 break
             items.append(it)
-            rows += it[0][0].shape[0]
+            rows += it.feats[0].shape[0]
         return items
 
+    def _call(self, kind, batch, k, extra):
+        if kind == "retrieve":
+            return self.ranker.retrieve(batch[0], k, mode=extra)
+        return self.ranker.rank(batch, k)
+
     def _flush(self, items):
-        # group by (k, trailing shapes): concatenation needs matching field
-        # shapes beyond the batch dim — e.g. rank_text requests tokenized to
-        # different length buckets each get their own device call
+        # group by (kind, k, extra, trailing shapes): concatenation needs
+        # matching field shapes beyond the batch dim — e.g. rank_text
+        # requests tokenized to different length buckets each get their own
+        # device call
         by_k: dict = {}
-        for feats, k, fut in items:
-            key = (k, tuple(np.asarray(f).shape[1:] for f in feats))
-            by_k.setdefault(key, []).append((feats, fut))
-        for (k, _), group in by_k.items():
+        for req in items:
+            key = (req.kind, req.k, req.extra,
+                   tuple(np.asarray(f).shape[1:] for f in req.feats))
+            by_k.setdefault(key, []).append((req.feats, req.fut))
+        for (kind, k, extra, _), group in by_k.items():
             futs, sizes = [f for _, f in group], [f[0].shape[0] for f, _ in group]
             try:
                 n = sum(sizes)
@@ -772,7 +801,7 @@ class BatchingRanker:
                     batch = tuple(
                         np.concatenate([c, np.repeat(c[:1], bucket - n, axis=0)])
                         for c in batch)
-                scores, idx = self.ranker.rank(batch, k)
+                scores, idx = self._call(kind, batch, k, extra)
                 self._batches_run += 1
                 self._rows_run += n
                 off = 0
@@ -784,7 +813,7 @@ class BatchingRanker:
                 # the group one-by-one so each future gets its own outcome
                 for feats, fut in group:
                     try:
-                        out = self.ranker.rank(feats, k)
+                        out = self._call(kind, feats, k, extra)
                         self._batches_run += 1
                         self._rows_run += feats[0].shape[0]
                         fut.set_result(out)
@@ -840,7 +869,7 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                     device entity tables)
     GET  /health    -> {"status": "ok"}
     ``ranker`` may be a :class:`Ranker` or a :class:`BatchingRanker` (the
-    micro-batching front end; /retrieve then uses its wrapped ranker).
+    micro-batching front end; /rank AND /retrieve both coalesce).
     Returns the server object (call ``.shutdown()`` from another thread)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -876,10 +905,10 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                         req["sentences"], req["spans"], req["candidates"],
                         int(req.get("k", 5)))
                 elif self.path == "/retrieve":
-                    base = getattr(ranker, "ranker", ranker)  # unwrap BatchingRanker
+                    # BatchingRanker coalesces retrieves too (same window)
                     q = _decode_arrays(req["query"])["q"]
-                    scores, idx = base.retrieve(q, int(req.get("k", 100)),
-                                                mode=req.get("mode"))
+                    scores, idx = ranker.retrieve(q, int(req.get("k", 100)),
+                                                  mode=req.get("mode"))
                 else:
                     arrays = _decode_arrays(req["features"])
                     order = fields or sorted(arrays)

@@ -287,6 +287,39 @@ def test_batching_ranker_coalesces_and_matches(served):
         br.close()
 
 
+def test_batching_ranker_coalesces_retrieve(served):
+    """Concurrent retrieve() calls through the micro-batching queue coalesce
+    into one full-table scan per (k, mode) group and return each caller's
+    own correct rows; rank and retrieve requests share the window without
+    cross-contamination."""
+    import concurrent.futures as cf
+
+    from drin_tpu.serve import BatchingRanker, Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    table = np.asarray(tables["entity_text_feature"][:, 0])
+    want = [r.retrieve(table[[i]], k=3, mode="exact") for i in range(10)]
+    br = BatchingRanker(r, max_batch=16, wait_ms=150.0)
+    one = tuple(np.asarray(x)[:1] for x in batch[:-1])
+    try:
+        with cf.ThreadPoolExecutor(11) as ex:
+            futs = [ex.submit(br.retrieve, table[[i]], 3, "exact")
+                    for i in range(10)]
+            frank = ex.submit(br.rank, one, 2)
+            got = [f.result(timeout=120) for f in futs]
+            rs, ri = frank.result(timeout=120)
+        for i, ((gs, gi), (ws, wi)) in enumerate(zip(got, want)):
+            np.testing.assert_array_equal(gi, wi)
+            assert gi[0, 0] == i  # self-retrieval hits its own row
+            np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-5)
+        assert ri.shape == (1, 2)
+        assert br._batches_run < 11, (
+            f"no coalescing: {br._batches_run} device calls for 11 requests")
+    finally:
+        br.close()
+
+
 def test_batching_ranker_mixed_k_and_errors(served):
     """Requests with different k are grouped per flush; a bad request fails
     only its own caller."""
