@@ -868,6 +868,13 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                     (stage-1 retrieval over the full entity table; needs
                     device entity tables)
     GET  /health    -> {"status": "ok"}
+    GET  /stats     -> deployment facts + (micro-batched) coalescing
+                    counters {"batches_run", "rows_run"}
+
+    Feature/query payloads are base64 npz; ``np.savez_compressed`` payloads
+    decode transparently — use them on thin links (a 400KB feature batch
+    is the transport cost that dominates relay-attached hosts,
+    BASELINE.md serving-concurrency analysis).
     ``ranker`` may be a :class:`Ranker` or a :class:`BatchingRanker` (the
     micro-batching front end; /rank AND /retrieve both coalesce).
     Returns the server object (call ``.shutdown()`` from another thread)."""
@@ -890,6 +897,19 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
         def do_GET(self):
             if self.path == "/health":
                 self._reply(200, {"status": "ok", "model": ranker.cfg.model_type})
+            elif self.path == "/stats":
+                base = getattr(ranker, "ranker", ranker)
+                out = {"model": ranker.cfg.model_type,
+                       "dataset": ranker.cfg.dataset_name,
+                       "micro_batched": base is not ranker,
+                       "entity_rows": (int(base.store.text.shape[0])
+                                       if base.store is not None else None),
+                       "sharded_retrieval": getattr(base, "_sharded", None)
+                                            is not None}
+                if base is not ranker:  # batcher observability counters
+                    out["batches_run"] = ranker._batches_run
+                    out["rows_run"] = ranker._rows_run
+                self._reply(200, out)
             else:
                 self._reply(404, {"error": "unknown path"})
 

@@ -423,7 +423,7 @@ def test_serve_cli_from_bundle(served, tmp_path):
         str(tmp_path / "bundle"))
     srv = serve.main([f"bundle={tmp_path / 'bundle'}", "port=0",
                       "shard_retrieval=true", "quantize_retrieval=true",
-                      "retrieve_expand=4"])
+                      "retrieve_expand=4", "micro_batch=true"])
     try:
         port = srv.server_address[1]
         out = json.loads(urllib.request.urlopen(
@@ -435,6 +435,11 @@ def test_serve_cli_from_bundle(served, tmp_path):
             f"http://127.0.0.1:{port}/retrieve", req,
             {"Content-Type": "application/json"}), timeout=60).read())
         assert np.asarray(out["indices"])[:, 0].tolist() == [2, 9]
+        stats = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        assert stats["micro_batched"] and stats["sharded_retrieval"]
+        assert stats["batches_run"] >= 1 and stats["rows_run"] >= 2
+        assert stats["entity_rows"] == tables["entity_text_feature"].shape[0]
     finally:
         srv.shutdown()
     # bundle mode refuses config overrides
