@@ -150,6 +150,11 @@ class DeviceEntityStore:
                     x = x.astype(dt)
                 return jax.device_put(jnp.asarray(x), sharding)
 
+        # unpadded entity count: shard_rows pads the row axis to the mesh
+        # multiple, and consumers that scan WHOLE tables (serving retrieval,
+        # /stats) must not see the zero pad rows — only the in-step gather
+        # (rows < N by construction) may ignore the distinction
+        self.n_rows = int(np.asarray(tables["entity_text_feature"]).shape[0])
         self.text = put(tables["entity_text_feature"])  # [N, 2, D] pooled / [N, Le, D]
         self.text_mask = None if self.pooled else put(tables["entity_text_mask"])  # [N, Le]
         self.image = put(tables["entity_image_feature"])  # [N, 1, Dr]

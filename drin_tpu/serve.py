@@ -81,6 +81,31 @@ def retrieve_rescored(q, table, k, kc):
     return _rescore_topk(qn, table, _shortlist(scores, kc), k)
 
 
+def _normalize_quantize_query(qn):
+    """Max-abs int8 quantization of row-normalized queries ``qn`` [B, D];
+    returns ``(qq int8, qscale f32 [B, 1])`` with ``qq * qscale ~= qn``."""
+    qs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+    qs = jnp.where(qs == 0, 1.0, qs)
+    qq = jnp.clip(jnp.round(qn / qs * 127.0), -127, 127).astype(jnp.int8)
+    return qq, qs / 127.0
+
+
+def _coarse_int8(qn, qt, scales):
+    """int8 coarse scores [B, N] of row-normalized queries ``qn`` against
+    the quantized table ``qt``/``scales`` (:func:`quantize_rows`).
+
+    The int32 accumulation rides the MXU; the coarse comparison dtype is
+    **bf16 on purpose** — the int8 quantization error (~1e-2 on unit
+    vectors) dwarfs bf16 rounding, and non-bf16 ``top_k`` inputs cost 3x
+    on the shortlist pass (BASELINE.md retrieval dead-ends)."""
+    qq, qscale = _normalize_quantize_query(qn)
+    acc = jax.lax.dot_general(qq, qt, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.bfloat16)
+            * qscale.astype(jnp.bfloat16)
+            * scales[:, 0][None, :].astype(jnp.bfloat16))
+
+
 def retrieve_quantized(q, qt, scales, table, k, kc):
     """int8 coarse scan + ``approx_max_k`` shortlist + exact rescore (jit
     with static ``k``/``kc``).
@@ -94,14 +119,7 @@ def retrieve_quantized(q, qt, scales, table, k, kc):
     :func:`retrieve_rescored`.  Final scores/order are exact over the
     shortlist."""
     qn = (q / jnp.linalg.norm(q, axis=-1, keepdims=True)).astype(jnp.float32)
-    qs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
-    qs = jnp.where(qs == 0, 1.0, qs)
-    qq = jnp.clip(jnp.round(qn / qs * 127.0), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(qq, qt, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    coarse = (acc.astype(jnp.bfloat16)
-              * (qs / 127.0).astype(jnp.bfloat16)
-              * scales[:, 0][None, :].astype(jnp.bfloat16))
+    coarse = _coarse_int8(qn, qt, scales)
     return _rescore_topk(qn, table, _shortlist(coarse, kc), k)
 
 
@@ -120,14 +138,16 @@ class ShardedRetrieval:
     tests/test_serve.py::test_sharded_retrieval_hlo_structure).
 
     Exactness: every true top-k row is by construction in its owning
-    shard's local top-k, so whenever the per-shard shortlist is exact
-    (< 4096 rows per shard, serve._shortlist) the merged result equals the
-    single-device exact scan — tie-break included, because the merge
-    concatenates shards in ascending-row order and ``top_k`` prefers the
-    first occurrence.  At scale each shard rides the same fused ApproxTopK
-    shortlist + exact rescore as the single-chip modes; ``quantize=True``
-    additionally builds the per-shard int8 coarse-scan cache
-    (:func:`quantize_rows` semantics).
+    shard's local top-k, so whenever the per-shard shortlist is exact the
+    merged result equals the single-device exact scan — tie-break
+    included, because the merge concatenates shards in ascending-row order
+    and ``top_k`` prefers the first occurrence.  ``exact=True`` pins a
+    true per-shard ``top_k`` shortlist at ANY shard size (the mode's
+    guarantee); otherwise shards below 4096 rows are exact anyway
+    (serve._shortlist) and at scale each shard rides the same fused
+    ApproxTopK shortlist + exact rescore as the single-chip modes.
+    ``quantize=True`` additionally builds the per-shard int8 coarse-scan
+    cache (:func:`quantize_rows` semantics).
 
     ``table`` is used as given (callers pass pre-normalized rows, matching
     ``Ranker._ensure_retrieval_table``); queries are normalized inside.
@@ -160,7 +180,7 @@ class ShardedRetrieval:
             s = self._sharding
             self.quant = jax.jit(quantize_rows, out_shardings=(s, s))(self.table)
 
-    def _build(self, k: int, kc: int, quantized: bool):
+    def _build(self, k: int, kc: int, quantized: bool, exact_mode: bool):
         from jax.sharding import PartitionSpec as P
 
         n, n_valid = self.n, self.n_valid
@@ -175,20 +195,20 @@ class ShardedRetrieval:
             qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
             if quantized:
                 qt, scales = qargs
-                qs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
-                qs = jnp.where(qs == 0, 1.0, qs)
-                qq = jnp.clip(jnp.round(qn / qs * 127.0), -127, 127).astype(jnp.int8)
-                acc = jax.lax.dot_general(qq, qt, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.int32)
-                coarse = (acc.astype(jnp.bfloat16)
-                          * (qs / 127.0).astype(jnp.bfloat16)
-                          * scales[:, 0][None, :].astype(jnp.bfloat16))
+                coarse = _coarse_int8(qn, qt, scales)
             else:
                 coarse = qn.astype(t.dtype) @ t.T          # [B, nl]
             if padded:  # mask the zero-padded tail rows of the last shard
                 valid = (base + jnp.arange(nl))[None, :] < n_valid
                 coarse = jnp.where(valid, coarse, -jnp.inf)
-            cand = _shortlist(coarse, kl)                  # [B, kl] local rows
+            # mode="exact" must keep its guarantee at ANY shard size:
+            # _shortlist switches to approx_max_k above 4096 rows/shard, so
+            # the exact path pins a true per-shard top_k instead (every true
+            # global top-k row is in its owning shard's local top-kl)
+            if exact_mode:
+                cand = jax.lax.top_k(coarse, kl)[1]        # [B, kl] local rows
+            else:
+                cand = _shortlist(coarse, kl)              # [B, kl] local rows
             rows = jnp.take(t, cand, axis=0)               # shard-local gather
             exact = jnp.einsum("bd,bkd->bk", qn.astype(t.dtype),
                                rows).astype(jnp.float32)
@@ -213,10 +233,11 @@ class ShardedRetrieval:
         return jax.jit(jax.shard_map(body, mesh=self.mesh, in_specs=spec,
                                      out_specs=(P(), P()), check_vma=False))
 
-    def __call__(self, q, k: int, kc: int, quantized: bool = False):
+    def __call__(self, q, k: int, kc: int, quantized: bool = False,
+                 exact: bool = False):
         if quantized:
             self.ensure_quant()
-        key = (int(k), int(kc), bool(quantized))
+        key = (int(k), int(kc), bool(quantized), bool(exact))
         if key not in self._fns:
             self._fns[key] = self._build(*key)
         args = (jnp.asarray(q, jnp.float32), self.table)
@@ -455,24 +476,35 @@ class Ranker:
     def _retrieval_source(self):
         """The [N, D] vectors stage-1 retrieval scans (selection order:
         trained model-space reprs > raw CLS slot of a projected store >
-        raw pooled text)."""
+        raw pooled text).
+
+        Sliced to the store's UNPADDED row count: a row-sharded store pads
+        its row axis with zeros (device_store.put), and a zero row would
+        normalize to NaN — which the TPU backend's ``top_k`` sorts FIRST,
+        so every query would return the out-of-range pad index at rank 0
+        (the CPU test mesh sorts NaN last and cannot catch this)."""
+        n = self.store.n_rows
         # prefer trained model-space reprs when precomputed (GHMFC)
         reprs = getattr(self, "_entity_reprs", None)
         if reprs is not None:
-            return reprs
+            return reprs[:n]
         if self.cfg.entity_projected:
             # after precompute_entity_projection slot 0 holds the
             # PROJECTED pooled text; callers pass raw-BERT mention
             # reprs, so retrieval must stay in raw space — slot 1 keeps
             # the raw CLS vector (device_store.project_drin_tables)
-            return self.store.text[:, 1]
-        return self.store.text[:, 0]  # raw pooled text [N, D]
+            return self.store.text[:n, 1]
+        return self.store.text[:n, 0]  # raw pooled text [N, D]
 
     def _ensure_retrieval_table(self):
         if getattr(self, "_retrieval_table", None) is None:
-            self._retrieval_table = jax.jit(
-                lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(
-                    self._retrieval_source())
+            # zero rows (legitimately possible for missing entities) keep
+            # norm 1 so they score 0 instead of NaN-poisoning top_k
+            def normalize(t):
+                nrm = jnp.linalg.norm(t, axis=-1, keepdims=True)
+                return t / jnp.where(nrm == 0, 1.0, nrm)
+
+            self._retrieval_table = jax.jit(normalize)(self._retrieval_source())
             self._retrieve_jit = jax.jit(
                 lambda q, t, k: jax.lax.top_k(
                     (q / jnp.linalg.norm(q, axis=-1, keepdims=True)) @ t.T, k),
@@ -498,9 +530,12 @@ class Ranker:
         cache."""
         assert expand >= 1, expand
         t = self._ensure_retrieval_table()
-        self._retrieval_q = jax.jit(quantize_rows)(t)
+        # publish _retrieval_q LAST: concurrent retrieve() callers (one
+        # thread per HTTP request in the non-micro-batched deployment) probe
+        # it to decide the cache exists, then read the other two fields
         self._retrieval_expand = int(expand)
         self._retrieve_q_jit = jax.jit(retrieve_quantized, static_argnums=(4, 5))
+        self._retrieval_q = jax.jit(quantize_rows)(t)
 
     def shard_retrieval(self, devices=None, expand: int = 4,
                         quantize: bool = False):
@@ -520,54 +555,67 @@ class Ranker:
         return self._sharded
 
     def retrieve(self, mention_repr: np.ndarray, k: int = 100,
-                 mode: Optional[str] = None, expand: int = 4):
+                 mode: Optional[str] = None, expand: Optional[int] = None):
         """Stage-1 retrieval: cosine top-k of ``mention_repr`` [B, D]
         against the full pooled entity-text table.  The row-normalized
-        table is computed once on first use and cached in HBM.
+        table is computed once on first use and cached in HBM.  ``k`` is
+        clamped to the table's row count in every mode.
 
         ``mode``:
 
         * ``"exact"`` — full bf16 scan + exact top-k.  The guarantee
-          baseline.
+          baseline (held in the sharded path too, at any shard size).
         * ``"approx"`` — full bf16 scan + fused ApproxTopK shortlist of
           ``k * expand`` + exact rescore.  1.35x at production scale,
           B=16 (BASELINE.md); final scores/order exact over the
           shortlist, a true top-k item is only lost if it misses the
-          4x-expanded shortlist.  Needs no precompute.
+          expanded shortlist.  Needs no precompute.
         * ``"int8"`` — int8 coarse scan (half the resident scan bytes) +
           ApproxTopK shortlist + exact rescore; cache built by
           :meth:`quantize_retrieval` (built on demand here).  Fastest:
           1.27-1.71x the exact scan (B=1-16).
-        * ``None`` — ``"int8"`` if :meth:`quantize_retrieval` was called,
-          else ``"approx"``.
+        * ``None`` — ``"int8"`` if the int8 cache was built
+          (:meth:`quantize_retrieval`, or ``shard_retrieval(quantize=
+          True)``), else ``"exact"``: a caller that never opted into an
+          approximate cache keeps the exact-scan contract by default.
+
+        ``expand`` widens the approx/int8 shortlist to ``k * expand``; by
+        default (``None``) the width the cache was built with applies
+        (``quantize_retrieval``/``shard_retrieval``'s ``expand``, or 4),
+        and an explicit value overrides it for THIS call in every mode.
 
         After :meth:`shard_retrieval` every mode routes through the
         row-sharded multi-device path (the scan dtype follows the mode;
-        ``"exact"``/``"approx"`` both ride the per-shard float scan, whose
-        shortlist is an exact superset below 4096 rows per shard)."""
+        ``"exact"`` pins true per-shard top-k shortlists, ``"approx"``
+        rides the per-shard float scan, whose shortlist is an exact
+        superset below 4096 rows per shard)."""
         assert self.store is not None, "retrieve() needs device entity tables"
         table = self._ensure_retrieval_table()
         sharded = getattr(self, "_sharded", None)
         if sharded is not None:
             if mode is None:
-                mode = "int8" if sharded.quant is not None else "approx"
+                mode = "int8" if sharded.quant is not None else "exact"
             if mode not in ("exact", "approx", "int8"):
                 raise ValueError(f"unknown retrieval mode {mode!r} "
                                  "(exact | approx | int8)")
+            exp = expand if expand is not None else getattr(
+                self, "_sharded_expand", 4)
             kq = min(k, sharded.n_valid)
+            exact = mode == "exact"
+            kc = kq if exact else min(k * exp, sharded.n_valid)
             scores, idx = sharded(
-                jnp.asarray(mention_repr, jnp.float32), kq,
-                min(k * getattr(self, "_sharded_expand", expand),
-                    sharded.n_valid),
-                quantized=mode == "int8")
+                jnp.asarray(mention_repr, jnp.float32), kq, kc,
+                quantized=mode == "int8", exact=exact)
             return np.asarray(scores), np.asarray(idx)
         if mode is None:
-            mode = "int8" if getattr(self, "_retrieval_q", None) is not None else "approx"
+            mode = ("int8" if getattr(self, "_retrieval_q", None) is not None
+                    else "exact")
         if mode == "int8":
             if getattr(self, "_retrieval_q", None) is None:
-                self.quantize_retrieval(expand)
+                self.quantize_retrieval(expand if expand is not None else 4)
             qt, scales = self._retrieval_q
-            kc = min(k * self._retrieval_expand, qt.shape[0])
+            exp = expand if expand is not None else self._retrieval_expand
+            kc = min(k * exp, qt.shape[0])
             scores, idx = self._retrieve_q_jit(
                 jnp.asarray(mention_repr, jnp.float32), qt, scales, table,
                 min(k, kc), kc)
@@ -575,12 +623,13 @@ class Ranker:
             if getattr(self, "_retrieve_approx_jit", None) is None:
                 self._retrieve_approx_jit = jax.jit(
                     retrieve_rescored, static_argnums=(2, 3))
-            kc = min(k * expand, table.shape[0])
+            kc = min(k * (expand if expand is not None else 4), table.shape[0])
             scores, idx = self._retrieve_approx_jit(
                 jnp.asarray(mention_repr, jnp.float32), table, min(k, kc), kc)
         elif mode == "exact":
             scores, idx = self._retrieve_jit(
-                jnp.asarray(mention_repr, table.dtype), table, k)
+                jnp.asarray(mention_repr, table.dtype), table,
+                min(k, table.shape[0]))
         else:
             raise ValueError(f"unknown retrieval mode {mode!r} "
                              "(exact | approx | int8)")
@@ -679,8 +728,11 @@ class BatchingRanker:
         self.wait_s = wait_ms / 1e3
         self.buckets = tuple(sorted(set(buckets) | {max_batch}))
         self._q: "queue.Queue" = queue.Queue()
-        self._batches_run = 0  # observability: jit calls actually issued
+        # observability counters (jit calls issued / rows served); flushes
+        # run on pipeline threads, so the read-modify-write needs a lock
+        self._batches_run = 0
         self._rows_run = 0
+        self._stats_lock = threading.Lock()
         self._stop = False
         self._close_lock = threading.Lock()  # orders rank() vs close()
         # pipeline_depth > 1 overlaps flush k+1's host->device upload with
@@ -802,8 +854,9 @@ class BatchingRanker:
                         np.concatenate([c, np.repeat(c[:1], bucket - n, axis=0)])
                         for c in batch)
                 scores, idx = self._call(kind, batch, k, extra)
-                self._batches_run += 1
-                self._rows_run += n
+                with self._stats_lock:
+                    self._batches_run += 1
+                    self._rows_run += n
                 off = 0
                 for fut, sz in zip(futs, sizes):
                     fut.set_result((scores[off : off + sz], idx[off : off + sz]))
@@ -814,8 +867,9 @@ class BatchingRanker:
                 for feats, fut in group:
                     try:
                         out = self._call(kind, feats, k, extra)
-                        self._batches_run += 1
-                        self._rows_run += feats[0].shape[0]
+                        with self._stats_lock:
+                            self._batches_run += 1
+                            self._rows_run += feats[0].shape[0]
                         fut.set_result(out)
                     except Exception as e:
                         fut.set_exception(e)
@@ -902,7 +956,9 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                 out = {"model": ranker.cfg.model_type,
                        "dataset": ranker.cfg.dataset_name,
                        "micro_batched": base is not ranker,
-                       "entity_rows": (int(base.store.text.shape[0])
+                       # n_rows: the UNPADDED count (a row-sharded store
+                       # zero-pads its row axis to the mesh multiple)
+                       "entity_rows": (base.store.n_rows
                                        if base.store is not None else None),
                        "sharded_retrieval": getattr(base, "_sharded", None)
                                             is not None}

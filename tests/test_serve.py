@@ -7,6 +7,7 @@ import urllib.request
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from drin_tpu.data.dataset import MELFeatureDataset, load_wikimel_entity_tables
@@ -79,8 +80,9 @@ def test_retrieve_modes_match_exact(served):
     rescore) modes return the same top-k as the exact scan — below the
     4096-row ApproxTopK threshold the shortlist is an exact superset
     (serve._shortlist), so equality is guaranteed, not probabilistic.
-    Mode selection: default is approx; int8 after quantize_retrieval;
-    set_store drops the quantized cache; unknown modes raise."""
+    Mode selection: default is EXACT (the no-opt-in contract); int8 after
+    quantize_retrieval built the cache; set_store drops the quantized
+    cache; unknown modes raise."""
     from drin_tpu.serve import Ranker
     from drin_tpu.data.device_store import DeviceEntityStore
 
@@ -151,6 +153,48 @@ def test_sharded_retrieval_matches_exact(served):
     assert r._sharded is None
 
 
+def test_sharded_exact_mode_is_exact_above_approx_threshold():
+    """mode='exact' keeps its guarantee at ANY shard size: above 4096
+    rows/shard _shortlist switches to approx_max_k, and the exact path must
+    pin a true per-shard top_k instead (serve.ShardedRetrieval exact flag).
+    N=9000 over 2 devices -> 4500 rows/shard, past the threshold."""
+    from drin_tpu.serve import ShardedRetrieval
+
+    rng = np.random.default_rng(11)
+    N, D, B, k = 9000, 16, 3, 7
+    t = rng.standard_normal((N, D)).astype(np.float32)
+    tn = t / np.linalg.norm(t, axis=-1, keepdims=True)
+    sr = ShardedRetrieval(jnp.asarray(tn), devices=jax.devices()[:2])
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    want = np.argsort(-(qn @ tn.T), axis=-1)[:, :k]
+    s, i = sr(q, k, k, exact=True)
+    np.testing.assert_array_equal(np.asarray(i), want)
+    assert np.all(np.diff(np.asarray(s), axis=-1) <= 0)
+
+
+def test_retrieve_expand_override(served):
+    """retrieve(expand=) overrides the cache-build width per call; the
+    default (None) uses the width the cache was built with.  Observable via
+    the shortlist width kc baked into the jitted int8 program cache."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    n = tables["entity_text_feature"].shape[0]
+    q = np.asarray(tables["entity_text_feature"][[3], 0])
+    r.quantize_retrieval(expand=2)
+    fs, fi = r.retrieve(q, k=5, mode="exact")
+    s1, i1 = r.retrieve(q, k=5, mode="int8")              # kc = min(10, n)
+    s2, i2 = r.retrieve(q, k=5, mode="int8", expand=5)    # kc = min(25, n) = n
+    np.testing.assert_array_equal(i1, fi)
+    np.testing.assert_array_equal(i2, fi)
+    # the per-call expand reached the jitted program (distinct static kc)
+    assert min(5 * 2, n) != min(5 * 5, n)
+    s3, i3 = r.retrieve(q, k=5, mode="approx", expand=5)
+    np.testing.assert_array_equal(i3, fi)
+
+
 def test_sharded_retrieval_hlo_structure():
     """Static guard on the sharded retrieval's compiled collectives (the
     only multi-chip perf signal on a 1-chip host): only the [n, B, k]-scale
@@ -169,7 +213,7 @@ def test_sharded_retrieval_hlo_structure():
                               quantize=quantized)
         q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
         args = (q, sr.table) + (sr.quant if quantized else ())
-        txt = sr._build(k, kc, quantized).lower(*args).compile().as_text()
+        txt = sr._build(k, kc, quantized, False).lower(*args).compile().as_text()
         shard_elems = N // 8 * D
         merge_elems = 8 * B * k
         found = []
@@ -215,6 +259,21 @@ def test_ranker_over_row_sharded_store(served):
     s, i = r.rank(b3[:-1], k=3)
     assert s.shape == (3, 3)
     np.testing.assert_allclose(s[:, 0], got3.max(-1), rtol=1e-6)
+
+    # retrieval over the PADDED store must not see the zero pad rows: the
+    # store pads 25 -> 26 rows (model=2) and a zero row would normalize to
+    # NaN — which the real TPU backend's top_k sorts FIRST (the CPU mesh
+    # sorts NaN last, so only these structural asserts catch it here)
+    n = tables["entity_text_feature"].shape[0]
+    assert store.text.shape[0] == n + 1 and store.n_rows == n  # padded
+    rt = r._ensure_retrieval_table()
+    assert rt.shape[0] == n
+    assert bool(jnp.isfinite(rt).all())
+    q = np.asarray(tables["entity_text_feature"][[3, 17], 0])
+    for mode in ("exact", "approx", "int8"):
+        rs, ri = r.retrieve(q, k=5, mode=mode)
+        assert ri.max() < n and np.isfinite(rs).all()
+        assert ri[0, 0] == 3 and ri[1, 0] == 17
 
 
 def test_http_server_rank_and_health(served):

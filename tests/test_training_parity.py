@@ -374,7 +374,11 @@ class _TorchTokShim:
             seqs = [(s[: cap - 1] + [self.tok.sep_id]) if len(s) > cap else s
                     for s in seqs]
         if return_tensors == "pt":
-            L = max(len(s) for s in seqs) if padding else max(len(s) for s in seqs)
+            # HF raises for ragged multi-text 'pt' calls without padding;
+            # mirror that rather than silently padding anyway
+            if not padding and len({len(s) for s in seqs}) > 1:
+                raise ValueError("ragged batch needs padding=True for 'pt'")
+            L = max(len(s) for s in seqs)
             ids = torch.full((len(seqs), L), self.tok.pad_id, dtype=torch.int64)
             mask = torch.zeros((len(seqs), L), dtype=torch.int64)
             for i, s in enumerate(seqs):
