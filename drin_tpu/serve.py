@@ -652,11 +652,14 @@ class Ranker:
             json.dump(dataclasses.asdict(self.cfg), f, indent=1)
         payload = {"params": jax.device_get(self.params)}
         if self.store is not None:
+            # slice to the UNPADDED row count: a row-sharded store pads its
+            # row axis, and the bundle must not persist phantom entities
+            n = self.store.n_rows
             payload["tables"] = {
-                "entity_text_feature": np.asarray(self.store.text, np.float32),
-                "entity_image_feature": np.asarray(self.store.image, np.float32),
-                "entity_object_feature": np.asarray(self.store.obj, np.float32),
-                "entity_object_score": np.asarray(self.store.obj_score, np.float32),
+                "entity_text_feature": np.asarray(self.store.text[:n], np.float32),
+                "entity_image_feature": np.asarray(self.store.image[:n], np.float32),
+                "entity_object_feature": np.asarray(self.store.obj[:n], np.float32),
+                "entity_object_score": np.asarray(self.store.obj_score[:n], np.float32),
             }
         ckpt = ocp.StandardCheckpointer()
         # force: refreshing a deployment artifact in place must overwrite

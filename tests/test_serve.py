@@ -466,6 +466,20 @@ def test_save_load_bundle_roundtrip(served, tmp_path):
     r3 = Ranker.from_bundle(str(tmp_path / "bundle"))
     np.testing.assert_allclose(r3.score(batch[:-1]), want, rtol=1e-6)
 
+    # a ROW-SHARDED store's bundle must not persist its zero pad rows as
+    # phantom entities (25 rows padded to 26 on the model=2 axis)
+    from drin_tpu.data.device_store import DeviceEntityStore
+    from drin_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    r.set_store(DeviceEntityStore(cfg, tables, dtype=np.float32, mesh=mesh,
+                                  shard_rows=True), tables)
+    r.save_bundle(str(tmp_path / "bundle-sharded"))
+    r4 = Ranker.from_bundle(str(tmp_path / "bundle-sharded"))
+    n = tables["entity_text_feature"].shape[0]
+    assert r4.store.n_rows == n and r4.store.text.shape[0] == n
+    np.testing.assert_allclose(r4.score(batch[:-1]), want, rtol=1e-6)
+
 
 def test_serve_cli_from_bundle(served, tmp_path):
     """The deployment CLI (python -m drin_tpu.serve) stands up the HTTP
