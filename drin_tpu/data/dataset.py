@@ -69,6 +69,33 @@ def make_onehot_lookup(num_candidates_data: int, dtype=np.float32) -> np.ndarray
     return np.concatenate([eye, np.zeros((1, num_candidates_data), dtype=dtype)], axis=0)
 
 
+def iter_batch_indices(n: int, batch_size: int, shuffle: bool = False,
+                       seed: int = 0, drop_remainder: bool = False,
+                       pad_to_full: bool = False) -> Iterator[np.ndarray]:
+    """The shared batch-iteration contract (one permutation per epoch; the
+    ragged tail is dropped, padded by cycling ``np.resize`` — fills even
+    when n < the shortfall — or yielded short).  Both the feature-store and
+    online datasets iterate through this single implementation so the
+    contract cannot drift between them."""
+    order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+    for i in range(0, n, batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size:
+            if drop_remainder:
+                return
+            if pad_to_full:
+                idx = np.concatenate([idx, np.resize(order, batch_size - len(idx))])
+        yield idx
+
+
+def gold_labels(answer: np.ndarray, num_onehot_rows: int) -> np.ndarray:
+    """Gold candidate index per mention, matching argmax over the one-hot
+    answer row (the 'answer absent' sentinel row is all-zero, so argmax —
+    like the reference's test-result dump — reports 0 for it)."""
+    a = np.asarray(answer)
+    return np.where(a >= num_onehot_rows - 1, 0, a)
+
+
 def _gather(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
     """Batch gather rows from a (possibly huge, mmap'd) table.
 
@@ -268,11 +295,8 @@ class MELFeatureDataset:
         )
 
     def labels(self, idx: np.ndarray) -> np.ndarray:
-        """Gold candidate index per mention, matching argmax over the one-hot
-        answer row (the 'answer absent' sentinel row is all-zero, so argmax
-        — like the reference's test-result dump — reports 0 for it)."""
-        a = np.asarray(self.answer[idx])
-        return np.where(a >= self.onehot.shape[0] - 1, 0, a)
+        """Gold candidate index per mention (:func:`gold_labels`)."""
+        return gold_labels(self.answer[idx], self.onehot.shape[0])
 
     def make_batch(self, idx: np.ndarray, kind: str = "drin"):
         """Assemble the batch for explicit mention indices (the hook the
@@ -298,18 +322,8 @@ class MELFeatureDataset:
         batch has exactly ``batch_size`` rows (static shapes for jit); the
         returned batch carries a ``valid`` count via the iterator protocol of
         :func:`padded_batches` instead when needed."""
-        n = len(self)
-        order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
-        for i in range(0, n, batch_size):
-            idx = order[i : i + batch_size]
-            if len(idx) < batch_size:
-                if drop_remainder:
-                    return
-                if pad_to_full:
-                    # np.resize cycles, so datasets smaller than the
-                    # shortfall still fill the batch
-                    idx = np.concatenate(
-                        [idx, np.resize(order, batch_size - len(idx))])
+        for idx in iter_batch_indices(len(self), batch_size, shuffle, seed,
+                                      drop_remainder, pad_to_full):
             yield self.make_batch(idx, kind)
 
 

@@ -173,6 +173,12 @@ def _zip_len_row(args):
     return max(1 + sum(body[s * per : (s + 1) * per]) for s in range(S))
 
 
+def _flat_len_row(texts):
+    """Pool worker: max per-candidate token length of one example (the
+    direct-mode piece of _precompute_lengths)."""
+    return max(len(ids) for ids in _WORKER_TOK.encode_batch(texts, truncation=True))
+
+
 def mention_tokens(cfg: Config, tokenizer, sentences, starts_tok, ends_tok,
                    bucket: int, used: int | None = None):
     """Mention-side token assembly shared by the dataset and serving paths:
@@ -231,11 +237,17 @@ def entity_tokens(cfg: Config, tokenizer, texts_rows, bucket: int, pool=None,
                     token_lists, S, cfg.max_bert_len, tokenizer.cls_id)
         ids, mask = bucket_trim(ids, mask, bucket, used=used)
     else:
+        # direct mode truncates/pads to max_bert_len like the reference
+        # (baselines/data.py:153-155 tokenizes at the tokenizer's
+        # model_max_length = 512 and pad_tokens to max_bert_len — NOT the
+        # 128-token attr cap, which only bounds the OFFLINE BertStage);
+        # bucket_trim then drops all-padding columns (exact numerics)
         flat = [str(t) for row in texts_rows for t in row]
         e = tokenizer(flat, padding="max_length", truncation=True,
-                      max_length=cfg.max_entity_attr_token_len)
+                      max_length=cfg.max_bert_len)
         ids = e["input_ids"].reshape(B, C, -1)
         mask = e["attention_mask"].reshape(B, C, -1)
+        ids, mask = bucket_trim(ids, mask, bucket, used=used)
         sep = np.zeros((B,), np.int64)
     return ids, mask, sep
 
@@ -404,6 +416,19 @@ class OnlineMELDataset:
                             tok.encode_batch(self.entity_text[i], truncation=True)]
                     ent[i] = max(1 + sum(body[s * per : (s + 1) * per])
                                  for s in range(S))
+        else:
+            # direct mode: per-candidate max content length (entity_tokens
+            # pads each candidate to max_bert_len then bucket-trims)
+            if self._pool is not None:
+                jobs = [list(map(str, self.entity_text[i]))
+                        for i in range(len(self))]
+                ent = np.asarray(self._pool.map(_flat_len_row, jobs), np.int64)
+            else:
+                ent = np.array(
+                    [max(len(ids) for ids in
+                         tok.encode_batch(self.entity_text[i], truncation=True))
+                     for i in range(len(self))], np.int64)
+            ent = np.minimum(ent, cfg.max_bert_len)
         return men, ent
 
     def close(self):
@@ -453,10 +478,10 @@ class OnlineMELDataset:
         )
 
     def labels(self, idx: np.ndarray) -> np.ndarray:
-        """Gold candidate index per mention (argmax of the one-hot answer;
-        the all-zero 'answer absent' row argmaxes to 0)."""
-        a = np.asarray(self.answer[idx])
-        return np.where(a >= self.onehot.shape[0] - 1, 0, a)
+        """Gold candidate index per mention (dataset.gold_labels)."""
+        from drin_tpu.data.dataset import gold_labels
+
+        return gold_labels(self.answer[idx], self.onehot.shape[0])
 
     # the trainer passes the GLOBAL batch indices as ``bucket_idx`` so all
     # hosts derive the same length-bucket shape (see _precompute_lengths)
@@ -471,15 +496,8 @@ class OnlineMELDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 kind: str = "online", drop_remainder: bool = False, pad_to_full: bool = False):
-        n = len(self)
-        order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
-        for i in range(0, n, batch_size):
-            idx = order[i : i + batch_size]
-            if len(idx) < batch_size:
-                if drop_remainder:
-                    return
-                if pad_to_full:
-                    # np.resize cycles: fills even when n < shortfall
-                    idx = np.concatenate(
-                        [idx, np.resize(order, batch_size - len(idx))])
+        from drin_tpu.data.dataset import iter_batch_indices
+
+        for idx in iter_batch_indices(len(self), batch_size, shuffle, seed,
+                                      drop_remainder, pad_to_full):
             yield self.online_batch(idx)

@@ -25,23 +25,60 @@ _END = _Sentinel()
 class Prefetcher:
     """Iterate ``source`` in a background thread, applying ``transform``
     (e.g. pad + device_put) to each item, keeping up to ``depth`` transformed
-    items ready.  Exceptions in the worker propagate to the consumer."""
+    items ready.  Exceptions in the worker propagate to the consumer.
+
+    If the consumer abandons iteration early (an exception in the train
+    step, a break), call :meth:`close` — or use the context manager — to
+    unblock and join the worker; otherwise the thread would sit in
+    ``q.put`` holding device-resident batches for the process lifetime
+    (a leak that compounds across retried epochs in a long-lived process)."""
 
     def __init__(self, source: Iterable, transform: Optional[Callable] = None, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._transform = transform or (lambda x: x)
         self._exc: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, args=(iter(source),), daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """put() that aborts when close() was requested (bounded wait so a
+        blocked worker notices the stop flag)."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self, it: Iterator):
         try:
             for item in it:
-                self._q.put(self._transform(item))
+                if self._stop.is_set() or not self._put(self._transform(item)):
+                    return
         except BaseException as e:  # propagate to the consumer
             self._exc = e
         finally:
-            self._q.put(_END)
+            self._put(_END)
+
+    def close(self):
+        """Stop the worker and drop queued items (releasing their device
+        buffers); idempotent, safe after normal exhaustion too."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __iter__(self):
         return self

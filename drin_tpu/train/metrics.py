@@ -65,8 +65,17 @@ def update(state: MetricState, y_pred: jax.Array, y_true: jax.Array, topk: Seque
     # must never count as hits
     has_gold = (jnp.sum(y_true, axis=-1) > 0).astype(jnp.float32)
     n_greater = jnp.sum(y_pred > s_gold[:, None], axis=-1)
+    # NaN poisoning must surface as a MISS, not a hit: with a NaN anywhere
+    # in the row, s_gold becomes NaN (NaN*0) and every `> s_gold` compare
+    # is False, so the plain rank test would count the row for every k and
+    # a NaN-poisoned run would report ~100% accuracy.  torch.topk sorts
+    # NaN first (reference semantics: NaN candidates outrank gold), so a
+    # non-finite row scoring as a miss matches the reference's direction
+    # while making the failure visible.  Padded fake candidates never reach
+    # here (models slice them off), so finiteness is a pure health check.
+    finite = jnp.all(jnp.isfinite(y_pred), axis=-1).astype(jnp.float32)
     for k in topk:
-        hit = (n_greater < k).astype(jnp.float32) * has_gold
+        hit = (n_greater < k).astype(jnp.float32) * has_gold * finite
         new[f"correct_{k}"] = state[f"correct_{k}"] + jnp.sum(hit * vw)
     n = jnp.sum(valid) if valid is not None else y_pred.shape[0]
     new["total"] = state["total"] + n

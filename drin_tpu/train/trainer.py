@@ -277,6 +277,7 @@ class Trainer:
             self._proc_rows = dist.process_row_range(self.fns.valid_sharding, cfg.batch_size)
         self._ckpt_mgr = None
         self._profiler = None
+        self._interrupted = {}  # set by fit()'s signal handler
         self._test_result_path = output_test_result_path
         if cfg.enable_checkpointing:
             import orbax.checkpoint as ocp
@@ -379,22 +380,31 @@ class Trainer:
         # the status-line refreshes every ``log_interval_steps``.
         log_every = 1 if cfg.debug else max(cfg.log_interval_steps, 1)
         profiler = self._profiler if train else None
-        for batch, valid in Prefetcher(source, assemble, depth=cfg.prefetch_depth):
-            if train:
-                if profiler is not None:
-                    profiler.before_step()
-                self.state, _, mstate = self.fns.train_step(self.state, batch, valid, mstate)
-                if profiler is not None:
-                    profiler.after_step()
-            else:
-                _, mstate, _ = self.fns.eval_step(self.state.params, batch, valid, mstate)
-            n_batches += 1
-            if n_batches % log_every == 0 and self._is_main:
-                m = jax.device_get(mstate)
-                accs = M.compute(m, cfg.metrics_topk, correction)
-                acc_str = ", ".join(f"top{k}: {float(v):.4f}" for k, v in accs.items())
-                print(f"\r{split} loss: {float(M.mean_loss(m)):.4f}, {acc_str}",
-                      end="", file=sys.stderr, flush=True)
+        # context manager: an exception in the step (or an early break on
+        # preemption) closes the worker thread and releases its queued
+        # device-resident batches instead of leaking them for the process
+        # lifetime (prefetch.Prefetcher.close)
+        with Prefetcher(source, assemble, depth=cfg.prefetch_depth) as pf:
+            for batch, valid in pf:
+                if train:
+                    if profiler is not None:
+                        profiler.before_step()
+                    self.state, _, mstate = self.fns.train_step(self.state, batch, valid, mstate)
+                    if profiler is not None:
+                        profiler.after_step()
+                    if self._interrupted:
+                        # preemption grace windows are seconds — stop at the
+                        # STEP boundary; fit() saves immediately after
+                        break
+                else:
+                    _, mstate, _ = self.fns.eval_step(self.state.params, batch, valid, mstate)
+                n_batches += 1
+                if n_batches % log_every == 0 and self._is_main:
+                    m = jax.device_get(mstate)
+                    accs = M.compute(m, cfg.metrics_topk, correction)
+                    acc_str = ", ".join(f"top{k}: {float(v):.4f}" for k, v in accs.items())
+                    print(f"\r{split} loss: {float(M.mean_loss(m)):.4f}, {acc_str}",
+                          end="", file=sys.stderr, flush=True)
         return self._finalize_epoch(mstate, split, time.time() - t0)
 
     def _finalize_epoch(self, mstate, split: str, dt: float):
@@ -420,8 +430,12 @@ class Trainer:
 
         Preemption safety (new capability; the reference has no failure
         handling, SURVEY §5.3): with checkpointing enabled, SIGTERM/SIGINT
-        during fit triggers a checkpoint save before re-raising, so a
-        preempted run resumes from the last completed epoch."""
+        during fit stops at the next train STEP boundary and checkpoints
+        immediately before re-raising — epoch-scale waits would outlive a
+        TPU-VM preemption grace window.  The save keys by global step, and
+        restore re-runs the interrupted epoch from its start with the saved
+        mid-epoch weights (epoch-granular data order, step-granular
+        progress)."""
         import signal
 
         cfg = self.cfg
@@ -442,7 +456,7 @@ class Trainer:
             else:
                 self._profiler.begin_fit()
 
-        interrupted = {}
+        interrupted = self._interrupted = {}
         prev_handlers = {}
 
         def _on_signal(signum, frame):
@@ -455,14 +469,20 @@ class Trainer:
         try:
             for _ in range(num_epochs):
                 self._run_epoch(train_ds, "train", True, kind)
+                if interrupted:
+                    # _run_epoch broke at the step boundary; save NOW (the
+                    # save keys by global step, so the mid-epoch state gets
+                    # its own checkpoint) and stop before the valid pass
+                    self.save()
+                    self.log(f"signal {interrupted['signum']} received: "
+                             f"checkpoint saved at step {int(self.state.step)}"
+                             f" (epoch {self.epoch}), stopping")
+                    raise KeyboardInterrupt
                 results.append(self._run_epoch(valid_ds, "valid", False, kind))
                 self.epoch += 1
                 self.save()
-                if interrupted:
-                    self.log(f"signal {interrupted['signum']} received: checkpoint "
-                             f"saved at epoch {self.epoch}, stopping")
-                    raise KeyboardInterrupt
         finally:
+            self._interrupted = {}
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
             if self._profiler is not None:

@@ -316,6 +316,38 @@ def test_ghmfc_online_direct_parity(pooling):
     np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-4)
 
 
+def test_direct_mode_entity_tokens_truncate_at_max_bert_len():
+    """num_entity_sentence=0 must truncate/pad candidate texts at
+    max_bert_len, like the reference's direct mode (baselines/data.py:153-155
+    tokenizes at the tokenizer's model_max_length and pad_tokens to
+    max_bert_len) — NOT at max_entity_attr_token_len, which only bounds the
+    OFFLINE BertStage.  The length bucket then trims all-padding columns."""
+    from drin_tpu.common.config import make_config
+    from drin_tpu.data.online import entity_tokens
+    from drin_tpu.text.wordpiece import BertTokenizer, build_tiny_vocab
+
+    words = [f"w{i}" for i in range(30)]
+    vocab = build_tiny_vocab([" ".join(words)])
+    max_len = 24
+    tok = BertTokenizer(vocab=vocab, model_max_length=max_len)
+    cfg = make_config("ghmfc", "wikimel", dataset_root="/tmp/unused",
+                      num_candidates_data=1, num_entity_sentence=0,
+                      online_bert=True, max_bert_len=max_len,
+                      max_entity_attr_token_len=8)
+    rows = [[" ".join(words), "w0 w1"], ["w2", "w3 w4 w5"]]
+    ids, mask, sep = entity_tokens(cfg, tok, rows, bucket=0)
+    assert ids.shape == (2, 2, max_len)  # max_bert_len, not the 8-token cap
+    # the long candidate actually fills past the attr cap and truncates
+    # with a closing SEP at the max_bert_len edge, like the reference
+    assert int(mask[0, 0].sum()) == max_len
+    assert ids[0, 0, -1] == tok.sep_id
+    # bucket mode trims trailing all-padding columns in bucket steps
+    short_rows = [["w0 w1", "w2"]]
+    bids, bmask, _ = entity_tokens(cfg, tok, short_rows, bucket=8)
+    assert bids.shape[-1] == 8 and bmask.shape[-1] == 8
+    assert int(bmask.sum(-1).max()) <= 8  # trim stays above every row's content
+
+
 def test_length_bucketing_is_exact():
     """bucket_trim removes only all-padding token columns; the online model's
     scores must be identical (Config.online_length_buckets rationale)."""

@@ -125,3 +125,26 @@ def test_update_rank_equals_mask(rng):
             want = float(np.sum(y_true * mask * valid[:, None]))
             assert float(got[f"correct_{k}"]) == want, (trial, k)
         assert float(got["total"]) == float(valid.sum())
+
+
+def test_update_nan_rows_count_as_miss():
+    """A NaN anywhere in a score row must count as a MISS for every k: the
+    plain rank comparison would see s_gold = NaN (NaN*0), every `>` compare
+    False, and silently report the row as a hit for all k — a NaN-poisoned
+    run would show ~100% accuracy instead of collapsing.  torch.topk sorts
+    NaN first (NaN candidates outrank gold), so miss is also the
+    reference's direction."""
+    from drin_tpu.train import metrics as M
+
+    scores = np.array([[0.9, 0.1, np.nan, 0.5],     # NaN candidate
+                       [np.nan, np.nan, np.nan, np.nan],  # fully poisoned
+                       [0.9, 0.8, 0.2, 0.1]],        # healthy: gold ranks 2nd
+                      np.float32)
+    y_true = np.zeros((3, 4), np.float32)
+    y_true[0, 1] = y_true[1, 0] = y_true[2, 1] = 1.0
+    topk = (1, 2, 4)
+    got = M.update(M.init_state(topk), jnp.asarray(scores), jnp.asarray(y_true), topk)
+    assert float(got["correct_1"]) == 0.0
+    assert float(got["correct_2"]) == 1.0   # only the healthy row
+    assert float(got["correct_4"]) == 1.0
+    assert float(got["total"]) == 3.0

@@ -73,6 +73,35 @@ def test_prefetcher_transform_exception():
         list(it)
 
 
+def test_prefetcher_close_unblocks_abandoned_worker():
+    """An abandoned iteration (exception in the consumer's loop body, early
+    break) must not leave the worker thread blocked in q.put holding
+    transformed items forever — the context manager / close() stops and
+    joins it, releasing the queued batches."""
+    import itertools
+
+    from drin_tpu.data.prefetch import Prefetcher
+
+    # infinite source, depth 1: the worker is guaranteed to be blocked in
+    # put() once the consumer stops pulling
+    pf = Prefetcher(itertools.count(), depth=1)
+    assert next(pf) == 0
+    pf.close()
+    assert not pf._thread.is_alive()
+    pf.close()  # idempotent
+
+    # the context-manager form used by the trainer's epoch loop
+    with Prefetcher(itertools.count(), depth=1) as pf2:
+        for x in pf2:
+            if x >= 3:
+                break
+    assert not pf2._thread.is_alive()
+
+    # normal exhaustion still works under the context manager
+    with Prefetcher(iter(range(5)), lambda x: x + 1, depth=2) as pf3:
+        assert list(pf3) == [1, 2, 3, 4, 5]
+
+
 def test_online_parallel_tokenization_identical(tmp_path):
     """The fork-pool tokenization path must produce bit-identical batches to
     the sequential path (exercised via a forced pool even on 1-core hosts)."""

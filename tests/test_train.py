@@ -384,8 +384,10 @@ def test_output_test_result_dump(tmp_path, wd_cfg):
 
 
 def test_sigterm_checkpoints_and_stops(tmp_path, wd_cfg):
-    """Preemption safety: SIGTERM during fit finishes the epoch, saves a
-    checkpoint, and stops with KeyboardInterrupt; a fresh trainer resumes."""
+    """Preemption safety: SIGTERM during fit stops at the next train STEP
+    boundary (not the epoch end — grace windows are seconds), saves a
+    mid-epoch checkpoint keyed by global step, and raises
+    KeyboardInterrupt; a fresh trainer resumes from it."""
     import os
     import signal
 
@@ -412,10 +414,12 @@ def test_sigterm_checkpoints_and_stops(tmp_path, wd_cfg):
 
     with pytest.raises(KeyboardInterrupt):
         tr.fit(SignalingDataset(train_ds), valid_ds, 5, kind=kind)
-    assert tr.epoch == 1  # stopped after the epoch in flight
+    assert tr.epoch == 0          # stopped INSIDE the first epoch
+    step = int(tr.state.step)
+    assert step >= 1              # at least the signalled step ran
 
-    tr2, _, _ = _make_trainer(cfg)  # resumes from the saved checkpoint
-    assert tr2.epoch == 1
+    tr2, _, _ = _make_trainer(cfg)  # resumes from the mid-epoch checkpoint
+    assert tr2.epoch == 0 and int(tr2.state.step) == step
 
 
 def test_masked_opt_state_checkpoint_roundtrip(tmp_path):
