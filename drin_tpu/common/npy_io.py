@@ -36,8 +36,19 @@ def _build_header(dtype: np.dtype, shape: tuple) -> bytes:
     header = buf.getvalue()
     if len(header) > _HEADER_SPACE:
         raise ValueError(f"header too large for reserved space: {len(header)}")
-    # numpy pads with spaces + trailing newline; extend the pad region.
-    return header[:-1] + b" " * (_HEADER_SPACE - len(header)) + b"\n"
+    if len(header) == _HEADER_SPACE:
+        return header
+    # numpy pads with spaces + trailing newline; extend the pad region AND
+    # back-patch the v1.0 HEADER_LEN field (uint16 LE at offset 8) so the
+    # reader's data offset (10 + HEADER_LEN) still lands at _HEADER_SPACE.
+    # On current numpy (ARRAY_ALIGN=64) headers already come out at exactly
+    # 128 bytes and this branch is dead, but a numpy that pads to 64/80/96
+    # would otherwise produce files that silently load the pad bytes as
+    # data (shifting every element) with no error.
+    import struct
+
+    header = header[:-1] + b" " * (_HEADER_SPACE - len(header)) + b"\n"
+    return header[:8] + struct.pack("<H", _HEADER_SPACE - 10) + header[10:]
 
 
 class NpyWriter:

@@ -24,18 +24,30 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 
 def _load_lib():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        return _load_lib_locked()
+
+
+def _load_lib_locked():
+    # under _LOAD_LOCK: without it, a second thread racing the first load
+    # could observe _TRIED=True while _LIB is still unassigned and
+    # permanently bind its tokenizer to the slow Python path
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
     path = os.path.join(os.path.dirname(__file__), "libdrin_native.so")
     if os.path.exists(path):
         try:
@@ -94,6 +106,7 @@ def _load_lib():
             _LIB = lib
         except OSError:
             _LIB = None
+    _TRIED = True  # publish only after _LIB has its final value
     return _LIB
 
 
@@ -108,19 +121,30 @@ def gather_rows(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
     gather for large contiguous tables; numpy fancy-indexing otherwise."""
     rows = np.asarray(rows)
     lib = _load_lib()
-    flat = rows.reshape(-1).astype(np.int32, copy=False)
+    flat64 = rows.reshape(-1)
     row_nbytes = int(np.prod(table.shape[1:])) * table.dtype.itemsize
     # The native path needs a real contiguous buffer (mmap-backed arrays are
-    # fine: the pointer is valid; the OS pages data in on access).
+    # fine: the pointer is valid; the OS pages data in on access).  It also
+    # must see only in-range non-negative int32 indices — the C++ side does
+    # raw pointer arithmetic with no bounds checks, so negative/OOB rows
+    # (corrupt store, -1 sentinels) or int32-overflowing indices route to
+    # the numpy path, which raises/wraps identically with or without the
+    # .so built.
+    in_range = (flat64.size == 0
+                or (int(flat64.min()) >= 0
+                    and int(flat64.max()) < table.shape[0] and
+                    int(flat64.max()) <= np.iinfo(np.int32).max))
     use_native = (
         lib is not None
         and isinstance(table, np.ndarray)
         and table.flags["C_CONTIGUOUS"]
         and row_nbytes >= 256  # tiny rows: numpy is already fine
-        and flat.size >= 64
+        and flat64.size >= 64
+        and in_range
     )
     if not use_native:
         return np.ascontiguousarray(table[rows])
+    flat = flat64.astype(np.int32, copy=False)
     out = np.empty((flat.size,) + table.shape[1:], dtype=table.dtype)
     idx = np.ascontiguousarray(flat)
     nthreads = min(8, os.cpu_count() or 1)
@@ -249,7 +273,13 @@ class BertEncodeNative:
             lib.drin_wp_free(h)
 
     def encode_ids(self, text: str):
-        blob = text.encode("utf-8")
+        try:
+            blob = text.encode("utf-8")
+        except UnicodeEncodeError:
+            # lone surrogates (malformed JSON escapes survive json.loads as
+            # U+D800-DFFF) are unencodable — the Python path drops them via
+            # its control-char cleaner, so fall back instead of crashing
+            return None
         if blob and max(blob) >= 0xF0:
             return None  # astral chars: Python path keeps exactness
         cap = len(blob) + 8
@@ -276,7 +306,11 @@ class BertEncodeNative:
         blobs = []
         skip = [False] * n
         for i, t in enumerate(texts):
-            b = t.encode("utf-8")
+            try:
+                b = t.encode("utf-8")
+            except UnicodeEncodeError:  # lone surrogates: Python fallback
+                skip[i] = True
+                b = b""
             if b and max(b) >= 0xF0:  # astral: Python fallback (C-speed scan)
                 skip[i] = True
                 b = b""

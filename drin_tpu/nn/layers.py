@@ -142,7 +142,19 @@ class MultiheadAttention(nn.Module):
         E, H = self.embed_dim, self.num_heads
         head_dim = E // H
         assert head_dim * H == E, "embed_dim must be divisible by num_heads"
-        xavier = nn.initializers.xavier_uniform()
+        kdim = self.kdim if self.kdim is not None else E
+        vdim = self.vdim if self.vdim is not None else E
+        if kdim == E and vdim == E:
+            # torch packs q/k/v into one [3E, E] in_proj matrix and
+            # xavier_uniform_s THAT, so each slice's bound is
+            # sqrt(6/(E+3E)); per-matrix xavier on [E, E] would be
+            # sqrt(2) larger.  variance_scaling(0.5, fan_avg, uniform)
+            # reproduces the packed bound exactly: sqrt(3*0.5/E).
+            xavier = nn.initializers.variance_scaling(0.5, "fan_avg", "uniform")
+        else:
+            # the kdim/vdim != embed_dim case: torch keeps separate
+            # q/k/v_proj_weight matrices, each xavier'd individually
+            xavier = nn.initializers.xavier_uniform()
         zeros = nn.initializers.zeros_init()
         q = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="q_proj")(query)
         k = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="k_proj")(key)

@@ -42,6 +42,14 @@ def make_mesh(cfg: Optional[Config] = None, devices: Optional[Sequence[jax.Devic
     nm = model if model is not None else (cfg.mesh_model if cfg else 1)
     if nd == -1:
         nd = len(devices) // nm
+    if nd * nm < len(devices):
+        # loud, like make_hybrid_mesh: a non-dividing mesh_model silently
+        # idling chips is invisible on the divisible virtual test meshes
+        import sys
+
+        print(f"make_mesh: using {nd * nm} of {len(devices)} devices "
+              f"({len(devices) - nd * nm} idle — data={nd} x model={nm} "
+              "does not cover the pod)", file=sys.stderr, flush=True)
     devices = np.asarray(devices[: nd * nm]).reshape(nd, nm)
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 

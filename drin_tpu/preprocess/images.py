@@ -75,10 +75,17 @@ def resnet_preprocess(image, size: Tuple[int, int] = (224, 224),
 
 def clip_preprocess(image, size: int = 224) -> np.ndarray:
     """CLIPProcessor equivalent: resize shortest side to ``size`` (bicubic),
-    center-crop, scale, CLIP-normalize.  Returns [size, size, 3] f32 NHWC."""
+    center-crop, scale, CLIP-normalize.  Returns [size, size, 3] f32 NHWC.
+
+    The long edge uses int() TRUNCATION, matching HF's
+    get_resize_output_image_size (transformers.image_transforms) — round()
+    would make the resized canvas 1px larger whenever the aspect ratio's
+    fraction is >= .5, shifting the center crop and every pixel after it."""
     w, h = image.size
-    short = min(w, h)
-    nw, nh = round(w * size / short), round(h * size / short)
+    if w < h:
+        nw, nh = size, int(h * size / w)
+    else:
+        nw, nh = int(w * size / h), size
     image = image.resize((nw, nh), Image.BICUBIC)
     left, top = (nw - size) // 2, (nh - size) // 2
     image = image.crop((left, top, left + size, top + size))

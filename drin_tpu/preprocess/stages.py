@@ -213,9 +213,16 @@ class ResnetStage:
         np.save(os.path.join(d, f"{name}-object-score_{split}.npy"), scores)
         flat_paths = np.repeat(np.asarray(image_paths), topk)
         flat_boxes = boxes.reshape(-1, 4)
+        # close on error too: an abandoned writer leaks its handle and
+        # leaves a placeholder header that np.load rejects with a cryptic
+        # format error (the stage rewrites outputs on re-run, so a closed
+        # partial file is harmless)
         w = NpyWriter(os.path.join(d, f"{name}-object-feature_{split}.npy"))
-        self._run_images(flat_paths, flat_boxes, object_output, w)
-        w.reshape([-1, topk, *w.shape]).close()
+        try:
+            self._run_images(flat_paths, flat_boxes, object_output, w)
+            w.reshape([-1, topk, *w.shape])
+        finally:
+            w.close()
 
     def detect(self, image_paths: Sequence[str], topk: int):
         """Top-k boxes/scores padded with default_box/0 (resnet.py:112-123).
@@ -301,6 +308,14 @@ class ClipStage:
         self._preprocess = lambda im: clip_preprocess(im, size)
 
     def _embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Documented divergence from a reference bug (convention: reference
+        bugs are documented, not emulated): for texts over 77 tokens the
+        reference tokenizes WITHOUT truncation and then hard-chops at 77 via
+        a negative constant_pad_nd (clip.py pad_tokens) — losing the eot
+        token, so CLIP's argmax(input_ids) pooling reads an arbitrary
+        max-id position.  Ours truncates eos-preservingly
+        ([bos] + tokens[:75] + [eos]), pooling at a real eot; embeddings for
+        such over-length texts intentionally differ from the reference's."""
         B_ = self.cfg.preprocess_batch_size
         out = []
         cap = self.clip_cfg.text.max_position_embeddings

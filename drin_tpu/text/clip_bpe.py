@@ -17,7 +17,11 @@ import numpy as np
 try:  # transformers ships `regex`; needed for \p{L} classes
     import regex as re_
 except ImportError:  # pragma: no cover
-    import re as re_
+    # stdlib re cannot compile \p{L}/\p{N} classes — a silent fallback
+    # would die at the compile below with a cryptic "bad escape \p"
+    raise ImportError(
+        "drin_tpu.text.clip_bpe requires the 'regex' package (bundled with "
+        "transformers) for the CLIP BPE split pattern's \\p{L} classes")
 
 from drin_tpu.text.wordpiece import BasicTokenizer
 

@@ -174,3 +174,45 @@ def test_native_encode_batch_matches_per_text():
     b = tok_py(texts, padding="max_length", truncation=True, max_length=8)
     np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
     np.testing.assert_array_equal(a["attention_mask"], b["attention_mask"])
+
+
+def test_native_tokenizer_lone_surrogate_falls_back():
+    """Lone surrogates (malformed JSON escapes survive json.loads as
+    U+D800-DFFF) are unencodable to UTF-8: the native encoder must return
+    None (Python fallback — its cleaner drops them as control chars)
+    instead of crashing the whole preprocessing run with
+    UnicodeEncodeError."""
+    import json
+
+    from drin_tpu.native import BertEncodeNative
+    from drin_tpu.text.wordpiece import BertTokenizer, build_tiny_vocab
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "hello": 4,
+             "world": 5}
+    enc = BertEncodeNative(vocab, unk_id=1)
+    s = json.loads('"hello \\ud800 world"')
+    assert enc.encode_ids(s) is None
+    assert enc.encode_ids_batch([s, "hello"])[1] == [4]
+    # end-to-end: the tokenizer's fallback produces the surrogate-dropped
+    # Python result, identical with and without the native lib
+    tok = BertTokenizer(vocab=build_tiny_vocab(["hello world"]))
+    assert tok._native is not None
+    got = tok.encode_batch([s], truncation=True)[0]
+    assert got == [tok.cls_id] + tok._py_word_ids(s) + [tok.sep_id]
+
+
+def test_gather_rows_out_of_range_matches_numpy():
+    """Negative or out-of-range row indices must NOT reach the native
+    memcpy (no bounds checks there) — they route to numpy, which raises
+    IndexError identically with or without the .so built."""
+    import pytest
+
+    rng = np.random.default_rng(4)
+    table = rng.standard_normal((700, 96)).astype(np.float32)
+    rows = rng.integers(0, 700, size=(8, 33)).astype(np.int64)
+    rows[3, 7] = 700  # one past the end
+    with pytest.raises(IndexError):
+        native.gather_rows(table, rows)
+    rows[3, 7] = -1  # numpy wraps negatives; parity requires the same
+    out = native.gather_rows(table, rows)
+    np.testing.assert_array_equal(out, table[rows])

@@ -75,3 +75,34 @@ def test_field_naming_contract(tmp_path):
     assert (tmp_path / "mention-text-feature_train.npy").exists()
     out = load_field(d, "mention_text_feature", "train")
     assert out.shape == (2, 3)
+
+
+def test_header_len_back_patched_for_short_numpy_headers(monkeypatch):
+    """If numpy emits a v1.0 header shorter than the reserved 128 bytes
+    (older ARRAY_ALIGN=16 numpys padded to 64/80/96), _build_header must
+    back-patch HEADER_LEN so the reader's data offset (10 + HEADER_LEN)
+    still lands at the reservation — otherwise np.load silently reads the
+    pad bytes as data, shifting every element with no error."""
+    import io
+    import struct
+
+    from drin_tpu.common import npy_io
+
+    def short_header_writer(fp, d):
+        # replicate an ARRAY_ALIGN=16 numpy: dict string padded so that
+        # magic(8) + hlen(2) + dict is a multiple of 16, ending in \n
+        body = ("{'descr': '%s', 'fortran_order': False, 'shape': %r, }"
+                % (d["descr"], tuple(d["shape"]))).encode("latin1")
+        total = 10 + len(body) + 1
+        pad = (-total) % 16
+        body = body + b" " * pad + b"\n"
+        fp.write(b"\x93NUMPY\x01\x00" + struct.pack("<H", len(body)) + body)
+
+    monkeypatch.setattr(np.lib.format, "write_array_header_1_0", short_header_writer)
+    header = npy_io._build_header(np.dtype(np.float32), (3, 4))
+    assert len(header) == npy_io._HEADER_SPACE
+    assert struct.unpack("<H", header[8:10])[0] == npy_io._HEADER_SPACE - 10
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    blob = header + data.tobytes()
+    got = np.load(io.BytesIO(blob))
+    np.testing.assert_array_equal(got, data)

@@ -1188,3 +1188,27 @@ def test_clip_stage_resumable(wd_raw, tmp_path):
     after = {f: open(os.path.join(cfg.preprocess_dir, f), "rb").read()
              for f in sim_files}
     assert before == after
+
+
+def test_clip_preprocess_matches_hf_processor_nonsquare():
+    """clip_preprocess must be pixel-exact vs transformers'
+    CLIPImageProcessor for NON-square inputs whose aspect fraction is >= .5:
+    HF computes the long resized edge with int() truncation
+    (get_resize_output_image_size), and a round() there shifts the center
+    crop by a pixel — 70x48 at size 32 gives long edge int(46.67) = 46, not
+    47 (square fixtures can never catch this)."""
+    from PIL import Image
+    from transformers import CLIPImageProcessor
+
+    from drin_tpu.preprocess.images import clip_preprocess
+
+    rng = np.random.default_rng(3)
+    for (w, h) in [(70, 48), (48, 70), (640, 480), (97, 101)]:
+        img = Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8))
+        size = 32
+        hf = CLIPImageProcessor(size={"shortest_edge": size},
+                                crop_size={"height": size, "width": size})
+        want = hf(img, return_tensors="np")["pixel_values"][0]  # [3, s, s]
+        got = clip_preprocess(img, size)                        # [s, s, 3]
+        np.testing.assert_allclose(got.transpose(2, 0, 1), want,
+                                   rtol=1e-5, atol=1e-5)
