@@ -67,28 +67,28 @@ def measure_ours() -> float:
     # scalar so the device must execute them sequentially, and fetch once.
     K = UNROLL
 
-    def chain(params, feats, eps):
+    def chain(eps, params, feats):
         for _ in range(K):
             f = (feats[0] + eps.astype(feats[0].dtype) * 1e-12,) + feats[1:]
             eps = jnp.sum(model.apply({"params": params}, f).astype(jnp.float32)) * 1e-9 + eps
         return eps
 
+    # shared methodology helper (benchmarks/_timing.timed_chain): K chained
+    # forwards per dispatch, one final fetch — its docstring carries the
+    # folding caveats so fixes there reach this headline benchmark too
+    from benchmarks._timing import timed_chain
+
     fn = jax.jit(chain)
     dev_feats = tuple(jax.device_put(cast(x)) for x in feats)
     dev_params = jax.device_put(jax.tree.map(cast, params))
     log(f"devices: {jax.devices()}")
-    for _ in range(N_WARMUP):
-        float(np.asarray(fn(dev_params, dev_feats, jnp.float32(0.0))))
-    eps = jnp.float32(0.0)
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        eps = fn(dev_params, dev_feats, eps)
-    np.asarray(eps)  # single device->host fetch closes the chain
-    dt = time.perf_counter() - t0
+    for _ in range(N_WARMUP - 1):  # timed_chain itself warms once more
+        float(np.asarray(fn(jnp.float32(0.0), dev_params, dev_feats)))
+    per_fwd = timed_chain(fn, (dev_params, dev_feats), K, iters=N_ITERS)
     n_fwd = N_ITERS * K
-    pairs = n_fwd * B * cfg.num_candidates_model
-    log(f"ours: {n_fwd} forwards in {dt:.3f}s ({dt / n_fwd * 1e3:.3f} ms/forward)")
-    return pairs / dt
+    log(f"ours: {n_fwd} forwards in {per_fwd * n_fwd:.3f}s "
+        f"({per_fwd * 1e3:.3f} ms/forward)")
+    return B * cfg.num_candidates_model / per_fwd
 
 
 def measure_reference() -> float:

@@ -1,0 +1,48 @@
+# -*- coding: utf-8 -*-
+"""Shared full-scale device-table fixture for the benchmark scripts.
+
+WikiMEL-scale entity tables are generated ON DEVICE: shipping ~2.5GB of
+synthetic f32 through a relay-attached host would measure the relay, not
+the chip (a production host pays PCIe once at startup; BASELINE.md).
+
+Invariant callers must keep: any ``feats_fn`` (drin_feats_fn /
+baseline_feats_fn) or Ranker scoring fn must be (re)built AFTER the swap —
+a previously-built one snapshots the placeholder 64-row tables and would
+silently score against the stale store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_ENTITIES = 109_557  # WikiMEL global entity table rows (SURVEY §2.5)
+
+
+def make_full_scale_store(cfg, n: int = N_ENTITIES, dtype=None, seed: int = 1):
+    """A DeviceEntityStore whose tables are [n, ...] random bf16 arrays
+    resident in HBM (built from a 64-row host placeholder, then swapped
+    on-device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    dtype = dtype or jnp.bfloat16
+    D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
+    rng = np.random.default_rng(0)
+    tiny = {
+        "entity_text_feature": rng.standard_normal((64, 2, D)).astype(np.float32),
+        "entity_image_feature": rng.standard_normal((64, 1, Dr)).astype(np.float32),
+        "entity_object_feature": rng.standard_normal((64, Te, 1, Dr)).astype(np.float32),
+        "entity_object_score": rng.uniform(0, 1, (64, Te)).astype(np.float32),
+    }
+    store = DeviceEntityStore(cfg, tiny, dtype=dtype)
+    keys = jax.random.split(jax.random.key(seed), 4)
+    store.text = jax.random.normal(keys[0], (n, 2, D), dtype)
+    store.image = jax.random.normal(keys[1], (n, 1, Dr), dtype)
+    store.obj = jax.random.normal(keys[2], (n, Te, 1, Dr), dtype)
+    store.obj_score = jax.random.uniform(keys[3], (n, Te), dtype)
+    store.n_rows = n
+    store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                       for t in store._tables())
+    return store

@@ -111,7 +111,9 @@ def main():
     def mm_chain(eps, a):
         x = a
         for _ in range(Kc):
-            x = jax.lax.dot(x + eps.astype(x.dtype) * 0, a,
+            # float perturbation, NOT `+ eps*0` (fold-prone: the zero
+            # multiply severs the chain if XLA folds it — CLAUDE.md rule)
+            x = jax.lax.dot(x + eps.astype(x.dtype) * 1e-12, a,
                             precision=None, preferred_element_type=jnp.bfloat16)
             eps = jnp.sum(x[0, :8].astype(jnp.float32)) * 1e-12 + eps
         return eps
@@ -198,7 +200,12 @@ def main():
             loss = triplet_loss(ans, s, cfg.triplet_margin)
             mstate = M.add_loss(M.update(mstate, s, ans, topk), loss)
             eps = loss * 1e-9 + eps
-        return eps + mstate["total"] * 0
+        # consume EVERY counter with a non-zero weight: `total * 0` would
+        # constant-fold and DCE all K metric updates (the accumulation
+        # chain keeps every iteration alive only if the final state is
+        # genuinely consumed), leaving a loss-only program reported as the
+        # loss+metrics tail
+        return eps + sum(mstate.values()) * 1e-9
 
     analyze("loss_metrics_tail", jax.jit(tail_chain), (scores0, ans), K=K)
 

@@ -28,7 +28,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_ENTITIES = 109_557  # WikiMEL global table size (reference readme.md:96)
+from benchmarks._tables import N_ENTITIES  # WikiMEL global table size
 
 
 def log(*a):
@@ -51,28 +51,19 @@ def main():
     D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
 
     rng = np.random.default_rng(0)
-    # Build the Ranker with placeholder tables, then swap in full-size
-    # random tables generated ON DEVICE — shipping 2.5GB of synthetic f32
-    # through a relay-attached host would measure the relay, not the chip
-    # (a production host pays PCIe once at startup).
-    tiny = {
-        "entity_text_feature": rng.standard_normal((64, 2, D)).astype(np.float32),
-        "entity_image_feature": rng.standard_normal((64, 1, Dr)).astype(np.float32),
-        "entity_object_feature": rng.standard_normal((64, Te, 1, Dr)).astype(np.float32),
-        "entity_object_score": rng.uniform(0, 1, (64, Te)).astype(np.float32),
-    }
+    # Full-scale tables generated ON DEVICE (shared fixture; see
+    # benchmarks/_tables.py for the relay rationale and the rebuild-after-
+    # swap invariant)
+    from benchmarks._tables import make_full_scale_store
+
     model = DRIN(cfg)
     feats, _ = g._random_drin_batch(cfg, B=2, rng=rng)
     params = model.init(jax.random.key(0), feats)["params"]
-    ranker = Ranker(cfg, params=params, entity_tables=tiny)
     dt16 = jnp.bfloat16
-    keys = jax.random.split(jax.random.key(1), 4)
+    store = make_full_scale_store(cfg, N_ENTITIES)
     N = N_ENTITIES
-    ranker.store.text = jax.random.normal(keys[0], (N, 2, D), dt16)
-    ranker.store.image = jax.random.normal(keys[1], (N, 1, Dr), dt16)
-    ranker.store.obj = jax.random.normal(keys[2], (N, Te, 1, Dr), dt16)
-    ranker.store.obj_score = jax.random.uniform(keys[3], (N, Te), dt16)
-    ranker.set_store(ranker.store)  # rebind the scoring fns to the new tables
+    ranker = Ranker(cfg, params=params)  # tables bound via set_store below
+    ranker.set_store(store)  # rebind the scoring fns to the device tables
     feats_fn = ranker._feats_fn
     tables = feats_fn.tables
     nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize for t in tables)

@@ -29,7 +29,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_ENTITIES = 109_557
+from benchmarks._tables import N_ENTITIES
 B = 64
 STEPS = 30
 
@@ -82,7 +82,6 @@ def main():
 
     import __graft_entry__ as g
     from drin_tpu.common.config import make_config
-    from drin_tpu.data.device_store import DeviceEntityStore
     from drin_tpu.models.drin import DRIN
 
     log(f"devices: {jax.devices()}")
@@ -93,22 +92,12 @@ def main():
     feats, answer = g._random_drin_batch(cfg, B=B, rng=rng)
     run("offline-features", cfg, model, feats + (answer,))
 
-    # device tables at WikiMEL scale, generated on-device (BASELINE.md: the
-    # relay's upload bandwidth would otherwise dominate setup)
-    D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
-    tiny = {
-        "entity_text_feature": rng.standard_normal((64, 2, D)).astype(np.float32),
-        "entity_image_feature": rng.standard_normal((64, 1, Dr)).astype(np.float32),
-        "entity_object_feature": rng.standard_normal((64, Te, 1, Dr)).astype(np.float32),
-        "entity_object_score": rng.uniform(0, 1, (64, Te)).astype(np.float32),
-    }
-    store = DeviceEntityStore(cfg, tiny, dtype=jnp.bfloat16)
-    keys = jax.random.split(jax.random.key(1), 4)
+    # device tables at WikiMEL scale, generated on-device (shared fixture;
+    # benchmarks/_tables.py has the relay rationale + rebuild invariant)
+    from benchmarks._tables import make_full_scale_store
+
+    store = make_full_scale_store(cfg, N_ENTITIES)
     N = N_ENTITIES
-    store.text = jax.random.normal(keys[0], (N, 2, D), jnp.bfloat16)
-    store.image = jax.random.normal(keys[1], (N, 1, Dr), jnp.bfloat16)
-    store.obj = jax.random.normal(keys[2], (N, Te, 1, Dr), jnp.bfloat16)
-    store.obj_score = jax.random.uniform(keys[3], (N, Te), jnp.bfloat16)
     feats_fn = store.drin_feats_fn()  # fresh: snapshots the swapped tables
     rows = rng.integers(0, N, (B, cfg.num_candidates_model)).astype(np.int32)
     rows_batch = feats[:7] + (rows,) + feats[12:14] + (answer,)

@@ -911,6 +911,33 @@ def _decode_arrays(payload: str) -> dict:
     return {k: data[k] for k in data.files}
 
 
+def rank_feat_fields(ranker) -> list:
+    """The positional feature-field names a ``/rank`` request must carry for
+    this ranker's configuration (its batch NamedTuple minus ``answer``).
+
+    Without an explicit order, ``serve_http`` sorts npz keys
+    alphabetically — which can never match the positional batch order
+    (``entity_*`` sorts before ``mention_*``), so the CLI wires this in by
+    default."""
+    base = getattr(ranker, "ranker", ranker)
+    cfg = base.cfg
+    if cfg.online_bert:
+        from drin_tpu.data.online import OnlineBatch
+
+        bt = OnlineBatch
+    elif base.kind == "drin":
+        from drin_tpu.data.dataset import DrinBatch
+        from drin_tpu.data.device_store import DrinRowsBatch
+
+        bt = DrinRowsBatch if base.store is not None else DrinBatch
+    else:
+        from drin_tpu.data.dataset import BaselineBatch
+        from drin_tpu.data.device_store import BaselineRowsBatch
+
+        bt = BaselineRowsBatch if base.store is not None else BaselineBatch
+    return list(bt._fields[:-1])
+
+
 def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                feat_fields: Optional[list] = None):
     """Start a blocking JSON-over-HTTP server.
@@ -1067,7 +1094,10 @@ def main(argv=None):
         ranker.quantize_retrieval(expand=expand)
     front = (BatchingRanker(ranker, max_batch=max_batch, wait_ms=wait_ms)
              if micro else ranker)
-    server = serve_http(front, host=host, port=port)
+    # positional /rank field order for this configuration — alphabetical
+    # npz order can never match it (entity_* sorts before mention_*)
+    server = serve_http(front, host=host, port=port,
+                        feat_fields=rank_feat_fields(front))
     print(f"serving {ranker.cfg.model_type}/{ranker.cfg.dataset_name} on "
           f"http://{host}:{server.server_address[1]}"
           + (" (micro-batched)" if micro else ""), flush=True)

@@ -513,6 +513,23 @@ def test_serve_cli_from_bundle(served, tmp_path):
         assert stats["micro_batched"] and stats["sharded_retrieval"]
         assert stats["batches_run"] >= 1 and stats["rows_run"] >= 2
         assert stats["entity_rows"] == tables["entity_text_feature"].shape[0]
+
+        # /rank with NAMED npz fields: the CLI wires the positional field
+        # order (rank_feat_fields), so clients can name arrays naturally —
+        # alphabetical npz order alone would feed entity_rows into the
+        # mention_text_feature slot
+        from drin_tpu.serve import rank_feat_fields
+
+        fields = rank_feat_fields(Ranker(cfg, params=params, entity_tables=tables))
+        assert fields[0] == "mention_text_feature" and "answer" not in fields
+        feats = {name: np.asarray(v) for name, v in zip(fields, batch[:-1])}
+        req = json.dumps({"features": _encode_arrays(feats), "k": 3}).encode()
+        out = json.loads(urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank", req,
+            {"Content-Type": "application/json"}), timeout=60).read())
+        want_s, _ = Ranker(cfg, params=params,
+                           entity_tables=tables).rank(batch[:-1], k=3)
+        np.testing.assert_allclose(np.asarray(out["scores"]), want_s, rtol=1e-4)
     finally:
         srv.shutdown()
     # bundle mode refuses config overrides

@@ -103,7 +103,12 @@ def main(argv=None) -> None:
                       + (" (row-sharded over the model axis)" if shard_rows else ""))
     example = next(test_ds.batches(cfg.batch_size, kind=kind, pad_to_full=True))
     feats = tuple(np.asarray(x) for x in example[:-1])
-    params = model.init(root_key, feats if feats_fn is None else feats_fn(feats))["params"]
+    # online: init at a 2-row slice — a full-batch f32 init traces the
+    # 13x512-token zipped BERT forward at B=batch_size and OOMs one chip on
+    # its own (benchmarks/online_bert.py inits at B=2 for the same reason);
+    # parameter shapes are batch-independent
+    init_feats = tuple(x[:2] for x in feats) if kind == "online" else feats
+    params = model.init(root_key, init_feats if feats_fn is None else feats_fn(init_feats))["params"]
     if kind == "online" and cfg.bert_checkpoint:
         # load the pretrained BERT tower (the reference downloads
         # bert-base-cased at model build, ghmfc.py:13-18)
