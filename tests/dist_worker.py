@@ -14,6 +14,21 @@ import os
 import sys
 
 
+def _param_digest(params) -> float:
+    """ORDER-SENSITIVE param digest: every element is weighted by a
+    position- and leaf-dependent factor, so a multi-host restore that
+    reassembles shards in the wrong rank order (rows permuted across
+    processes) changes it — a plain L1 sum would not."""
+    import jax
+    import numpy as np
+
+    tot = 0.0
+    for i, x in enumerate(jax.tree.leaves(params)):
+        x = np.asarray(x, np.float64).ravel()
+        tot += float(np.dot(x, np.cos(0.03 * np.arange(x.size) + i)))
+    return tot
+
+
 def main():
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     store, out, port = sys.argv[3], sys.argv[4], sys.argv[5]
@@ -96,7 +111,7 @@ def main():
         tr.save()
     test_out = tr._run_epoch(test_ds, "test", False, kind)
     p = jax.device_get(tr.state.params)
-    digest = float(sum(np.abs(x).sum() for x in jax.tree.leaves(p)))
+    digest = _param_digest(p)
     resumed_epoch = None
     if ckpt_dir:
         # multi-host checkpoint roundtrip: a fresh trainer must restore the
@@ -108,8 +123,8 @@ def main():
                       log=lambda *a: None)
         resumed_epoch = tr2.epoch
         p2 = jax.device_get(tr2.state.params)
-        d2 = float(sum(np.abs(x).sum() for x in jax.tree.leaves(p2)))
-        assert abs(d2 - digest) < 1e-4 * max(abs(digest), 1.0), (digest, d2)
+        d2 = _param_digest(p2)
+        assert abs(d2 - digest) < 1e-6 * max(abs(digest), 1.0), (digest, d2)
     if jax.process_index() == 0:
         with open(out, "w") as f:
             json.dump({"losses": losses, "test_loss": test_out["loss"],

@@ -24,6 +24,16 @@ def _clean_env():
     return env
 
 
+def _free_port() -> int:
+    """OS-assigned coordinator port: hardcoded ports collide (or
+    cross-connect) with concurrent or lingering runs on the same host."""
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        return sock.getsockname()[1]
+
+
 def _run_worker(pid, nproc, store, out, port, ckpt="", mode=""):
     cmd = [sys.executable, WORKER, str(pid), str(nproc), store, out, str(port)]
     if ckpt or mode:
@@ -49,8 +59,9 @@ def test_two_process_matches_single_process(tmp_path):
     assert p.returncode == 0, f"single-process worker failed:\n{so}\n{se}"
 
     multi_out = str(tmp_path / "multi.json")
-    w0 = _run_worker(0, 2, store, multi_out, 19739)
-    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), 19739)
+    port = _free_port()
+    w0 = _run_worker(0, 2, store, multi_out, port)
+    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), port)
     o0, e0 = w0.communicate(timeout=420)
     o1, e1 = w1.communicate(timeout=420)
     assert w0.returncode == 0, f"rank0 failed:\n{o0}\n{e0}"
@@ -63,7 +74,8 @@ def test_two_process_matches_single_process(tmp_path):
     np.testing.assert_allclose(single["losses"], multi["losses"], rtol=1e-5)
     np.testing.assert_allclose(single["test_loss"], multi["test_loss"], rtol=1e-5)
     assert single["test_accs"] == pytest.approx(multi["test_accs"], rel=1e-6)
-    np.testing.assert_allclose(single["params_l1"], multi["params_l1"], rtol=1e-5)
+    np.testing.assert_allclose(single["params_l1"], multi["params_l1"],
+                               rtol=1e-5, atol=1e-8)
 
 
 def test_process_row_range_contiguity():
@@ -90,8 +102,9 @@ def test_two_process_checkpoint_roundtrip(tmp_path):
     make_synthetic_store(cfg, n_mentions=12, seed=24)
     out = str(tmp_path / "ckpt-run.json")
     ckpt = str(tmp_path / "ckpts")
-    w0 = _run_worker(0, 2, store, out, 19741, ckpt=ckpt)
-    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), 19741, ckpt=ckpt)
+    port = _free_port()
+    w0 = _run_worker(0, 2, store, out, port, ckpt=ckpt)
+    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), port, ckpt=ckpt)
     o0, e0 = w0.communicate(timeout=420)
     o1, e1 = w1.communicate(timeout=420)
     assert w0.returncode == 0, f"rank0 failed:\n{o0}\n{e0}"
@@ -117,8 +130,9 @@ def test_two_process_sharded_tables_match_single(tmp_path):
     assert p.returncode == 0, f"single-process worker failed:\n{so}\n{se}"
 
     multi_out = str(tmp_path / "multi.json")
-    w0 = _run_worker(0, 2, store, multi_out, 19743, mode="wm_rows")
-    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), 19743, mode="wm_rows")
+    port = _free_port()
+    w0 = _run_worker(0, 2, store, multi_out, port, mode="wm_rows")
+    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), port, mode="wm_rows")
     o0, e0 = w0.communicate(timeout=420)
     o1, e1 = w1.communicate(timeout=420)
     assert w0.returncode == 0, f"rank0 failed:\n{o0}\n{e0}"
@@ -148,8 +162,9 @@ def test_two_process_online_bucketing_matches_single(tmp_path):
     assert p.returncode == 0, f"single-process worker failed:\n{so}\n{se}"
 
     multi_out = str(tmp_path / "multi.json")
-    w0 = _run_worker(0, 2, store, multi_out, 19745, mode="online")
-    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), 19745, mode="online")
+    port = _free_port()
+    w0 = _run_worker(0, 2, store, multi_out, port, mode="online")
+    w1 = _run_worker(1, 2, store, str(tmp_path / "unused.json"), port, mode="online")
     o0, e0 = w0.communicate(timeout=420)
     o1, e1 = w1.communicate(timeout=420)
     assert w0.returncode == 0, f"rank0 failed:\n{o0}\n{e0}"

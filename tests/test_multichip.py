@@ -534,13 +534,18 @@ def test_device_tables_with_candidate_padding(shard_rows):
     from drin_tpu.data.device_store import DeviceEntityStore
     import __graft_entry__ as g
 
+    # replicated tables ride the pooled cache; the SHARDED case runs the
+    # non-pooled token-level table — the production WikiMEL combination the
+    # row-sharding exists for (a `not shard_rows or True` typo previously
+    # pinned both parametrizations to the pooled path, leaving
+    # non-pooled + candidate padding untested)
     cfg = tiny_config("wikimel", "drin").replace(
         num_candidates_data=10, batch_size=8, metrics_topk=(1, 5),
-        cache_entity_pooling=not shard_rows or True)
+        cache_entity_pooling=not shard_rows)
     C = cfg.num_candidates_model  # 11, prime
     rng = np.random.default_rng(41)
     N = 23
-    tables = _entity_tables(cfg, N, rng)
+    tables = _entity_tables(cfg, N, rng, pooled=not shard_rows)
     rows = rng.integers(0, N, (8, C)).astype(np.int32)
     feats, answer = g._random_drin_batch(cfg, B=8, rng=rng)
     model = DRIN(cfg)
@@ -548,7 +553,8 @@ def test_device_tables_with_candidate_padding(shard_rows):
     # dense single-device oracle: host-gather the same rows
     dense = list(feats)
     dense[7] = tables["entity_text_feature"][rows]
-    dense[8] = np.zeros((8,), np.int64)
+    dense[8] = (tables["entity_text_mask"][rows] if shard_rows
+                else np.zeros((8,), np.int64))
     dense[9] = tables["entity_image_feature"][rows]
     dense[10] = tables["entity_object_feature"][rows]
     dense[11] = tables["entity_object_score"][rows]

@@ -207,6 +207,7 @@ def test_gather_rows_out_of_range_matches_numpy():
     IndexError identically with or without the .so built."""
     import pytest
 
+    _built_lib()  # the routing guard only matters when the .so is loaded
     rng = np.random.default_rng(4)
     table = rng.standard_normal((700, 96)).astype(np.float32)
     rows = rng.integers(0, 700, size=(8, 33)).astype(np.int64)

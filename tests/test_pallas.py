@@ -62,6 +62,42 @@ def test_drin_pallas_flag_end_to_end(wd_cfg):
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
 
+def test_drin_pallas_model_dispatch_executes(wd_cfg, monkeypatch):
+    """Drive the MODEL's own fused-kernel dispatch (drin.py use_layer_fused:
+    param wiring of w_h/layer_norm/w_u/w_v into fused_gcn_layer_ad) — not
+    just the standalone kernel: force the backend gate open and run the
+    kernel in interpret mode on CPU.  A swapped scale/bias or wrong kernel
+    ordering in the dispatch would pass every other test (the CPU suite
+    never reaches this branch) and only break on real TPUs."""
+    import functools
+
+    from drin_tpu.data.dataset import MELFeatureDataset
+    from drin_tpu.models.drin import DRIN
+    from drin_tpu.ops.pallas import gcn_layer as gl
+
+    ds = MELFeatureDataset(wd_cfg, "train")
+    batch = next(ds.batches(4, kind="drin"))
+    cfg = wd_cfg.replace(use_pallas=False)
+    m1 = DRIN(cfg)
+    params = m1.init(jax.random.key(0), batch[:-1])["params"]
+    want = np.asarray(m1.apply({"params": params}, batch[:-1]))
+
+    calls = []
+    orig = gl.fused_gcn_layer
+
+    def interp(*a, **kw):
+        calls.append(1)
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(gl, "fused_gcn_layer", interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    m2 = DRIN(cfg.replace(use_pallas=True))
+    got = np.asarray(m2.apply({"params": params}, batch[:-1]))
+    assert len(calls) >= 1, "the model's fused dispatch never fired"
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+
 def _gcn_layer_setup(seed=0, B=4, C=11, D=32, **cfg_kw):
     from drin_tpu.data.synthetic import tiny_config
     from drin_tpu.models.drin import GCNLayer

@@ -186,13 +186,21 @@ def test_retrieve_expand_override(served):
     r.quantize_retrieval(expand=2)
     fs, fi = r.retrieve(q, k=5, mode="exact")
     s1, i1 = r.retrieve(q, k=5, mode="int8")              # kc = min(10, n)
+    c1 = r._retrieve_q_jit._cache_size()
     s2, i2 = r.retrieve(q, k=5, mode="int8", expand=5)    # kc = min(25, n) = n
     np.testing.assert_array_equal(i1, fi)
     np.testing.assert_array_equal(i2, fi)
-    # the per-call expand reached the jitted program (distinct static kc)
+    # the per-call expand must REACH the jitted program: kc is a static
+    # arg, so a distinct shortlist width compiles a NEW specialization
+    # (result equality alone cannot detect a dead expand knob at this
+    # table size — every width recovers the exact top-5)
     assert min(5 * 2, n) != min(5 * 5, n)
+    assert r._retrieve_q_jit._cache_size() > c1, "per-call expand never reached the jit"
     s3, i3 = r.retrieve(q, k=5, mode="approx", expand=5)
     np.testing.assert_array_equal(i3, fi)
+    c3 = r._retrieve_approx_jit._cache_size()
+    r.retrieve(q, k=5, mode="approx", expand=4)
+    assert r._retrieve_approx_jit._cache_size() > c3, "expand dead on the approx path"
 
 
 def test_sharded_retrieval_hlo_structure():
@@ -333,9 +341,20 @@ def test_batching_ranker_coalesces_and_matches(served):
     singles = [tuple(np.asarray(x)[i % 4 : i % 4 + 1] for x in batch[:-1])
                for i in range(n_req)]
     want = [r.rank(f, k=3) for f in singles]
+    # release all callers together: without the barrier, thread startup on
+    # a loaded 1-core host can stagger past the flush window, every request
+    # flushes alone, and the coalescing assert flakes
+    import threading
+
+    bar = threading.Barrier(n_req)
+
+    def call(f):
+        bar.wait(timeout=60)
+        return br.rank(f, k=3)
+
     try:
         with cf.ThreadPoolExecutor(n_req) as ex:
-            got = list(ex.map(lambda f: br.rank(f, k=3), singles))
+            got = list(ex.map(call, singles))
         for (gs, gi), (ws, wi) in zip(got, want):
             np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-6)
             np.testing.assert_array_equal(gi, wi)
@@ -361,11 +380,23 @@ def test_batching_ranker_coalesces_retrieve(served):
     want = [r.retrieve(table[[i]], k=3, mode="exact") for i in range(10)]
     br = BatchingRanker(r, max_batch=16, wait_ms=150.0)
     one = tuple(np.asarray(x)[:1] for x in batch[:-1])
+    # barrier: release all callers together (see the rank coalescing test)
+    import threading
+
+    bar = threading.Barrier(11)
+
+    def ret(i):
+        bar.wait(timeout=60)
+        return br.retrieve(table[[i]], 3, "exact")
+
+    def rank_one():
+        bar.wait(timeout=60)
+        return br.rank(one, 2)
+
     try:
         with cf.ThreadPoolExecutor(11) as ex:
-            futs = [ex.submit(br.retrieve, table[[i]], 3, "exact")
-                    for i in range(10)]
-            frank = ex.submit(br.rank, one, 2)
+            futs = [ex.submit(ret, i) for i in range(10)]
+            frank = ex.submit(rank_one)
             got = [f.result(timeout=120) for f in futs]
             rs, ri = frank.result(timeout=120)
         for i, ((gs, gi), (ws, wi)) in enumerate(zip(got, want)):
