@@ -290,7 +290,16 @@ class Trainer:
                 self.restore(cfg.resume_from)
 
     # -- checkpointing (new capability; reference train.py:115 disables) ---
-    def save(self):
+    def save(self, wait: bool = True):
+        """Checkpoint the train state, keyed by global step.
+
+        ``wait=False`` returns as soon as Orbax has snapshotted the arrays
+        off the device (safe against the next step's donation) and writes
+        the disk bytes in the background — fit()'s per-epoch saves use
+        this so the next epoch's compute hides the write latency, and
+        fit() waits once at exit (and immediately on preemption) so a
+        returned fit is always durable.  The default stays synchronous for
+        direct callers."""
         if self._ckpt_mgr is None:
             return
         import orbax.checkpoint as ocp
@@ -298,11 +307,14 @@ class Trainer:
         payload = {"params": self.state.params, "opt_state": self.state.opt_state,
                    "step": self.state.step, "epoch": np.int32(self.epoch)}
         self._ckpt_mgr.save(int(self.state.step), args=ocp.args.StandardSave(payload))
-        self._ckpt_mgr.wait_until_finished()
+        if wait:
+            self._ckpt_mgr.wait_until_finished()
 
     def restore(self, step: Optional[int] = None):
         import orbax.checkpoint as ocp
 
+        # an async save from THIS manager may still be in flight
+        self._ckpt_mgr.wait_until_finished()
         step = int(step) if step is not None else self._ckpt_mgr.latest_step()
         if step is None:
             return
@@ -480,11 +492,15 @@ class Trainer:
                     raise KeyboardInterrupt
                 results.append(self._run_epoch(valid_ds, "valid", False, kind))
                 self.epoch += 1
-                self.save()
+                # async: the next epoch's compute overlaps the disk write
+                self.save(wait=False)
         finally:
             self._interrupted = {}
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
+            if self._ckpt_mgr is not None:
+                # a returned (or raising) fit leaves every save durable
+                self._ckpt_mgr.wait_until_finished()
             if self._profiler is not None:
                 self._profiler.stop()  # instance kept: cycles span chunks
         return results
