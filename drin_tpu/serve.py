@@ -701,6 +701,7 @@ class _Req(_NamedTuple):
     k: int
     extra: object   # "retrieve": the mode; "rank": unused
     fut: object
+    t0: float       # enqueue time (monotonic) for the latency histogram
 
 
 class BatchingRanker:
@@ -735,6 +736,11 @@ class BatchingRanker:
         # run on pipeline threads, so the read-modify-write needs a lock
         self._batches_run = 0
         self._rows_run = 0
+        # ring of recent end-to-end request latencies (enqueue -> result),
+        # in seconds; bounded so a long-lived server stays O(1) memory
+        from collections import deque
+
+        self._latencies: "deque" = deque(maxlen=2048)
         self._stats_lock = threading.Lock()
         self._stop = False
         self._close_lock = threading.Lock()  # orders rank() vs close()
@@ -771,12 +777,25 @@ class BatchingRanker:
     def _submit(self, kind, feats, k, extra):
         import concurrent.futures as cf
 
+        import time as _time
+
         fut: "cf.Future" = cf.Future()
         with self._close_lock:
             if self._stop:
                 raise RuntimeError("BatchingRanker is closed")
-            self._q.put(_Req(kind, feats, int(k), extra, fut))
+            self._q.put(_Req(kind, feats, int(k), extra, fut, _time.monotonic()))
         return fut.result()
+
+    def latency_quantiles(self) -> dict:
+        """p50/p95/p99 end-to-end request latency (enqueue -> result) in ms
+        over the most recent completed requests (bounded ring)."""
+        with self._stats_lock:
+            lats = sorted(self._latencies)
+        if not lats:
+            return {"count": 0}
+        q = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3
+        return {"count": len(lats), "p50_ms": round(q(0.50), 3),
+                "p95_ms": round(q(0.95), 3), "p99_ms": round(q(0.99), 3)}
 
     def rank(self, feats, k: int = 5):
         """Same contract as :meth:`Ranker.rank`; blocks until the coalesced
@@ -840,17 +859,24 @@ class BatchingRanker:
         # matching field shapes beyond the batch dim — e.g. rank_text
         # requests tokenized to different length buckets each get their own
         # device call
+        import time as _time
+
         by_k: dict = {}
         for req in items:
             key = (req.kind, req.k, req.extra,
                    tuple(np.asarray(f).shape[1:] for f in req.feats))
-            by_k.setdefault(key, []).append((req.feats, req.fut))
+            by_k.setdefault(key, []).append(req)
+
+        def done(req):
+            with self._stats_lock:
+                self._latencies.append(_time.monotonic() - req.t0)
+
         for (kind, k, extra, _), group in by_k.items():
-            futs, sizes = [f for _, f in group], [f[0].shape[0] for f, _ in group]
+            sizes = [r.feats[0].shape[0] for r in group]
             try:
                 n = sum(sizes)
                 bucket = next(b for b in self.buckets if b >= n) if n <= self.max_batch else n
-                fields = zip(*[f for f, _ in group])
+                fields = zip(*[r.feats for r in group])
                 batch = tuple(np.concatenate(col, axis=0) for col in fields)
                 if bucket > n:  # pad rows by repeating row 0; sliced off below
                     batch = tuple(
@@ -861,21 +887,23 @@ class BatchingRanker:
                     self._batches_run += 1
                     self._rows_run += n
                 off = 0
-                for fut, sz in zip(futs, sizes):
-                    fut.set_result((scores[off : off + sz], idx[off : off + sz]))
+                for req, sz in zip(group, sizes):
+                    req.fut.set_result((scores[off : off + sz], idx[off : off + sz]))
+                    done(req)
                     off += sz
             except Exception:
                 # a malformed request must fail only its own caller: retry
                 # the group one-by-one so each future gets its own outcome
-                for feats, fut in group:
+                for req in group:
                     try:
-                        out = self._call(kind, feats, k, extra)
+                        out = self._call(kind, req.feats, k, extra)
                         with self._stats_lock:
                             self._batches_run += 1
-                            self._rows_run += feats[0].shape[0]
-                        fut.set_result(out)
+                            self._rows_run += req.feats[0].shape[0]
+                        req.fut.set_result(out)
+                        done(req)
                     except Exception as e:
-                        fut.set_exception(e)
+                        req.fut.set_exception(e)
 
     def _dispatch(self):
         while not self._stop:
@@ -995,6 +1023,7 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                 if base is not ranker:  # batcher observability counters
                     out["batches_run"] = ranker._batches_run
                     out["rows_run"] = ranker._rows_run
+                    out["latency"] = ranker.latency_quantiles()
                 self._reply(200, out)
             else:
                 self._reply(404, {"error": "unknown path"})

@@ -544,6 +544,7 @@ def test_serve_cli_from_bundle(served, tmp_path):
         assert stats["micro_batched"] and stats["sharded_retrieval"]
         assert stats["batches_run"] >= 1 and stats["rows_run"] >= 2
         assert stats["entity_rows"] == tables["entity_text_feature"].shape[0]
+        assert stats["latency"]["count"] >= 1 and stats["latency"]["p50_ms"] > 0
 
         # /rank with NAMED npz fields: the CLI wires the positional field
         # order (rank_feat_fields), so clients can name arrays naturally —
