@@ -1079,6 +1079,11 @@ def main(argv=None):
     * ``micro_batch=true`` (+ ``wait_ms``, ``max_batch``) — put the
       :class:`BatchingRanker` coalescing front end in front
     * ``project_entities=true`` — `precompute_entity_projection` fast path
+      (DRIN)
+    * ``precompute_entities=true`` — `precompute_entity_reprs` fast path
+      (GHMFC: encode the whole entity table once; per-request cost drops
+      to mention encoding + gather + cosine, retrieval moves to trained
+      model space)
     * ``quantize_retrieval=true`` / ``shard_retrieval=true`` /
       ``retrieve_expand=N`` — stage-1 retrieval caches (int8 coarse scan;
       row-sharding over all visible devices)
@@ -1095,6 +1100,7 @@ def main(argv=None):
     wait_ms = float(overrides.pop("wait_ms", 2.0))
     max_batch = int(overrides.pop("max_batch", 64))
     project = overrides.pop("project_entities", False)
+    precompute = overrides.pop("precompute_entities", False)
     quant = overrides.pop("quantize_retrieval", False)
     shard = overrides.pop("shard_retrieval", False)
     expand = int(overrides.pop("retrieve_expand", 4))
@@ -1117,6 +1123,8 @@ def main(argv=None):
         ranker = Ranker(cfg, entity_tables=tables)
     if project:
         ranker.precompute_entity_projection()
+    if precompute:
+        ranker.precompute_entity_reprs()
     if shard:
         ranker.shard_retrieval(expand=expand, quantize=bool(quant))
     elif quant:

@@ -624,6 +624,29 @@ def test_ghmfc_entity_precompute_matches_model(tmp_path):
     s2, i2 = r.retrieve(reprs[[5, 11]], k=3)
     assert i2[0, 0] == 5 and i2[1, 0] == 11
 
+    # CLI surface: precompute_entities=true applies the same fast path on a
+    # bundle-deployed GHMFC service (model-space /retrieve through HTTP)
+    import json as _json
+    import urllib.request
+
+    from drin_tpu import serve
+    from drin_tpu.serve import _encode_arrays
+
+    r.save_bundle(str(tmp_path / "bundle"))
+    srv = serve.main([f"bundle={tmp_path / 'bundle'}", "port=0",
+                      "precompute_entities=true"])
+    try:
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/retrieve",
+            data=_json.dumps({"query": _encode_arrays({"q": reprs[[5, 11]]}),
+                              "k": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert np.asarray(out["indices"])[:, 0].tolist() == [5, 11]
+    finally:
+        srv.shutdown()
+
 
 def test_drin_entity_projection_matches(served):
     """DRIN serving projection: precomputing the entity-side linears into
