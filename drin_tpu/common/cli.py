@@ -1,5 +1,9 @@
 # -*- coding: utf-8 -*-
-"""CLI config overrides: ``key=value`` pairs with python-literal parsing."""
+"""CLI config overrides: ``key=value`` pairs with python-literal parsing.
+
+Replaces the reference's config surface, which has no CLI at all — every
+change means editing ``common/args.py`` (readme.md:116, :132; the only
+argparse in the reference is dataset/data_tools.py:64-71)."""
 
 from __future__ import annotations
 

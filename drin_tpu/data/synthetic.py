@@ -44,7 +44,11 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
     for split, n in n_mentions.items():
         # mention-side arrays (shared by both datasets)
         _save(f"mention-text-feature_{split}", rng.standard_normal((n, L, D), dtype=np.float32))
-        lens = rng.integers(4, L, size=n)
+        # include L itself: real stores are full of all-ones masks (every
+        # sentence longer than the window truncates to exactly L tokens,
+        # bert.py:79), and a fixture that never generates them would let
+        # last-valid-token arithmetic that assumes a padding position pass
+        lens = rng.integers(4, L + 1, size=n)
         mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.int64)
         _save(f"mention-text-mask_{split}", mask)
         start = rng.integers(0, np.maximum(lens - 2, 1))
@@ -124,8 +128,15 @@ def make_synthetic_online_store(preprocess_dir: str, n: int = 8, C: int = 3,
                               np.asarray(sentences), split)
             npy_io.save_field(preprocess_dir, "start_pos", np.ones(ns, np.int64), split)
             npy_io.save_field(preprocess_dir, "end_pos", np.full(ns, 2, np.int64), split)
-            npy_io.save_field(preprocess_dir, "answer",
-                              (np.arange(ns) % (C - 1)).astype(np.int64), split)
+            answers = (np.arange(ns) % (C - 1)).astype(np.int64)
+            if ns > 1:
+                # one answer-absent sentinel per split (index C-1 -> the
+                # all-zero one-hot row) — common in real wikimel data
+                # (first-stage retrieval misses); the reference's online
+                # loader handles it through the same one-hot lookup
+                # (baselines/data.py:132)
+                answers[-1] = C - 1
+            npy_io.save_field(preprocess_dir, "answer", answers, split)
             npy_io.save_field(preprocess_dir, "entity_name_raw",
                               np.asarray([f"Q{i % 4}" for i in range(ns * C)]), split)
         with open(os.path.join(preprocess_dir, "qid2ne.json"), "w") as f:

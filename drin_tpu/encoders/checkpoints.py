@@ -5,7 +5,12 @@
 Used by the preprocessing stages and by online-BERT training.  When only a
 bare state_dict is available, architecture dims are inferred from weight
 shapes (head counts use the standard 64-dims-per-head convention — exact for
-bert-base/CLIP-B; pass an explicit config otherwise)."""
+bert-base/CLIP-B; pass an explicit config otherwise).
+
+Replaces the reference's hub downloads at model build (bert.py:20-23,
+resnet.py:26-30, clip.py:21-24, ghmfc.py:13-18 all call from_pretrained
+with hub names) with offline checkpoint files — required in zero-egress
+deployments and for hermetic tests."""
 
 from __future__ import annotations
 

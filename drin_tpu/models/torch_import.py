@@ -40,7 +40,7 @@ def _layernorm(sd: Mapping, prefix: str) -> Dict:
     return {"scale": _a(sd[prefix + ".weight"]), "bias": _a(sd[prefix + ".bias"])}
 
 
-def _mha(sd: Mapping, prefix: str, embed_dim: int) -> Dict:
+def _mha(sd: Mapping, prefix: str) -> Dict:
     """torch nn.MultiheadAttention -> our MultiheadAttention params."""
     out = {"out_proj": _linear(sd, prefix + ".out_proj")}
     if prefix + ".in_proj_weight" in sd:
@@ -58,11 +58,11 @@ def _mha(sd: Mapping, prefix: str, embed_dim: int) -> Dict:
     return out
 
 
-def _cross_attention(sd: Mapping, prefix: str, dim_a: int) -> Dict:
+def _cross_attention(sd: Mapping, prefix: str) -> Dict:
     """Reference CrossAttention (ghmfc.py:93-128) -> our CrossAttention."""
     return {
-        "a2b_attention": _mha(sd, prefix + ".a2b_attention", dim_a),
-        "b2a_attention": _mha(sd, prefix + ".b2a_attention", dim_a),
+        "a2b_attention": _mha(sd, prefix + ".a2b_attention"),
+        "b2a_attention": _mha(sd, prefix + ".b2a_attention"),
         "a2b_ffn": _wrapped_linear(sd, prefix + ".a2b_ffn"),
         "b2a_ffn": _wrapped_linear(sd, prefix + ".b2a_ffn"),
         "ln0": _layernorm(sd, prefix + ".layernorms.0"),
@@ -72,11 +72,11 @@ def _cross_attention(sd: Mapping, prefix: str, dim_a: int) -> Dict:
     }
 
 
-def _multimodal_fusion(sd: Mapping, prefix: str, text_dim: int, image_dim: int) -> Dict:
+def _multimodal_fusion(sd: Mapping, prefix: str) -> Dict:
     """Reference MultimodalFusion (ghmfc.py:131-149)."""
     return {
-        "t2v_attention": _cross_attention(sd, prefix + ".t2v_attention", text_dim),
-        "v2t_attention": _cross_attention(sd, prefix + ".v2t_attention", image_dim),
+        "t2v_attention": _cross_attention(sd, prefix + ".t2v_attention"),
+        "v2t_attention": _cross_attention(sd, prefix + ".v2t_attention"),
         "text_linear": _wrapped_linear(sd, prefix + ".text_linear"),
         "image_linear": _wrapped_linear(sd, prefix + ".image_linear"),
         "score_linear": _wrapped_linear(sd, prefix + ".score_linear"),
@@ -89,7 +89,7 @@ def _transformer_encoder(sd: Mapping, prefix: str, num_layers: int) -> Dict:
     for i in range(num_layers):
         p = f"{prefix}.layers.{i}"
         out[f"layer_{i}"] = {
-            "self_attn": _mha(sd, p + ".self_attn", 0),
+            "self_attn": _mha(sd, p + ".self_attn"),
             "linear1": _linear(sd, p + ".linear1"),
             "linear2": _linear(sd, p + ".linear2"),
             "norm1": _layernorm(sd, p + ".norm1"),
@@ -159,12 +159,10 @@ def ghmfc_params_from_torch(sd: Mapping, cfg) -> Dict:
     me: Dict = {}
     if cfg.mention_final_layer_name == "multimodal" and cfg.mention_multimodal_attention == "bi":
         me["intermediate_layer"] = _multimodal_fusion(
-            sd, "mention_encoder.intermediate_layer", cfg.bert_embed_dim, cfg.resnet_embed_dim
-        )
+            sd, "mention_encoder.intermediate_layer")
     elif cfg.mention_final_layer_name == "multimodal":
         me["intermediate_layer"] = _cross_attention(
-            sd, "mention_encoder.intermediate_layer", cfg.bert_embed_dim
-        )
+            sd, "mention_encoder.intermediate_layer")
     elif cfg.mention_final_layer_name == "transformer":
         me["intermediate_layer"] = _transformer_encoder(
             sd, "mention_encoder.intermediate_layer.transformer", cfg.transformer_num_layers

@@ -40,9 +40,12 @@ def cosine_similarity(x: jax.Array, y: jax.Array, axis: int = -1, eps: float = 1
 def span_mean(seq: jax.Array, begin: jax.Array, end: jax.Array) -> jax.Array:
     """Mean of ``seq[i, begin[i]:end[i]]`` for every batch row, vectorized.
 
-    seq: [B, L, D]; begin/end: [B] int.  Empty spans (begin >= end) return 0
-    instead of NaN (they do not occur in valid data: a mention always has at
-    least one token)."""
+    seq: [B, L, D]; begin/end: [B] int.  Empty spans (begin >= end) AND
+    spans past the window return 0 instead of NaN.  Real stores contain
+    both (documented reference bug: prepare.py computes positions against
+    the full tokenization while bert.py:79 truncates stored features to L,
+    so a late mention's span lands outside the window — torch's empty-slice
+    mean NaNs there; the masked form keeps the row finite)."""
     L = seq.shape[-2]
     pos = jnp.arange(L)
     mask = (pos[None, :] >= begin[:, None]) & (pos[None, :] < end[:, None])  # [B, L]

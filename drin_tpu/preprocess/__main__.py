@@ -2,11 +2,17 @@
 """Preprocessing CLI: ``python -m drin_tpu.preprocess <stage> [key=value ...]``.
 
 Stages: prepare, bert, resnet, clip, all.  Config overrides work like
-train.py (e.g. ``dataset_name=wikimel bert_checkpoint=/path/sd.pt``)."""
+train.py (e.g. ``dataset_name=wikimel bert_checkpoint=/path/sd.pt``).
+
+One entry replaces the reference's four separate ``__main__`` scripts
+(prepare.py:200-207, bert.py:111-118, resnet.py:164-171, clip.py:171-178),
+which are run by editing ``common/args.py`` first (readme.md:116)."""
 
 from __future__ import annotations
 
 import sys
+
+STAGES = ("prepare", "bert", "resnet", "clip", "all")
 
 
 def main(argv=None):
@@ -14,6 +20,10 @@ def main(argv=None):
     if not argv:
         raise SystemExit(__doc__)
     stage, rest = argv[0], argv[1:]
+    if stage not in STAGES:
+        # validate BEFORE building the config: a stage typo must not be
+        # masked by (or wait behind) override/config errors
+        raise SystemExit(f"unknown stage: {stage} (expected one of {STAGES})")
 
     from drin_tpu.common.cli import parse_overrides
     from drin_tpu.common.config import make_config
@@ -39,8 +49,6 @@ def main(argv=None):
         from drin_tpu.preprocess.stages import ClipStage
 
         ClipStage(cfg).run()
-    if stage not in ("prepare", "bert", "resnet", "clip", "all"):
-        raise SystemExit(f"unknown stage: {stage}")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # parity tests compare against torch f32; disable XLA's relaxed matmul
-# precision (oneDNN bf16-style accumulation gives ~1e-2 relative error)
+# precision (oneDNN bf16-style accumulation gives ~1e-2 relative error).
+# NOTE this means the suite never runs at production default precision
+# (TPU: bf16 matmul passes).  The exact-math rewrites (folded GCN edges,
+# pooled entity cache) are proven ALGEBRAICALLY equivalent here; at bf16
+# both the rewritten and naive paths carry the same-order rounding vs f32,
+# so the equivalence claim is about the math, not bit-level bf16 identity.
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np

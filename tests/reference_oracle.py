@@ -78,11 +78,20 @@ def load_reference(dataset_name: str = "wikidiverse", model_type: str = "drin"):
     # resolved through this path entry; none collide with repo modules.
     if REFERENCE_PATH not in sys.path:
         sys.path.append(REFERENCE_PATH)
-    for m in _REF_MODULES:
-        sys.modules.pop(m, None)
-    # drop any reference modules a previous prepend-era import cached under
-    # repo-owned names
-    for name in ("train", "preprocess"):
+    # evict by PREFIX, not exact name: a cached reference SUBMODULE (e.g.
+    # ``preprocess.prepare``) keeps the previous dataset's star-imported
+    # args values baked in, and a later import_module would return it and
+    # silently produce wrong-dataset golden outputs
+    prefixes = tuple({m.split(".")[0] for m in _REF_MODULES})
+    for name in list(sys.modules):
+        if name in _REF_MODULES or name.startswith(tuple(p + "." for p in prefixes)):
+            sys.modules.pop(name, None)
+    # drop any reference modules cached under repo-owned names (incl. their
+    # submodules — same staleness hazard)
+    for name in list(sys.modules):
+        root = name.split(".")[0]
+        if root not in ("train", "preprocess"):
+            continue
         mod = sys.modules.get(name)
         origin = getattr(mod, "__file__", None) or ""  # namespace pkgs: None
         paths = list(getattr(mod, "__path__", []) or [])

@@ -120,7 +120,7 @@ def test_ghmfc_online_zipped_parity():
     params = {
         "bert": bert_params_from_torch({k: v.numpy() for k, v in hf_bert.state_dict().items()}, bert_cfg),
         "mention_encoder": {
-            "intermediate_layer": _multimodal_fusion(sd, "mention_encoder.intermediate_layer", D, Dr)
+            "intermediate_layer": _multimodal_fusion(sd, "mention_encoder.intermediate_layer")
         },
         "entity_final_layer": _wrapped_linear(sd, "entity_encoder.final_layer"),
     }
@@ -303,7 +303,7 @@ def test_ghmfc_online_direct_parity(pooling):
     params = {
         "bert": bert_params_from_torch({k: v.numpy() for k, v in hf_bert.state_dict().items()}, bert_cfg),
         "mention_encoder": {
-            "intermediate_layer": _multimodal_fusion(sd, "mention_encoder.intermediate_layer", D, Dr)
+            "intermediate_layer": _multimodal_fusion(sd, "mention_encoder.intermediate_layer")
         },
         "entity_final_layer": _wrapped_linear(sd, "entity_encoder.final_layer"),
     }

@@ -106,3 +106,24 @@ def test_header_len_back_patched_for_short_numpy_headers(monkeypatch):
     blob = header + data.tobytes()
     got = np.load(io.BytesIO(blob))
     np.testing.assert_array_equal(got, data)
+
+
+def test_writer_fuzz_roundtrip_vs_np_save(tmp_path):
+    """Property fuzz: for random dtypes/shapes/counts, NpyWriter's file is
+    byte-identical to np.save of the stacked array (the on-disk contract
+    the reference's readers rely on)."""
+    rng = np.random.default_rng(17)
+    dtypes = [np.float32, np.float64, np.int64, np.int32, np.uint8, np.float16]
+    for trial in range(24):
+        dt = dtypes[trial % len(dtypes)]
+        shape = tuple(int(s) for s in rng.integers(1, 5, size=rng.integers(0, 4)))
+        n = int(rng.integers(1, 9))
+        items = [(rng.standard_normal(shape) * 100).astype(dt) for _ in range(n)]
+        p = tmp_path / f"f{trial}.npy"
+        with NpyWriter(str(p)) as w:
+            for it in items:
+                w.append(it)
+        ref = tmp_path / f"r{trial}.npy"
+        np.save(ref, np.stack(items))
+        got, want = p.read_bytes(), ref.read_bytes()
+        assert got == want, (trial, dt, shape, n, len(got), len(want))

@@ -148,3 +148,26 @@ def test_update_nan_rows_count_as_miss():
     assert float(got["correct_2"]) == 1.0   # only the healthy row
     assert float(got["correct_4"]) == 1.0
     assert float(got["total"]) == 3.0
+
+
+def test_span_ops_empty_and_out_of_window_spans():
+    """Real stores contain spans the fixtures' generators avoid: EMPTY
+    (mention tokenizes to zero tokens) and OUT-OF-WINDOW (reference
+    prepare.py computes positions against the 512-token tokenization while
+    bert.py:79 truncates stored features to L=128, so start/end can land
+    past the window).  The reference NaNs on them (mean of an empty torch
+    slice) — a documented bug; our masked forms must return finite zeros
+    so one bad row cannot poison a batch."""
+    from drin_tpu.ops.core import span_mean
+
+    rng = np.random.default_rng(8)
+    B, L, D = 4, 6, 3
+    seq = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    begin = jnp.asarray([2, 3, L + 5, 0])   # row1 empty, row2 out-of-window
+    end = jnp.asarray([4, 3, L + 7, L])     # row3 full-window
+    out = np.asarray(span_mean(seq, begin, end))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], np.asarray(seq)[0, 2:4].mean(0), rtol=1e-6)
+    np.testing.assert_array_equal(out[1], 0.0)  # empty span
+    np.testing.assert_array_equal(out[2], 0.0)  # past the window
+    np.testing.assert_allclose(out[3], np.asarray(seq)[3].mean(0), rtol=1e-6)
