@@ -137,6 +137,9 @@ def gather_rows(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
     use_native = (
         lib is not None
         and isinstance(table, np.ndarray)
+        # bool masks / float indices mean numpy SELECTION semantics (or an
+        # IndexError), not row-number arithmetic — never reinterpret them
+        and np.issubdtype(flat64.dtype, np.integer)
         and table.flags["C_CONTIGUOUS"]
         and row_nbytes >= 256  # tiny rows: numpy is already fine
         and flat64.size >= 64
@@ -163,25 +166,25 @@ def gather_rows(table: np.ndarray, rows: np.ndarray) -> np.ndarray:
 
 def _vocab_buffer(vocab: dict) -> bytes:
     """'\n'-joined tokens in id order for drin_wp_build; raises ValueError on
-    non-contiguous or duplicate ids so callers fall back to the Python
+    non-contiguous/duplicate ids OR newline-containing tokens (the buffer is
+    newline-delimited, so such a token would silently split into two native
+    entries and shift every later id) so callers fall back to the Python
     matcher."""
     n = len(vocab)
     by_id = [None] * n
     for tok, i in vocab.items():
         if not (0 <= i < n) or by_id[i] is not None:
             raise ValueError("vocab ids must be contiguous 0..n-1 and unique")
+        if "\n" in tok:
+            raise ValueError(f"vocab token {tok!r} contains a newline")
         by_id[i] = tok
     return "\n".join(by_id).encode("utf-8")
 
 
-class WordPieceNative:
-    """Native greedy longest-match WordPiece over a fixed vocab
-    (``src/wordpiece.cpp``; byte-exact vs text/wordpiece.WordPieceTokenizer).
-
-    The vocab must have contiguous ids 0..n-1 (true for any vocab.txt-loaded
-    or fabricated vocab); construction raises otherwise so callers fall back
-    to the Python matcher.  ``tokenize_ids`` matches a list of pre-split
-    words in ONE foreign call (the GIL is released for its duration)."""
+class _VocabHandle:
+    """Shared native vocab-handle lifecycle for the matcher classes: lib
+    check, vocab build (NULL on native allocation failure -> raise so
+    callers fall back to Python), and the free on GC."""
 
     def __init__(self, vocab: dict, unk_id: int, max_chars: int = 100):
         lib = _load_lib()
@@ -190,6 +193,8 @@ class WordPieceNative:
         buf = _vocab_buffer(vocab)
         self._lib = lib
         self._handle = ctypes.c_void_p(lib.drin_wp_build(buf, len(buf), max_chars))
+        if not self._handle:
+            raise RuntimeError("native vocab build failed (allocation)")
         self._unk = int(unk_id)
 
     def __del__(self):
@@ -197,6 +202,16 @@ class WordPieceNative:
         h = getattr(self, "_handle", None)
         if lib is not None and h:
             lib.drin_wp_free(h)
+
+
+class WordPieceNative(_VocabHandle):
+    """Native greedy longest-match WordPiece over a fixed vocab
+    (``src/wordpiece.cpp``; byte-exact vs text/wordpiece.WordPieceTokenizer).
+
+    The vocab must have contiguous ids 0..n-1 (true for any vocab.txt-loaded
+    or fabricated vocab); construction raises otherwise so callers fall back
+    to the Python matcher.  ``tokenize_ids`` matches a list of pre-split
+    words in ONE foreign call (the GIL is released for its duration)."""
 
     def tokenize_ids(self, words) -> list:
         """Vocab ids for the concatenation of WordPiece(word) over words."""
@@ -213,7 +228,8 @@ class WordPieceNative:
             self._handle, blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(enc), self._unk, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             int(cap), ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        assert total >= 0, "wordpiece output overflow (capacity bug)"
+        if total < 0:  # NOT assert: -O must never turn this into garbage ids
+            raise RuntimeError("native wordpiece output overflow (capacity bug)")
         return out[:total].tolist()
 
 
@@ -248,7 +264,7 @@ def _bmp_flags() -> bytes:
     return _BMP_FLAGS
 
 
-class BertEncodeNative:
+class BertEncodeNative(_VocabHandle):
     """Fused native BasicTokenizer + WordPiece: raw text -> vocab ids in one
     GIL-releasing call (bert-base-cased semantics: no lowercasing).
 
@@ -257,20 +273,8 @@ class BertEncodeNative:
     path, keeping byte-exactness for every input."""
 
     def __init__(self, vocab: dict, unk_id: int, max_chars: int = 100):
-        lib = _load_lib()
-        if lib is None or not getattr(lib, "_has_wordpiece", False):
-            raise RuntimeError("native library not built (make -C drin_tpu/native)")
-        buf = _vocab_buffer(vocab)
-        self._lib = lib
-        self._handle = ctypes.c_void_p(lib.drin_wp_build(buf, len(buf), max_chars))
-        self._unk = int(unk_id)
+        super().__init__(vocab, unk_id, max_chars)
         self._flags = _bmp_flags()
-
-    def __del__(self):
-        lib = getattr(self, "_lib", None)
-        h = getattr(self, "_handle", None)
-        if lib is not None and h:
-            lib.drin_wp_free(h)
 
     def encode_ids(self, text: str):
         try:
@@ -287,11 +291,14 @@ class BertEncodeNative:
         total = self._lib.drin_bert_encode(
             self._handle, self._flags, blob, len(blob), self._unk,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
-        if total == -2:
-            # control/NUL/U+FFFD chars get REMOVED (word-splicing) by the
-            # Python cleaner — not expressible over input spans natively
+        if total < 0:
+            # -2: control/NUL/U+FFFD chars get REMOVED (word-splicing) by
+            # the Python cleaner — not expressible over input spans
+            # natively; -1: capacity (cannot happen by construction, but a
+            # stale .so might disagree) — either way the Python path keeps
+            # exactness.  NOT an assert: python -O would strip it and feed
+            # uninitialized ids to the model.
             return None
-        assert total >= 0, "native encode overflow (capacity bug)"
         return out[:total].tolist()
 
     def encode_ids_batch(self, texts):
@@ -326,7 +333,8 @@ class BertEncodeNative:
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
             self._unk, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             cap, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        assert total >= 0, "native batch encode overflow (capacity bug)"
+        if total < 0:  # capacity disagreement (stale .so): whole-batch
+            return [None] * n  # Python fallback, never garbage ids
         res = []
         prev = 0
         for i in range(n):

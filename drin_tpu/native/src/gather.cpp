@@ -40,17 +40,32 @@ int32_t drin_gather_rows(const void* src, void* dst, const int32_t* rows,
     worker(0, n);
     return 0;
   }
-  std::vector<std::thread> threads;
-  threads.reserve(n_threads);
-  const int64_t chunk = (n + n_threads - 1) / n_threads;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    const int64_t begin = t * chunk;
-    const int64_t end = begin + chunk < n ? begin + chunk : n;
-    if (begin >= end) break;
-    threads.emplace_back(worker, begin, end);
+  // exceptions must not cross the extern "C" boundary into ctypes frames
+  // (UB -> std::terminate): thread-creation failure (EAGAIN under cgroup
+  // pid limits) or allocation failure degrades to the single-threaded copy
+  try {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    const int64_t chunk = (n + n_threads - 1) / n_threads;
+    int64_t spawned_upto = 0;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      const int64_t begin = t * chunk;
+      const int64_t end = begin + chunk < n ? begin + chunk : n;
+      if (begin >= end) break;
+      try {
+        threads.emplace_back(worker, begin, end);
+        spawned_upto = end;
+      } catch (...) {
+        break;  // finish the tail on this thread below
+      }
+    }
+    for (auto& th : threads) th.join();
+    if (spawned_upto < n) worker(spawned_upto, n);
+    return 0;
+  } catch (...) {
+    worker(0, n);  // vector/reserve failure: plain serial copy
+    return 0;
   }
-  for (auto& th : threads) th.join();
-  return 0;
 }
 
 }  // extern "C"

@@ -114,6 +114,11 @@ int main() {
   const int64_t want_n =
       drin_bert_encode(vocab, flags.data(), text, sizeof(text) - 1, 1,
                        want.data(), 64);
+  if (want_n <= 0) {  // a -1 here would wrap memcmp's size to ~SIZE_MAX
+    std::fprintf(stderr, "reference encode failed (want_n=%lld) — cap/vocab\n",
+                 static_cast<long long>(want_n));
+    return 1;
+  }
   std::vector<std::thread> toks;
   std::vector<int> tok_ok(kCallers, 0);
   for (int c = 0; c < kCallers; ++c) {

@@ -43,21 +43,28 @@ extern "C" {
 // Build a vocab handle from a '\n'-separated token buffer; token i gets id i
 // (the order of ids in vocab.txt).  Caller frees with drin_wp_free.
 void* drin_wp_build(const char* buf, int64_t n_bytes, int32_t max_chars) {
-  auto* v = new WpVocab();
-  v->max_chars = max_chars;
-  int32_t id = 0;
-  const char* p = buf;
-  const char* end = buf + n_bytes;
-  while (p < end) {
-    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-    const size_t len = nl ? static_cast<size_t>(nl - p)
-                          : static_cast<size_t>(end - p);
-    // assignment, not emplace: a duplicate token keeps the LAST id, matching
-    // the Python dict loader (text/wordpiece.py vocab[line] = i)
-    v->map[std::string(p, len)] = id++;
-    p = nl ? nl + 1 : end;
+  // exceptions (bad_alloc from new/unordered_map/string) must not cross
+  // the extern "C" boundary into ctypes frames: return NULL instead, the
+  // Python side raises and falls back to the pure-Python matcher
+  try {
+    auto* v = new WpVocab();
+    v->max_chars = max_chars;
+    int32_t id = 0;
+    const char* p = buf;
+    const char* end = buf + n_bytes;
+    while (p < end) {
+      const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+      const size_t len = nl ? static_cast<size_t>(nl - p)
+                            : static_cast<size_t>(end - p);
+      // assignment, not emplace: a duplicate token keeps the LAST id, matching
+      // the Python dict loader (text/wordpiece.py vocab[line] = i)
+      v->map[std::string(p, len)] = id++;
+      p = nl ? nl + 1 : end;
+    }
+    return v;
+  } catch (...) {
+    return nullptr;
   }
-  return v;
 }
 
 void drin_wp_free(void* h) { delete static_cast<WpVocab*>(h); }
@@ -162,7 +169,14 @@ int64_t drin_bert_encode(void* h, const uint8_t* flags, const char* text,
   int64_t wstart = -1;  // byte start of the in-flight word, -1 = none
   for (int64_t i = 0; i < len;) {
     const unsigned char c = static_cast<unsigned char>(text[i]);
+    // malformed UTF-8 (stray continuation byte as lead, or a sequence
+    // truncated at the buffer edge) must not drive an out-of-bounds read
+    // of text[i+1]/text[i+2]: signal -2 so the caller takes the Python
+    // path (today's Python wrappers always pass valid whole-text UTF-8,
+    // but this symbol is a raw C export — its safety cannot rest on that)
+    if (c >= 0x80 && c < 0xC0) return -2;
     const int n = (c < 0x80) ? 1 : (c < 0xE0) ? 2 : (c < 0xF0) ? 3 : 4;
+    if (i + n > len) return -2;
     uint32_t cp = 0;
     if (n == 1) {
       cp = c;

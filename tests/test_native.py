@@ -217,3 +217,30 @@ def test_gather_rows_out_of_range_matches_numpy():
     rows[3, 7] = -1  # numpy wraps negatives; parity requires the same
     out = native.gather_rows(table, rows)
     np.testing.assert_array_equal(out, table[rows])
+
+
+def test_gather_rows_noninteger_indices_match_numpy():
+    """Bool masks / float indices mean numpy SELECTION semantics (or an
+    IndexError), never row-number arithmetic — the native path must decline
+    them identically with or without the .so built."""
+    _built_lib()
+    rng = np.random.default_rng(6)
+    table = rng.standard_normal((700, 96)).astype(np.float32)
+    mask = rng.uniform(size=700) < 0.5
+    np.testing.assert_array_equal(native.gather_rows(table, mask), table[mask])
+    # float indices raise like numpy
+    import pytest
+
+    with pytest.raises(IndexError):
+        native.gather_rows(table, np.arange(64.0) + 0.5)
+
+
+def test_vocab_buffer_rejects_newline_tokens():
+    """A newline inside a token would split it into two native entries and
+    silently shift every later id — must raise so callers fall back."""
+    import pytest
+
+    from drin_tpu.native import _vocab_buffer
+
+    with pytest.raises(ValueError, match="newline"):
+        _vocab_buffer({"a\nb": 0, "c": 1})
