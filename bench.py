@@ -2,7 +2,8 @@
 """Benchmark: DRIN eval throughput (mention-candidate pairs/sec/chip).
 
 Prints ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "calibration": {...}}
 
 The workload is the reference's headline eval configuration (SURVEY §6):
 WikiMEL shapes — batch 64, C=101 candidates, 128-token mention features,
@@ -13,12 +14,27 @@ place (/root/reference, eager torch on this host's CPU — the only hardware
 both can run on here; the reference's own GPU numbers are unpublished,
 BASELINE.md).  The reference measurement is cached in
 ``baseline_measured.json`` so repeated bench runs skip it.
+
+Resilience (VERDICT r3 #1): the TPU sits behind a relay whose backend init
+occasionally fails transiently (round 3's artifact was a stack trace because
+of exactly one such failure).  The measurement therefore runs in a CHILD
+process — a fresh process is the only reliable way to retry backend init —
+with bounded retries and exponential backoff in the parent.  On final
+failure the parent still prints the ONE JSON line with ``"value": null`` and
+an ``"error"`` field so the artifact stays parseable.
+
+Session calibration (VERDICT r3 #7): the shared chip's throughput varies
+±50% between sessions for model programs while simple stream/matmul probes
+stay stable.  Each run embeds those probe results in a ``"calibration"``
+field so cross-round deltas can be separated from co-tenancy weather
+(BASELINE.md roofline section explains how to read it).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -33,9 +49,68 @@ N_ITERS = 15
 UNROLL = 20  # forwards per dispatch (amortizes transport overhead)
 BASELINE_CACHE = os.path.join(REPO, "baseline_measured.json")
 
+MAX_ATTEMPTS = 5
+ATTEMPT_TIMEOUT_S = 540  # compile ~20-40s + timed section; generous for relay
+PROBE_TIMEOUT_S = 150  # backend init + one trivial device op
+BACKOFF_S = (10, 30, 90, 180)  # between attempts; ~5 min total sleep
+
+# v5e spec ceilings (BASELINE.md roofline section); the probes report what
+# THIS session actually sustains against them
+PEAK_FLOPS = 197e12
+PEAK_BW = 819e9
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def measure_calibration() -> dict:
+    """Session-quality probes: bf16 stream-read bandwidth + 4096^2 matmul
+    throughput, both via the chained-call methodology (benchmarks/_timing).
+    Stable across sessions (~327 GB/s / ~89 TFLOP/s historically) while model
+    programs swing ±50% with co-tenancy — so a regression in ``value`` with
+    unchanged calibration is code, and vice versa."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks._timing import timed_chain
+
+    Kc = 6
+    # created ON-device (jnp.ones lowers to a device fill — no 256MB upload
+    # through the ~2.4MB/s relay)
+    big = jnp.ones((128, 1024, 1024), jnp.bfloat16)  # 256 MB
+
+    def read_chain(eps, x):
+        for _ in range(Kc):
+            eps = jnp.sum((x + eps.astype(x.dtype) * 1e-12).astype(jnp.float32)) * 1e-12 + eps
+        return eps
+
+    dt = timed_chain(jax.jit(read_chain), (big,), Kc, iters=3)
+    stream_bw = big.nbytes / dt
+    del big
+
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    def mm_chain(eps, a):
+        x = a
+        for _ in range(Kc):
+            # float perturbation, NOT `+ eps*0` (fold-prone — CLAUDE.md rule)
+            x = jax.lax.dot(x + eps.astype(x.dtype) * 1e-12, a,
+                            precision=None, preferred_element_type=jnp.bfloat16)
+            eps = jnp.sum(x[0, :8].astype(jnp.float32)) * 1e-12 + eps
+        return eps
+
+    dt = timed_chain(jax.jit(mm_chain), (a,), Kc, iters=3)
+    mm_flops = 2 * 4096 ** 3 / dt  # timed_chain already divides by Kc
+    del a
+    calib = {
+        "stream_gb_s": round(stream_bw / 1e9, 1),
+        "stream_pct_of_spec": round(stream_bw / PEAK_BW * 100, 1),
+        "matmul_tflop_s": round(mm_flops / 1e12, 1),
+        "matmul_pct_of_spec": round(mm_flops / PEAK_FLOPS * 100, 1),
+    }
+    log(f"calibration: {json.dumps(calib)}")
+    return calib
 
 
 def measure_ours() -> float:
@@ -134,7 +209,14 @@ def measure_reference() -> float:
     return pps
 
 
-def main():
+def run_attempt() -> None:
+    """One full measurement (child-process mode): calibration probes, our
+    throughput, the cached reference baseline.  Prints the final JSON line."""
+    try:
+        calibration = measure_calibration()
+    except Exception as e:  # probes must never sink the headline number
+        log(f"calibration probes failed (continuing): {e!r}")
+        calibration = {"error": repr(e)[:200]}
     ours = measure_ours()
     try:
         baseline = measure_reference()
@@ -146,9 +228,98 @@ def main():
         "value": round(ours, 1),
         "unit": "mention-candidate pairs/sec/chip",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
+        "calibration": calibration,
     }
     print(json.dumps(result))
 
 
+def run_probe() -> None:
+    """Child --probe mode: backend init + one trivial device op.  A downed
+    relay hangs even ``jax.devices()`` for minutes, so the parent gates each
+    full attempt on this cheap probe instead of burning the 540s attempt
+    timeout discovering the outage."""
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    print("probe:", float(jax.jit(lambda: jax.numpy.zeros(()) + 1.0)()), flush=True)
+
+
+def _probe_device() -> "tuple[bool, str]":
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe"],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return False, f"device probe hung >{PROBE_TIMEOUT_S}s (relay outage)"
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        return False, "device probe failed: " + (tail[-1] if tail else f"rc={proc.returncode}")
+    return True, ""
+
+
+def _parse_result_line(stdout: str):
+    """Last stdout line that parses as a dict with our metric, else None."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and obj.get("metric") == "drin_eval_throughput":
+            return obj
+    return None
+
+
+def main() -> int:
+    """Parent mode: run the measurement in a fresh child process per attempt
+    (fresh backend init — in-process retry cannot recover a failed relay
+    client), bounded retries with backoff, parseable JSON no matter what."""
+    last_error = "no attempts ran"
+    for attempt in range(MAX_ATTEMPTS):
+        if attempt:
+            pause = BACKOFF_S[min(attempt - 1, len(BACKOFF_S) - 1)]
+            log(f"bench: attempt {attempt} failed ({last_error.splitlines()[-1][:160]}); "
+                f"retrying in {pause}s")
+            time.sleep(pause)
+        ok, why = _probe_device()
+        if not ok:
+            log(f"bench: {why}")
+            last_error = why
+            continue
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--attempt"],
+                capture_output=True, text=True, timeout=ATTEMPT_TIMEOUT_S,
+                cwd=REPO)
+        except subprocess.TimeoutExpired:
+            last_error = f"attempt timed out after {ATTEMPT_TIMEOUT_S}s"
+            continue
+        if proc.stderr:
+            sys.stderr.write(proc.stderr)
+            sys.stderr.flush()
+        result = _parse_result_line(proc.stdout)
+        if proc.returncode == 0 and result is not None:
+            print(json.dumps(result))
+            return 0
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        last_error = "\n".join(tail[-12:]) if tail else f"rc={proc.returncode}, no output"
+    # all attempts failed: still ONE parseable JSON line (VERDICT r3 #1)
+    print(json.dumps({
+        "metric": "drin_eval_throughput",
+        "value": None,
+        "unit": "mention-candidate pairs/sec/chip",
+        "vs_baseline": None,
+        "error": last_error[-800:],
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--attempt" in sys.argv:
+        run_attempt()
+    elif "--probe" in sys.argv:
+        run_probe()
+    else:
+        sys.exit(main())

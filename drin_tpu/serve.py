@@ -590,6 +590,11 @@ class Ranker:
         rides the per-shard float scan, whose shortlist is an exact
         superset below 4096 rows per shard)."""
         assert self.store is not None, "retrieve() needs device entity tables"
+        if expand is not None and expand < 1:
+            # same loud failure as the cache builders (quantize_retrieval /
+            # shard_retrieval assert expand >= 1); expand=0 would silently
+            # return an empty shortlist
+            raise ValueError(f"expand must be >= 1, got {expand}")
         table = self._ensure_retrieval_table()
         sharded = getattr(self, "_sharded", None)
         if sharded is not None:
@@ -699,7 +704,7 @@ class _Req(_NamedTuple):
     kind: str       # "rank" | "retrieve"
     feats: tuple    # feature fields ("retrieve": the single [B, D] query)
     k: int
-    extra: object   # "retrieve": the mode; "rank": unused
+    extra: object   # "retrieve": (mode, expand); "rank": unused
     fut: object
     t0: float       # enqueue time (monotonic) for the latency histogram
 
@@ -802,11 +807,14 @@ class BatchingRanker:
         device call for this request's flush completes."""
         return self._submit("rank", tuple(np.asarray(x) for x in feats), k, None)
 
-    def retrieve(self, mention_repr, k: int = 100, mode: Optional[str] = None):
-        """Same contract as :meth:`Ranker.retrieve`; concurrent queries with
-        the same k/mode coalesce into ONE full-table scan."""
+    def retrieve(self, mention_repr, k: int = 100, mode: Optional[str] = None,
+                 expand: Optional[int] = None):
+        """Same contract as :meth:`Ranker.retrieve` (incl. the per-call
+        ``expand`` shortlist-width override); concurrent queries with the
+        same k/mode/expand coalesce into ONE full-table scan."""
         return self._submit("retrieve",
-                            (np.asarray(mention_repr, np.float32),), k, mode)
+                            (np.asarray(mention_repr, np.float32),), k,
+                            (mode, expand))
 
     def rank_text(self, sentences, char_spans, candidate_texts, k: int = 5,
                   mention_images=None, tokenizer=None):
@@ -851,7 +859,8 @@ class BatchingRanker:
 
     def _call(self, kind, batch, k, extra):
         if kind == "retrieve":
-            return self.ranker.retrieve(batch[0], k, mode=extra)
+            mode, expand = extra
+            return self.ranker.retrieve(batch[0], k, mode=mode, expand=expand)
         return self.ranker.rank(batch, k)
 
     def _flush(self, items):
@@ -893,8 +902,14 @@ class BatchingRanker:
                     off += sz
             except Exception:
                 # a malformed request must fail only its own caller: retry
-                # the group one-by-one so each future gets its own outcome
+                # the group one-by-one so each future gets its own outcome.
+                # Requests already resolved by the batched path (the fault
+                # hit mid-distribution) are skipped, and a future that can't
+                # accept its outcome must never strand the REST of the
+                # window's groups by escaping _flush (InvalidStateError).
                 for req in group:
+                    if req.fut.done():
+                        continue
                     try:
                         out = self._call(kind, req.feats, k, extra)
                         with self._stats_lock:
@@ -903,7 +918,10 @@ class BatchingRanker:
                         req.fut.set_result(out)
                         done(req)
                     except Exception as e:
-                        req.fut.set_exception(e)
+                        try:
+                            req.fut.set_exception(e)
+                        except Exception:
+                            pass
 
     def _dispatch(self):
         while not self._stop:
@@ -1042,8 +1060,10 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                 elif self.path == "/retrieve":
                     # BatchingRanker coalesces retrieves too (same window)
                     q = _decode_arrays(req["query"])["q"]
-                    scores, idx = ranker.retrieve(q, int(req.get("k", 100)),
-                                                  mode=req.get("mode"))
+                    expand = req.get("expand")
+                    scores, idx = ranker.retrieve(
+                        q, int(req.get("k", 100)), mode=req.get("mode"),
+                        expand=int(expand) if expand is not None else None)
                 else:
                     arrays = _decode_arrays(req["features"])
                     order = fields or sorted(arrays)

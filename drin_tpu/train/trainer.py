@@ -410,6 +410,11 @@ class Trainer:
                         break
                 else:
                     _, mstate, _ = self.fns.eval_step(self.state.params, batch, valid, mstate)
+                    if self._interrupted:
+                        # a signal during the (uninterruptible-per-step) valid
+                        # pass must not wait for the NEXT train epoch: stop at
+                        # this eval-step boundary too; fit() saves right after
+                        break
                 n_batches += 1
                 if n_batches % log_every == 0 and self._is_main:
                     m = jax.device_get(mstate)
@@ -491,6 +496,15 @@ class Trainer:
                              f" (epoch {self.epoch}), stopping")
                     raise KeyboardInterrupt
                 results.append(self._run_epoch(valid_ds, "valid", False, kind))
+                if interrupted:
+                    # signal landed during the valid pass — train state is at
+                    # the epoch boundary; save and stop within one eval step
+                    # of the signal instead of riding out another train epoch
+                    self.save()
+                    self.log(f"signal {interrupted['signum']} received during "
+                             f"validation: checkpoint saved at step "
+                             f"{int(self.state.step)} (epoch {self.epoch}), stopping")
+                    raise KeyboardInterrupt
                 self.epoch += 1
                 # async: the next epoch's compute overlaps the disk write
                 self.save(wait=False)

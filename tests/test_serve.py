@@ -410,6 +410,43 @@ def test_batching_ranker_coalesces_retrieve(served):
         br.close()
 
 
+def test_batching_ranker_retrieve_expand_and_validation(served):
+    """The per-call ``expand`` override reaches the device through the
+    micro-batching front end (advisor finding: BatchingRanker.retrieve used
+    to drop it), and an invalid expand fails loudly instead of silently
+    returning empty shortlists."""
+    from drin_tpu.serve import BatchingRanker, Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    n = tables["entity_text_feature"].shape[0]
+    q = np.asarray(tables["entity_text_feature"][[3], 0])
+    r.quantize_retrieval(expand=2)
+    # NOTE: k=3 here so the (k, kc) jit specializations are disjoint from
+    # test_retrieve_expand_override's k=5 ones — the jit cache this test
+    # observes is shared across Ranker instances in one process
+    fs, fi = r.retrieve(q, k=3, mode="exact")
+    br = BatchingRanker(r, max_batch=8, wait_ms=5.0)
+    try:
+        s1, i1 = br.retrieve(q, 3, "int8")                # build width (kc=6)
+        c1 = r._retrieve_q_jit._cache_size()
+        s2, i2 = br.retrieve(q, 3, "int8", expand=5)      # kc=15 -> new jit
+        np.testing.assert_array_equal(i1, fi)
+        np.testing.assert_array_equal(i2, fi)
+        assert min(3 * 2, n) != min(3 * 5, n)
+        assert r._retrieve_q_jit._cache_size() > c1, (
+            "per-call expand never crossed the batching front end")
+        with pytest.raises(ValueError, match="expand"):
+            br.retrieve(q, 3, "int8", expand=0)
+        # the dispatcher survives the rejected request
+        s3, _ = br.retrieve(q, 3, "int8")
+        np.testing.assert_allclose(s3, s1, rtol=1e-6)
+    finally:
+        br.close()
+    with pytest.raises(ValueError, match="expand"):
+        r.retrieve(q, k=3, mode="approx", expand=0)
+
+
 def test_batching_ranker_mixed_k_and_errors(served):
     """Requests with different k are grouped per flush; a bad request fails
     only its own caller."""

@@ -422,6 +422,49 @@ def test_sigterm_checkpoints_and_stops(tmp_path, wd_cfg):
     assert tr2.epoch == 0 and int(tr2.state.step) == step
 
 
+def test_sigterm_during_validation_stops_within_the_pass(tmp_path, wd_cfg):
+    """A signal landing during the VALID pass must be acted on at the next
+    eval-step boundary (save + stop), not ride out the whole valid pass plus
+    another full train epoch — epoch-scale waits outlive TPU preemption
+    grace windows (advisor finding, trainer._run_epoch eval branch)."""
+    import os
+    import signal
+
+    cfg = wd_cfg.replace(enable_checkpointing=True,
+                         checkpoint_dir=str(tmp_path / "ckpt-sig-valid"))
+    tr, (train_ds, valid_ds, _), kind = _make_trainer(cfg)
+
+    calls = {"valid_batches": 0}
+
+    class SignalingValidDataset:
+        """8x index-repeated valid split (long enough that draining it is
+        observable); SIGTERM as the FIRST batch is assembled."""
+
+        def __init__(self, ds):
+            self.ds = ds
+
+        def make_batch(self, idx, kind):
+            if calls["valid_batches"] == 0:
+                os.kill(os.getpid(), signal.SIGTERM)
+            calls["valid_batches"] += 1
+            return self.ds.make_batch(np.asarray(idx) % len(self.ds), kind)
+
+        def __len__(self):
+            return 8 * len(self.ds)
+
+    with pytest.raises(KeyboardInterrupt):
+        tr.fit(train_ds, SignalingValidDataset(valid_ds), 5, kind=kind)
+    assert tr.epoch == 0  # stopped inside the FIRST epoch's valid pass
+    # the valid pass broke at a step boundary instead of draining the split
+    # (prefetch may assemble a couple of batches past the signalled one)
+    n_valid_batches = -(-8 * len(valid_ds) // cfg.batch_size)
+    assert calls["valid_batches"] < n_valid_batches, "valid pass drained fully"
+    assert calls["valid_batches"] <= 2 + cfg.prefetch_depth
+    step = int(tr.state.step)
+    tr2, _, _ = _make_trainer(cfg)  # the epoch-boundary checkpoint is durable
+    assert tr2.epoch == 0 and int(tr2.state.step) == step
+
+
 def test_masked_opt_state_checkpoint_roundtrip(tmp_path):
     """The frozen-BERT masked Adam state (MaskedNode placeholders) must
     survive an Orbax save/restore cycle bit-for-bit."""
