@@ -234,6 +234,9 @@ class Config:
     # resnet.py:19, clip.py:18; TPU stages use real batches)
     preprocess_batch_size: int = 64
     image_decode_workers: int = 16
+    # shard each preprocessing stage's batch over all local devices
+    # (stages.RowShardedJit); per-device batch stays preprocess_batch_size
+    preprocess_data_parallel: bool = True
     # Profiler trace output dir (jax.profiler; reference used torch.profiler,
     # train.py:64-70).
     profile_dir: str = "log/profiler"

@@ -37,18 +37,26 @@ def main(argv=None):
         from drin_tpu.preprocess.prepare import run_prepare
 
         run_prepare(cfg)
+
+    mesh = None
+    if stage != "prepare" and cfg.preprocess_data_parallel:
+        import jax
+
+        if len(jax.devices()) > 1:  # shard encoder batches over local chips
+            mesh = jax.devices()
+
     if stage in ("bert", "all"):
         from drin_tpu.preprocess.stages import BertStage
 
-        BertStage(cfg).run()
+        BertStage(cfg, mesh=mesh).run()
     if stage in ("resnet", "all"):
         from drin_tpu.preprocess.stages import ResnetStage
 
-        ResnetStage(cfg).run()
+        ResnetStage(cfg, mesh=mesh).run()
     if stage in ("clip", "all"):
         from drin_tpu.preprocess.stages import ClipStage
 
-        ClipStage(cfg).run()
+        ClipStage(cfg, mesh=mesh).run()
 
 
 if __name__ == "__main__":

@@ -35,12 +35,68 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+class RowShardedJit:
+    """Data-parallel dispatch of a stage's jitted encoder over the local
+    devices: batch rows shard over a 1-D mesh, the frozen encoder params
+    replicate once, and a non-dividing tail pads with row-0 repeats and is
+    sliced back — so the ``.npy`` writer sees the same rows in the same
+    order as the single-device stage (equality-tested on the 8-device CPU
+    mesh, tests/test_preprocess.py).
+
+    Why: the reference pins its resnet/clip stages to GPU batch ONE
+    (resnet.py:19, clip.py:18).  The batched jitted stages in this module
+    already beat that ~100x on one chip; on a pod host this wrapper spreads
+    each stage batch over every local chip instead of encoding WikiMEL's
+    788,403 entity images on one chip while the rest idle.
+    """
+
+    def __init__(self, devices=None):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if devices is None:
+            devices = jax.devices()
+        if isinstance(devices, Mesh):
+            devices = list(devices.devices.flat)
+        self.devices = list(devices)
+        self.n = len(self.devices)
+        mesh = Mesh(np.asarray(self.devices), ("rows",))
+        self.rows = NamedSharding(mesh, PartitionSpec("rows"))
+        self.replicated = NamedSharding(mesh, PartitionSpec())
+
+    def replicate(self, params):
+        import jax
+
+        return jax.device_put(params, self.replicated)
+
+    def wrap(self, fn):
+        """fn(params, *arrays) -> array or pytree of arrays, all with the
+        batch as the leading dim.  Returns a callable with the same
+        signature whose inputs shard row-wise over the mesh."""
+        import jax
+
+        jfn = jax.jit(fn)
+
+        def call(params, *arrays):
+            n = int(np.asarray(arrays[0]).shape[0])
+            pad = -n % self.n
+            if pad:
+                arrays = tuple(
+                    np.concatenate([np.asarray(a), np.repeat(np.asarray(a)[:1], pad, 0)])
+                    for a in arrays)
+            put = tuple(jax.device_put(np.asarray(a), self.rows) for a in arrays)
+            out = jfn(params, *put)
+            return jax.tree.map((lambda x: x[:n]) if pad else (lambda x: x), out)
+
+        return call
+
+
 # ---------------------------------------------------------------------------
 # BERT stage (reference preprocess/bert.py)
 
 
 class BertStage:
-    def __init__(self, cfg: Config, params=None, bert_cfg=None):
+    def __init__(self, cfg: Config, params=None, bert_cfg=None, mesh=None):
         import jax
 
         from drin_tpu.encoders import bert as B
@@ -58,9 +114,13 @@ class BertStage:
             fused_attention=B.resolve_fused_attention(cfg.bert_fused_attention))
         self.tokenizer = BertTokenizer(vocab_file=cfg.bert_vocab, do_lower_case=False,
                                        model_max_length=cfg.max_bert_len)
-        self._jit = jax.jit(
-            lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
-        )
+        fn = lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
+        self.dp = RowShardedJit(mesh) if mesh is not None else None
+        if self.dp is not None:
+            self.params = self.dp.replicate(self.params)
+            self._jit = self.dp.wrap(fn)
+        else:
+            self._jit = jax.jit(fn)
 
     def encode_texts(self, texts: Sequence[str], output: str, max_len: int):
         """Batched inference over raw texts.
@@ -69,7 +129,7 @@ class BertStage:
         mask [N, max_len]) — the reference truncates stored features to
         max_len (bert.py:78-79).  output == 'pooler_output': [N, D]."""
         cfg = self.cfg
-        B_ = cfg.preprocess_batch_size
+        B_ = cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
         feats, masks = [], []
         for i in range(0, len(texts), B_):
             chunk = [str(t) for t in texts[i : i + B_]]
@@ -157,7 +217,7 @@ class BertStage:
 
 class ResnetStage:
     def __init__(self, cfg: Config, params=None, resnet_cfg=None,
-                 detector: Optional[Callable] = None):
+                 detector: Optional[Callable] = None, mesh=None):
         import jax
 
         from drin_tpu.encoders import resnet as R
@@ -170,7 +230,15 @@ class ResnetStage:
         self.resnet_cfg = resnet_cfg or R.ResNetConfig()
         self.params = params
         self.model = R.ResNetModel(self.resnet_cfg)
-        self._jit = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        fn = lambda p, x: self.model.apply({"params": p}, x)
+        # the detector stays single-device: it is an arbitrary user callable
+        # (WholeImageDetector / converted FRCNN), not necessarily jittable
+        self.dp = RowShardedJit(mesh) if mesh is not None else None
+        if self.dp is not None:
+            self.params = self.dp.replicate(self.params)
+            self._jit = self.dp.wrap(fn)
+        else:
+            self._jit = jax.jit(fn)
         self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
         # object detector: callable [B,H,W,3]->(boxes [B,K,4], scores [B,K]);
         # defaults to whatever cfg.drin_object_detector/_checkpoint select
@@ -183,7 +251,7 @@ class ResnetStage:
 
     def _run_images(self, paths, crops, output: str, writer: NpyWriter):
         cfg = self.cfg
-        B_ = cfg.preprocess_batch_size
+        B_ = cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
         for i in range(0, len(paths), B_):
             chunk = paths[i : i + B_]
             c = crops[i : i + B_] if crops is not None else None
@@ -276,9 +344,7 @@ class ResnetStage:
 
 
 class ClipStage:
-    def __init__(self, cfg: Config, params=None, clip_cfg=None):
-        import jax
-
+    def __init__(self, cfg: Config, params=None, clip_cfg=None, mesh=None):
         from drin_tpu.encoders import clip as C
         from drin_tpu.text.clip_bpe import CLIPTokenizer
 
@@ -291,6 +357,16 @@ class ClipStage:
         self.params = params
         self.model = C.CLIPModel(self.clip_cfg)
         self.tokenizer = CLIPTokenizer(vocab_file=cfg.clip_vocab, merges_file=cfg.clip_merges)
+        self.build_jits(mesh)
+        self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
+        size = self.clip_cfg.vision.image_size
+        self._preprocess = lambda im: clip_preprocess(im, size)
+
+    def build_jits(self, mesh=None):
+        """(Re)build the two encoder programs, optionally row-sharded over
+        ``mesh``; split out of __init__ so tests that inject in-memory
+        tokenizer assets share the exact dispatch path."""
+        import jax
         import jax.numpy as jnp
 
         def text_feats(p, ids):
@@ -301,11 +377,14 @@ class ClipStage:
             v = self.model.apply({"params": p}, pix, method=self.model.get_image_features)
             return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
-        self._text_jit = jax.jit(text_feats)
-        self._image_jit = jax.jit(image_feats)
-        self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
-        size = self.clip_cfg.vision.image_size
-        self._preprocess = lambda im: clip_preprocess(im, size)
+        self.dp = RowShardedJit(mesh) if mesh is not None else None
+        if self.dp is not None:
+            self.params = self.dp.replicate(self.params)
+            self._text_jit = self.dp.wrap(text_feats)
+            self._image_jit = self.dp.wrap(image_feats)
+        else:
+            self._text_jit = jax.jit(text_feats)
+            self._image_jit = jax.jit(image_feats)
 
     def _embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Documented divergence from a reference bug (convention: reference
@@ -316,7 +395,7 @@ class ClipStage:
         max-id position.  Ours truncates eos-preservingly
         ([bos] + tokens[:75] + [eos]), pooling at a real eot; embeddings for
         such over-length texts intentionally differ from the reference's."""
-        B_ = self.cfg.preprocess_batch_size
+        B_ = self.cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
         out = []
         cap = self.clip_cfg.text.max_position_embeddings
         for i in range(0, len(texts), B_):
@@ -326,7 +405,7 @@ class ClipStage:
         return np.concatenate(out, 0)
 
     def _embed_images(self, paths: Sequence[str]) -> np.ndarray:
-        B_ = self.cfg.preprocess_batch_size
+        B_ = self.cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
         out = []
         for i in range(0, len(paths), B_):
             x = self.batcher.load_batch(paths[i : i + B_], self._preprocess)

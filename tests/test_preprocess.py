@@ -257,6 +257,43 @@ def test_full_pipeline_wikidiverse(wd_raw, tmp_path):
     assert np.isfinite(float(loss))
 
 
+def test_stages_data_parallel_match_single_device(wd_raw, tmp_path):
+    """Every encoder stage run with a device mesh (rows sharded over all 8
+    virtual devices, RowShardedJit) writes the SAME store as the
+    single-device stage, row for row — the .npy writer order is
+    deterministic and pad rows never leak (VERDICT r3 next-#5)."""
+    root, sentences, names, n_cand = wd_raw
+    assets = _tiny_encoders(sentences + [f"{n}: a thing" for n in names])
+    from drin_tpu.preprocess.prepare import run_prepare
+    from drin_tpu.preprocess.stages import BertStage, ClipStage, ResnetStage
+
+    stores = {}
+    for tag, mesh in (("one", None), ("dp", jax.devices()[:8])):
+        cfg = _wd_cfg_for(root, n_cand, tmp_path / f"store-{tag}", assets)
+        os.makedirs(cfg.preprocess_dir, exist_ok=True)
+        run_prepare(cfg)
+        BertStage(cfg, assets["bert_params"], assets["bert_cfg"], mesh=mesh).run()
+        ResnetStage(cfg, assets["resnet_params"], assets["resnet_cfg"], mesh=mesh).run()
+        clip_stage = ClipStage.__new__(ClipStage)
+        _init_clip_stage(clip_stage, cfg, assets, mesh=mesh)
+        clip_stage.run()
+        stores[tag] = cfg.preprocess_dir
+
+    files = sorted(f for f in os.listdir(stores["one"]) if f.endswith(".npy"))
+    assert any("feature" in f for f in files) and any("similarity" in f for f in files)
+    assert files == sorted(f for f in os.listdir(stores["dp"]) if f.endswith(".npy"))
+    for f in files:
+        a = np.load(os.path.join(stores["one"], f))
+        b = np.load(os.path.join(stores["dp"], f))
+        assert a.shape == b.shape, f
+        if a.dtype.kind in "fc":
+            # same math per row; only reduction scheduling may differ when
+            # the sharded stage's one 16-row chunk replaces two 8-row chunks
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6, err_msg=f)
+        else:
+            np.testing.assert_array_equal(b, a, err_msg=f)
+
+
 def test_bert_stage_brief_variant(wd_raw, tmp_path):
     """entity_text_type='brief' on the wikidiverse store encodes the brief
     strings prepare materialized (reference prepare.py:91-97 — its entity
@@ -293,10 +330,12 @@ def test_bert_stage_brief_variant(wd_raw, tmp_path):
                   assets["bert_params"], assets["bert_cfg"]).run(splits=())
 
 
-def _init_clip_stage(stage, cfg, assets):
-    """ClipStage with in-memory tokenizer assets (no vocab files)."""
-    import jax.numpy as jnp
+def _init_clip_stage(stage, cfg, assets, mesh=None):
+    """ClipStage with in-memory tokenizer assets (no vocab files); the
+    encoder programs come from the stage's own build_jits so tests exercise
+    the production (optionally row-sharded) dispatch path."""
     from drin_tpu.preprocess.images import ImageBatcher, clip_preprocess
+    from drin_tpu.preprocess.stages import ClipStage
     from drin_tpu.text.clip_bpe import CLIPTokenizer
 
     stage.cfg = cfg
@@ -306,17 +345,7 @@ def _init_clip_stage(stage, cfg, assets):
 
     stage.model = CLIPModel(stage.clip_cfg)
     stage.tokenizer = CLIPTokenizer(vocab=assets["clip_vocab"], merges=[])
-
-    def text_feats(p, ids):
-        t = stage.model.apply({"params": p}, ids, method=stage.model.get_text_features)
-        return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
-
-    def image_feats(p, pix):
-        v = stage.model.apply({"params": p}, pix, method=stage.model.get_image_features)
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-
-    stage._text_jit = jax.jit(text_feats)
-    stage._image_jit = jax.jit(image_feats)
+    ClipStage.build_jits(stage, mesh)
     stage.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, 4)
     size = stage.clip_cfg.vision.image_size
     stage._preprocess = lambda im: clip_preprocess(im, size)
