@@ -61,6 +61,29 @@ class BaselineRowsBatch(NamedTuple):
     answer: np.ndarray
 
 
+def quantize_entity_rows(x: np.ndarray):
+    """Per-entity max-abs int8 quantization of an [N, ...] table: one f32
+    scale per row over ALL of the row's elements (same scheme as the
+    retrieval cache, serve.quantize_rows, at entity granularity).
+
+    Returns ``(q, scale)`` with ``q`` int8 shaped like ``x`` and ``scale``
+    float32 [N] such that ``q * scale ~= x`` (element error bounded by
+    ``max|row| / 254``).  Zero rows get scale 1 so they dequantize to zero."""
+    x = np.asarray(x)
+    flat = x.reshape(x.shape[0], -1).astype(np.float32)
+    s = np.max(np.abs(flat), axis=1)
+    s = np.where(s == 0, np.float32(1.0), s)
+    q = np.clip(np.round(flat / s[:, None] * 127.0), -127, 127).astype(np.int8)
+    return q.reshape(x.shape), (s / 127.0).astype(np.float32)
+
+
+def _dequantize(q: jax.Array, scale: jax.Array, dt) -> jax.Array:
+    """int8 rows + per-row scale -> compute-dtype rows (dequantize in f32,
+    then cast, so the scale multiply doesn't round twice)."""
+    s = scale.reshape(scale.shape + (1,) * (q.ndim - scale.ndim))
+    return (q.astype(jnp.float32) * s).astype(dt)
+
+
 def _owner_gather(table: jax.Array, rows: jax.Array, axis: str) -> jax.Array:
     """Per-rank piece of the sharded-table gather (runs inside shard_map).
 
@@ -116,17 +139,31 @@ class DeviceEntityStore:
     ``shard_rows=True`` (requires ``mesh``) splits every table's row axis
     over the ``model`` mesh axis and gathers collectively in-step; this is
     what makes the non-pooled token-level table usable (it exceeds a single
-    chip's HBM).  Default is full replication (pooled tables are small)."""
+    chip's HBM).  Default is full replication (pooled tables are small).
+
+    ``quantize=True`` stores the three feature tables as int8 with one f32
+    max-abs scale per entity (:func:`quantize_entity_rows`) — half the
+    resident bytes of bf16, a quarter of f32, so roughly 2x the servable
+    entities per chip.  The in-step gather dequantizes the [B, C] gathered
+    rows to the compute dtype right after the lookup, so per-batch compute
+    is unchanged.  Scores are TOLERANCE-BOUNDED, not exact: the rank
+    forward is nonlinear, so no exact rescore from int8 exists (unlike the
+    retrieval cache's exact shortlist rescore) — per-element table error is
+    <= max|row|/254, comparable to the bf16 rounding the serving path
+    already accepts (machinery-exactness and score-divergence tests:
+    tests/test_device_store.py)."""
 
     def __init__(self, cfg: Config, tables: dict, dtype=None, sharding=None,
-                 mesh=None, shard_rows: bool = False):
+                 mesh=None, shard_rows: bool = False, quantize: bool = False):
         assert cfg.entity_pooling_cached or shard_rows, (
             "non-pooled token-level tables exceed one chip's HBM; use "
             "shard_rows=True on a mesh (or enable the pooled entity cache)")
         self.pooled = cfg.entity_pooling_cached
         self.sharded = shard_rows
+        self.quantized = bool(quantize)
         self.mesh = mesh
         dt = jnp.dtype(dtype or cfg.compute_dtype)
+        self.dtype = dt
         if shard_rows:
             assert mesh is not None, "shard_rows needs the device mesh"
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -134,19 +171,19 @@ class DeviceEntityStore:
             nm = mesh.shape[MODEL_AXIS]
             sharding = NamedSharding(mesh, P(MODEL_AXIS))
 
-            def put(x):
+            def put(x, cast=True):
                 x = np.asarray(x)
                 if x.shape[0] % nm:  # pad rows so the shard split is even;
                     # indices never address the padding (rows < N)
                     pad = nm - x.shape[0] % nm
                     x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-                if np.issubdtype(x.dtype, np.floating):
+                if cast and np.issubdtype(x.dtype, np.floating):
                     x = x.astype(dt)
                 return jax.device_put(x, sharding)
         else:
-            def put(x):
+            def put(x, cast=True):
                 x = np.asarray(x)
-                if np.issubdtype(x.dtype, np.floating):
+                if cast and np.issubdtype(x.dtype, np.floating):
                     x = x.astype(dt)
                 return jax.device_put(jnp.asarray(x), sharding)
 
@@ -155,19 +192,50 @@ class DeviceEntityStore:
         # /stats) must not see the zero pad rows — only the in-step gather
         # (rows < N by construction) may ignore the distinction
         self.n_rows = int(np.asarray(tables["entity_text_feature"]).shape[0])
-        self.text = put(tables["entity_text_feature"])  # [N, 2, D] pooled / [N, Le, D]
+        if quantize:
+            def put_q(x):
+                q, s = quantize_entity_rows(x)
+                # scales stay f32 (cast=False): a bf16 scale would round the
+                # dequantized rows a second time
+                return put(q), put(s, cast=False)
+
+            self.text, self.text_scale = put_q(tables["entity_text_feature"])
+            self.image, self.image_scale = put_q(tables["entity_image_feature"])
+            self.obj, self.obj_scale = put_q(tables["entity_object_feature"])
+        else:
+            self.text_scale = self.image_scale = self.obj_scale = None
+            self.text = put(tables["entity_text_feature"])  # [N, 2, D] pooled / [N, Le, D]
+            self.image = put(tables["entity_image_feature"])  # [N, 1, Dr]
+            self.obj = put(tables["entity_object_feature"])  # [N, Te, 1, Dr]
         self.text_mask = None if self.pooled else put(tables["entity_text_mask"])  # [N, Le]
-        self.image = put(tables["entity_image_feature"])  # [N, 1, Dr]
-        self.obj = put(tables["entity_object_feature"])  # [N, Te, 1, Dr]
-        self.obj_score = put(tables["entity_object_score"])  # [N, Te]
+        self.obj_score = put(tables["entity_object_score"])  # [N, Te] (tiny; kept float)
         self.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                           for t in self._tables())
 
     def _tables(self):
+        if self.quantized:
+            ts = [self.text, self.text_scale]
+            if self.text_mask is not None:
+                ts.append(self.text_mask)
+            ts += [self.image, self.image_scale, self.obj, self.obj_scale,
+                   self.obj_score]
+            return tuple(ts)
         ts = [self.text, self.image, self.obj, self.obj_score]
         if self.text_mask is not None:
             ts.insert(1, self.text_mask)
         return tuple(ts)
+
+    def float_table(self, name: str):
+        """Float view of ``'text'`` / ``'image'`` / ``'obj'`` for WHOLE-table
+        consumers (retrieval source, GHMFC entity precompute, save_bundle):
+        a quantized store dequantizes in one jitted pass (transiently
+        materializing the compute-dtype table); otherwise the resident
+        table is returned unchanged."""
+        q = getattr(self, name)
+        scale = getattr(self, f"{name}_scale")
+        if scale is None:
+            return q
+        return jax.jit(_dequantize, static_argnums=2)(q, scale, self.dtype)
 
     def _gather_fn(self, n_tables: int, C: int):
         """(tables..., rows [B, C]) -> gathered [B, C, ...] per table."""
@@ -184,6 +252,7 @@ class DeviceEntityStore:
         to hang compilation at the real WikiMEL table size."""
         default_tables = self._tables()
         gathers: dict = {}  # keyed by candidate count (scatter layout depends on C)
+        dt = self.dtype
 
         def feats_fn(feats, tables=default_tables):
             (mtf, mtm, sp, ep, mif, mof, mos, rows, miet, mtei) = feats
@@ -191,7 +260,17 @@ class DeviceEntityStore:
             if C not in gathers:
                 gathers[C] = self._gather_fn(len(tables), C)
             got = gathers[C](*tables, rows)
-            if self.pooled:
+            if self.quantized:
+                # dequantize the gathered [B, C] rows (not the whole table)
+                if self.pooled:
+                    tq, tsc, iq, isc, oq, osc, eos = got
+                    etm = jnp.zeros((rows.shape[0],), jnp.int32)
+                else:
+                    tq, tsc, etm, iq, isc, oq, osc, eos = got
+                etf = _dequantize(tq, tsc, dt)
+                eif = _dequantize(iq, isc, dt)
+                eof = _dequantize(oq, osc, dt)
+            elif self.pooled:
                 etf, eif, eof, eos = got
                 etm = jnp.zeros((rows.shape[0],), jnp.int32)  # consumed at pooling
             else:
@@ -206,8 +285,14 @@ class DeviceEntityStore:
         """See :meth:`drin_feats_fn` for the ``.tables`` pass-as-argument
         contract."""
         text, mask, image = self.text, self.text_mask, self.image
-        default_tables = (text, image) if self.pooled else (text, mask, image)
+        if self.quantized:
+            scales = (self.text_scale, self.image_scale)
+            default_tables = ((text, scales[0], image, scales[1]) if self.pooled
+                              else (text, scales[0], mask, image, scales[1]))
+        else:
+            default_tables = (text, image) if self.pooled else (text, mask, image)
         gathers: dict = {}
+        dt = self.dtype
 
         def feats_fn(feats, tables=default_tables):
             (mtf, mtm, sp, ep, mif, rows) = feats
@@ -215,7 +300,15 @@ class DeviceEntityStore:
             if C not in gathers:
                 gathers[C] = self._gather_fn(len(tables), C)
             got = gathers[C](*tables, rows)
-            if self.pooled:
+            if self.quantized:
+                if self.pooled:
+                    tq, tsc, iq, isc = got
+                    etm = jnp.zeros((rows.shape[0],), jnp.int32)
+                else:
+                    tq, tsc, etm, iq, isc = got
+                etf = _dequantize(tq, tsc, dt)
+                eif = _dequantize(iq, isc, dt)
+            elif self.pooled:
                 etf, eif = got
                 etm = jnp.zeros((rows.shape[0],), jnp.int32)
             else:

@@ -251,7 +251,7 @@ class Ranker:
 
     def __init__(self, cfg: Config, params=None, entity_tables: Optional[dict] = None,
                  checkpoint_dir: Optional[str] = None, step: Optional[int] = None,
-                 model=None):
+                 model=None, quantize_store: bool = False):
         self.cfg = cfg
         self.model, self.kind = get_model(cfg)
         if model is not None:  # caller-supplied module (e.g. custom bert_cfg)
@@ -266,7 +266,10 @@ class Ranker:
         self._tables = entity_tables
         self._cast = cast
         if entity_tables is not None and cfg.entity_pooling_cached:
-            self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt)
+            # quantize_store: int8 rank tables, ~2x entities per chip;
+            # scores tolerance-bounded (device_store.DeviceEntityStore)
+            self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt,
+                                           quantize=quantize_store)
             self._feats_fn = (self.store.drin_feats_fn() if self.kind == "drin"
                               else self.store.baseline_feats_fn())
         self._build_score_fns()
@@ -407,7 +410,8 @@ class Ranker:
         assert self.cfg.model_type == "ghmfc", "entity precompute is the GHMFC fast path"
         enc = EntityEncoder(self.cfg)
         ep = {"params": self.params["entity_encoder"]}
-        text, image = self.store.text, self.store.image
+        text = self.store.float_table("text")
+        image = self.store.float_table("image")
         fn = jax.jit(lambda t, i: enc.apply(ep, t[None], None, i[None])[0])
         out = []
         for i in range(0, text.shape[0], chunk):
@@ -493,8 +497,8 @@ class Ranker:
             # PROJECTED pooled text; callers pass raw-BERT mention
             # reprs, so retrieval must stay in raw space — slot 1 keeps
             # the raw CLS vector (device_store.project_drin_tables)
-            return self.store.text[:n, 1]
-        return self.store.text[:n, 0]  # raw pooled text [N, D]
+            return self.store.float_table("text")[:n, 1]
+        return self.store.float_table("text")[:n, 0]  # raw pooled text [N, D]
 
     def _ensure_retrieval_table(self):
         if getattr(self, "_retrieval_table", None) is None:
@@ -660,10 +664,12 @@ class Ranker:
             # slice to the UNPADDED row count: a row-sharded store pads its
             # row axis, and the bundle must not persist phantom entities
             n = self.store.n_rows
+            # a quantized store persists DEQUANTIZED floats: the bundle is
+            # the deployment artifact and must reload into any store mode
             payload["tables"] = {
-                "entity_text_feature": np.asarray(self.store.text[:n], np.float32),
-                "entity_image_feature": np.asarray(self.store.image[:n], np.float32),
-                "entity_object_feature": np.asarray(self.store.obj[:n], np.float32),
+                "entity_text_feature": np.asarray(self.store.float_table("text")[:n], np.float32),
+                "entity_image_feature": np.asarray(self.store.float_table("image")[:n], np.float32),
+                "entity_object_feature": np.asarray(self.store.float_table("obj")[:n], np.float32),
                 "entity_object_score": np.asarray(self.store.obj_score[:n], np.float32),
             }
         ckpt = ocp.StandardCheckpointer()
@@ -673,8 +679,11 @@ class Ranker:
         ckpt.wait_until_finished()
 
     @classmethod
-    def from_bundle(cls, path: str, model=None) -> "Ranker":
-        """Reconstruct a Ranker from a :meth:`save_bundle` directory."""
+    def from_bundle(cls, path: str, model=None,
+                    quantize_store: bool = False) -> "Ranker":
+        """Reconstruct a Ranker from a :meth:`save_bundle` directory.
+        ``quantize_store=True`` loads the bundled float tables into the
+        int8 rank store (bundles always persist floats)."""
         import orbax.checkpoint as ocp
 
         from drin_tpu.common.config import Config
@@ -690,7 +699,7 @@ class Ranker:
             os.path.abspath(os.path.join(path, "state")))
         tables = restored.get("tables")
         return cls(cfg, params=restored["params"], entity_tables=tables,
-                   model=model)
+                   model=model, quantize_store=quantize_store)
 
 
 # ---------------------------------------------------------------------------
@@ -1107,6 +1116,8 @@ def main(argv=None):
     * ``quantize_retrieval=true`` / ``shard_retrieval=true`` /
       ``retrieve_expand=N`` — stage-1 retrieval caches (int8 coarse scan;
       row-sharding over all visible devices)
+    * ``quantize_store=true`` — int8 RANK-stage entity tables (~2x
+      entities per chip; scores tolerance-bounded, see DeviceEntityStore)
 
     Returns the server object (tests use ``port=0`` + ``.shutdown()``); the
     ``__main__`` path blocks until interrupted."""
@@ -1124,11 +1135,12 @@ def main(argv=None):
     quant = overrides.pop("quantize_retrieval", False)
     shard = overrides.pop("shard_retrieval", False)
     expand = int(overrides.pop("retrieve_expand", 4))
+    quantize_store = overrides.pop("quantize_store", False)
     if bundle is not None:
         if overrides:
             raise SystemExit("bundle mode takes no config overrides, got: "
                              + ", ".join(sorted(overrides)))
-        ranker = Ranker.from_bundle(bundle)
+        ranker = Ranker.from_bundle(bundle, quantize_store=bool(quantize_store))
     else:
         from drin_tpu.common.config import make_config
 
@@ -1140,7 +1152,8 @@ def main(argv=None):
             from drin_tpu.data.dataset import load_wikimel_entity_tables
 
             tables = load_wikimel_entity_tables(cfg)
-        ranker = Ranker(cfg, entity_tables=tables)
+        ranker = Ranker(cfg, entity_tables=tables,
+                        quantize_store=bool(quantize_store))
     if project:
         ranker.precompute_entity_projection()
     if precompute:

@@ -106,3 +106,92 @@ def test_step_does_not_embed_tables_as_constants(wm):
     assert len(text) < 2_000_000, (
         f"lowered program is {len(text)/1e6:.1f}MB of text - entity tables "
         "are being embedded as constants instead of passed as arguments")
+
+
+def test_quantized_store_machinery_is_exact(wm):
+    """int8 rank tables (VERDICT r3 next-#6): the quantized store's
+    feats_fn must reproduce EXACTLY the features a host-side dequantize
+    (q * scale) yields — quantization itself is the ONLY approximation;
+    the gather/dequant machinery adds nothing."""
+    from drin_tpu.data.device_store import quantize_entity_rows
+
+    cfg, tables, ds = wm
+    store = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True)
+    feats_fn = store.drin_feats_fn()
+    rows_batch = ds.drin_rows_batch(np.arange(4))
+    feats = jax.jit(feats_fn)(tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1]))
+    rows = np.asarray(rows_batch.entity_rows)
+
+    def host_deq(x):
+        q, s = quantize_entity_rows(np.asarray(x))
+        flat = q.reshape(q.shape[0], -1).astype(np.float32) * s[:, None]
+        return flat.reshape(q.shape)
+
+    np.testing.assert_array_equal(np.asarray(feats[7]),
+                                  host_deq(tables["entity_text_feature"])[rows])
+    np.testing.assert_array_equal(np.asarray(feats[9]),
+                                  host_deq(tables["entity_image_feature"])[rows])
+    np.testing.assert_array_equal(np.asarray(feats[10]),
+                                  host_deq(tables["entity_object_feature"])[rows])
+    # obj_score is kept float (tiny)
+    np.testing.assert_array_equal(
+        np.asarray(feats[11]),
+        np.asarray(tables["entity_object_score"], np.float32)[rows])
+
+
+def test_quantized_store_memory_and_score_tolerance(wm):
+    """The memory claim and the accuracy claim, together: ~0.6x the bf16
+    store's resident bytes (~0.3x f32 -> ~2x entities per chip) and scores
+    within a tolerance comparable to the bf16 rounding the serving path
+    already accepts (measured: int8 max-abs divergence 0.0065 vs bf16's
+    0.0084 on the same batch; scores span ~[0.2, 1.0])."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds = wm
+    cfg = cfg.replace(compute_dtype="float32")
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(0), ds.drin_batch(np.arange(4))[:-1])["params"]
+    s_f32 = DeviceEntityStore(cfg, tables, dtype=jnp.float32)
+    s_bf16 = DeviceEntityStore(cfg, tables, dtype=jnp.bfloat16)
+    s_q = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True)
+    assert s_q.nbytes < 0.65 * s_bf16.nbytes
+    assert s_q.nbytes < 0.33 * s_f32.nbytes
+
+    rf = Ranker(cfg, params=params, entity_tables=tables)
+    rq = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True)
+    assert rq.store.quantized and rq.store.text.dtype == jnp.int8
+    b = ds.drin_rows_batch(np.arange(6))
+    sf, sq = rf.score(b[:-1]), rq.score(b[:-1])
+    np.testing.assert_allclose(sq, sf, atol=0.03)
+    assert (sf.argmax(-1) == sq.argmax(-1)).all()
+    # retrieval over the quantized store dequantizes its source: indices
+    # must match the float store's and never address pad/garbage rows
+    q = np.asarray(tables["entity_text_feature"][[3, 17], 0])
+    fs, fi = rf.retrieve(q, k=5, mode="exact")
+    qs, qi = rq.retrieve(q, k=5, mode="exact")
+    assert qi[0, 0] == 3 and qi[1, 0] == 17
+    np.testing.assert_allclose(qs, fs, atol=0.02)
+
+
+def test_quantized_store_composes_with_row_sharding(wm):
+    """quantize=True + shard_rows=True: the owner-gather + dequant over the
+    (4, 2) mesh must equal the replicated quantized store exactly (the
+    cross-rank sum has exactly one nonzero term per element)."""
+    from drin_tpu.parallel import mesh as pmesh
+
+    cfg, tables, ds = wm
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    s_rep = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True)
+    s_sh = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                             mesh=mesh, shard_rows=True)
+    assert s_sh.text.dtype == jnp.int8
+    rows_batch = ds.drin_rows_batch(np.arange(4))
+    feats = tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1])
+    f_rep = jax.jit(s_rep.drin_feats_fn())(feats)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put = tuple(jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
+                for x in feats)
+    f_sh = jax.jit(s_sh.drin_feats_fn())(put)
+    for a, b in zip(f_rep, f_sh):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -512,6 +512,28 @@ def test_http_concurrent_rank_through_batcher(served):
         br.close()
 
 
+def test_quantized_store_bundle_roundtrip(served, tmp_path):
+    """A quantized-store Ranker's bundle persists DEQUANTIZED float tables
+    (the artifact must reload into any store mode), and
+    from_bundle(quantize_store=True) reproduces the quantized scores
+    exactly (same int8 codes from the same dequantized floats)."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    rq = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True)
+    want = rq.score(batch[:-1])
+    d = str(tmp_path / "qbundle")
+    rq.save_bundle(d)
+    r_float = Ranker.from_bundle(d)
+    assert not r_float.store.quantized  # floats by default
+    r_requant = Ranker.from_bundle(d, quantize_store=True)
+    assert r_requant.store.quantized
+    # float reload scores the DEQUANTIZED tables — equal to the quantized
+    # ranker up to compute-dtype noise; re-quantized reload is exact
+    np.testing.assert_allclose(r_float.score(batch[:-1]), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r_requant.score(batch[:-1]), want, rtol=1e-6)
+
+
 def test_save_load_bundle_roundtrip(served, tmp_path):
     """save_bundle -> from_bundle reproduces scoring exactly: config,
     params and the device entity tables travel in one deployable dir."""
