@@ -22,9 +22,18 @@ import numpy as np
 from drin_tpu.common.config import Config
 
 
-def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: int = 64, seed: int = 0) -> str:
+def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: int = 64,
+                         seed: int = 0, learnable: bool = False) -> str:
     """Write a synthetic feature store for ``cfg.dataset_name`` into
-    ``cfg.preprocess_dir``.  Returns the directory."""
+    ``cfg.preprocess_dir``.  Returns the directory.
+
+    ``learnable=True`` (wikidiverse only): each mention carries a latent
+    concept vector that its text features AND its gold candidate's text
+    features share (distractors get other concepts), so a matching model can
+    drive top-1 far above chance by learning, not memorizing — purely random
+    features only reward memorization, which a 16-dim tiny model cannot do
+    at hundreds of mentions.  Used by the convergence-scale trajectory A/B
+    (tests/test_training_parity.py)."""
     if isinstance(n_mentions, int):
         n_mentions = {"train": n_mentions, "valid": max(2, n_mentions // 3), "test": max(2, n_mentions // 3)}
     rng = np.random.default_rng(seed)
@@ -37,13 +46,23 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
     Dr = cfg.resnet_embed_dim
     Lm = cfg.max_entity_attr_token_len
     Tm, Te = cfg.mention_object_topk, cfg.entity_object_topk
+    if learnable:
+        assert cfg.dataset_name == "wikidiverse", "learnable mode: wikidiverse"
+        n_concepts = 10
+        concepts = rng.standard_normal((n_concepts, D)).astype(np.float32)
 
     def _save(name: str, arr: np.ndarray):
         np.save(os.path.join(d, name + ".npy"), arr)
 
     for split, n in n_mentions.items():
         # mention-side arrays (shared by both datasets)
-        _save(f"mention-text-feature_{split}", rng.standard_normal((n, L, D), dtype=np.float32))
+        if learnable:
+            concept_ids = rng.integers(0, n_concepts, size=n)
+            mtf = (0.5 * rng.standard_normal((n, L, D))
+                   + concepts[concept_ids][:, None, :]).astype(np.float32)
+        else:
+            mtf = rng.standard_normal((n, L, D), dtype=np.float32)
+        _save(f"mention-text-feature_{split}", mtf)
         # include L itself: real stores are full of all-ones masks (every
         # sentence longer than the window truncates to exactly L tokens,
         # bert.py:79), and a fixture that never generates them would let
@@ -66,15 +85,25 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
         # "answer not among candidates" -> all-zero one-hot row
         # (reference drin/data.py:159-161)
         answer = rng.integers(0, cfg.num_candidates_data, size=n)
-        answer[rng.uniform(size=n) < 0.1] = cfg.num_candidates_data
+        if not learnable:  # learnable mode keeps every label trainable
+            answer[rng.uniform(size=n) < 0.1] = cfg.num_candidates_data
         _save(f"answer_{split}", answer.astype(np.int64))
 
         if cfg.dataset_name == "wikidiverse":
             # entity features stored mention-aligned and flattened over the
             # candidate dim (reference drin/data.py:30-38); the text-feature
             # field name carries entity_text_type (baselines/data.py:100-105)
+            if learnable:
+                cand_c = rng.integers(0, n_concepts, size=(n, C))
+                clash = cand_c == concept_ids[:, None]  # distractors differ
+                cand_c[clash] = (cand_c[clash] + 1) % n_concepts
+                cand_c[np.arange(n), answer] = concept_ids  # gold shares it
+                etf = (concepts[cand_c]
+                       + 0.4 * rng.standard_normal((n, C, D))).astype(np.float32)
+            else:
+                etf = rng.standard_normal((n * C, D), dtype=np.float32)
             _save(f"entity-{cfg.entity_text_type}-feature_{split}",
-                  rng.standard_normal((n * C, D), dtype=np.float32))
+                  etf.reshape(n * C, D))
             _save(f"entity-image-feature_{split}", rng.standard_normal((n * C, 1, Dr), dtype=np.float32))
             _save(f"entity-object-feature_{split}", rng.standard_normal((n * C, Te, 1, Dr), dtype=np.float32))
             _save(f"entity-object-score_{split}", rng.uniform(0, 1, size=(n * C, Te)).astype(np.float32))

@@ -354,6 +354,82 @@ def test_full_harness_trajectory_melhi(tmp_path, capsys):
         np.testing.assert_allclose(our_accs, ref["accs"], atol=1e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("model_type", ["drin", "ghmfc"])
+def test_convergence_parity(tmp_path, capsys, model_type):
+    """Convergence-scale trajectory A/B (VERDICT r3 next-#3): 300 learnable
+    synthetic mentions (shared latent concepts between mention and gold
+    entity text — make_synthetic_store(learnable=True)), 12 epochs in ONE
+    fit chunk, approximating the reference's real schedule (30 epochs, test
+    every 10: train.py:141-144, args.py:109) at a scale where an
+    lr-schedule- or loss-scale-class bug invisible to the 4-epoch A/Bs
+    shows up as a diverged endpoint.
+
+    Asserts BOTH sides actually LEARNED — final valid top-1 >= 0.6 against
+    1/6 chance — and that ours lands at the reference's endpoint (final
+    valid and test loss + top-1 within tolerance)."""
+    import torch
+
+    from drin_tpu.data.dataset import create_datasets
+    from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
+    from drin_tpu.train.trainer import Trainer
+
+    store = str(tmp_path / f"conv-store-{model_type}")
+    cfg = tiny_config("wikidiverse", model_type, preprocess_dir=store).replace(
+        shuffle_train_data=False, acc_correction=(0.0, 0.0, 0.0),
+        transformer_dropout=0.0)
+    make_synthetic_store(cfg, n_mentions={"train": 300, "valid": 60, "test": 60},
+                         seed=21, learnable=True)
+
+    ref_train = _load_reference_harness(cfg, store, model_type=model_type)
+    if model_type != "drin":
+        ref_train.data_module.BertTokenizer = type(
+            "TokStub", (), {"from_pretrained": staticmethod(lambda name: None)})
+    torch.manual_seed(0)
+    ref_inner = ref_train.model_module.Model()
+    ref_model = ref_train.MELModel(ref_inner)
+    loaders = ref_train.data_module.create_datasets()
+    epochs = 12
+    ref_valid, ref_test = _drive_reference_harness(ref_train, ref_model, loaders,
+                                                   chunks=1, tei=epochs)
+    capsys.readouterr()
+
+    torch.manual_seed(0)
+    init_sd = {k: v.numpy() for k, v in
+               ref_train.model_module.Model().state_dict().items()}
+    if model_type == "drin":
+        from drin_tpu.models.drin import DRIN
+
+        params = jax.tree.map(jnp.asarray,
+                              drin_params_from_torch(init_sd, cfg.num_gcn_layers))
+        model, kind = DRIN(cfg), "drin"
+    else:
+        from drin_tpu.models.ghmfc import GHMFC
+        from drin_tpu.models.torch_import import ghmfc_params_from_torch
+
+        params = jax.tree.map(jnp.asarray, ghmfc_params_from_torch(init_sd, cfg))
+        model, kind = GHMFC(cfg), "baseline"
+    train_ds, valid_ds, test_ds = create_datasets(cfg)
+    tr = Trainer(cfg, lambda p, f: model.apply({"params": p}, f), params,
+                 log=lambda *a: None)
+    our_valid = tr.fit(train_ds, valid_ds, epochs, kind=kind)
+    our_test = tr.test(test_ds, kind=kind)
+
+    chance = 1.0 / cfg.num_candidates_model
+    ref_top1, our_top1 = ref_valid[-1]["accs"][0], our_valid[-1]["accs"][1]
+    assert ref_top1 >= 0.6 > 3 * chance, f"reference did not learn: {ref_top1}"
+    assert our_top1 >= 0.6, f"ours did not learn: {our_top1}"
+    # endpoint parity: 900 optimization steps of accumulated float drift —
+    # looser than the 4-epoch A/Bs' 5e-3, still far tighter than the gap any
+    # loss-scale/lr-class bug would produce
+    np.testing.assert_allclose(our_valid[-1]["loss"], ref_valid[-1]["loss"],
+                               rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(our_test["loss"], ref_test[-1]["loss"],
+                               rtol=5e-2, atol=5e-3)
+    assert abs(our_top1 - ref_top1) <= 0.05
+    assert abs(our_test["accs"][1] - ref_test[-1]["accs"][0]) <= 0.05
+
+
 class _TorchTokShim:
     """HF-API facade over our BertTokenizer for the reference's online data
     path (baselines/data.py:144-152): single-text calls with
