@@ -46,3 +46,32 @@ def make_full_scale_store(cfg, n: int = N_ENTITIES, dtype=None, seed: int = 1):
     store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                        for t in store._tables())
     return store
+
+
+def make_full_scale_store_quantized(cfg, n: int = N_ENTITIES, seed: int = 1):
+    """int8 variant of :func:`make_full_scale_store`: the same-seed random
+    tables quantized IN HBM (jitted per-entity max-abs, the
+    device_store.quantize_entity_rows scheme) — no host transfer; the f32
+    intermediates are freed as each table is replaced."""
+    import jax
+    import jax.numpy as jnp
+
+    store = make_full_scale_store(cfg, n, dtype=jnp.float32, seed=seed)
+
+    @jax.jit
+    def q(x):
+        flat = x.reshape(x.shape[0], -1)
+        s = jnp.max(jnp.abs(flat), axis=1)
+        s = jnp.where(s == 0, 1.0, s)
+        codes = jnp.clip(jnp.round(flat / s[:, None] * 127.0), -127, 127)
+        return codes.astype(jnp.int8).reshape(x.shape), (s / 127.0).astype(jnp.float32)
+
+    store.quantized = True
+    store.dtype = jnp.bfloat16  # dequantized gather rows in serving dtype
+    store.text, store.text_scale = q(store.text)
+    store.image, store.image_scale = q(store.image)
+    store.obj, store.obj_scale = q(store.obj)
+    store.obj_score = store.obj_score.astype(jnp.bfloat16)
+    store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                       for t in store._tables())
+    return store

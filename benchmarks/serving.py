@@ -158,6 +158,44 @@ def main():
             "ms_per_batch": round(dt * 1e3, 3),
             "pairs_per_sec": round(B * C / dt, 1)}), flush=True)
 
+    # int8 rank-stage store (device_store quantize): half the per-step
+    # gather bytes of the bf16 store, ~2x entities per chip; the chain is
+    # identical so the row is a direct A/B against drin_rank above
+    from benchmarks._tables import make_full_scale_store_quantized
+
+    storeq = make_full_scale_store_quantized(cfg, N_ENTITIES)
+    rankerq = Ranker(cfg, params=params)
+    rankerq.set_store(storeq)
+    feats_fnq = rankerq._feats_fn
+    tablesq = feats_fnq.tables
+    nbytesq = sum(int(np.prod(t.shape)) * t.dtype.itemsize for t in tablesq)
+    log(f"int8 device tables: {nbytesq / 1e6:.0f} MB resident "
+        f"(vs {nbytes / 1e6:.0f} MB bf16)")
+    for B in (1, 64):
+        log(f"drin_rank_int8 B={B}...")
+        feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
+        rows = rng.integers(0, N, (B, C)).astype(np.int32)
+        batch = feats[:7] + (rows,) + feats[12:14]
+        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
+        cast16 = lambda x: (jnp.asarray(x, dt16)
+                            if np.issubdtype(np.asarray(x).dtype, np.floating)
+                            else jnp.asarray(x))
+        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
+
+        def rank_chain_q(eps, params, dev, tables, K=K):
+            for _ in range(K):
+                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
+                out = apply_fn(params, feats_fnq(b, tables))
+                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        dt = timed_chain(jax.jit(rank_chain_q), (dev_params, dev, tablesq), K, iters=10)
+        print(json.dumps({
+            "measurement": "drin_rank_int8", "batch": B, "candidates": C,
+            "resident_mb": round(nbytesq / 1e6),
+            "ms_per_batch": round(dt * 1e3, 3),
+            "pairs_per_sec": round(B * C / dt, 1)}), flush=True)
+
     # sustained concurrent serving: many client threads firing single-mention
     # requests — direct interleaved jit calls vs the micro-batching queue
     # (serve.BatchingRanker).  End-to-end wall clock including host work and

@@ -152,8 +152,13 @@ class WDPrepare:
             for line in list(f)[1:]:
                 line = line.strip()
                 if line:
-                    name, _, urls = line.partition("@@@@")
-                    index[name] = urls.split("[AND]")
+                    fields = line.split("@@@@")
+                    # segment [1] ONLY: a line with extra separators drops
+                    # its tail, and a separator-less line fails loudly —
+                    # both exactly as the reference's [0]/[1] indexing does
+                    # (prepare.py:64-65; partition() would silently keep
+                    # the tail and break the byte-identical contract)
+                    index[fields[0]] = fields[1].split("[AND]")
         return index
 
     def run(self, split: str) -> dict:

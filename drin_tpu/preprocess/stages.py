@@ -91,6 +91,26 @@ class RowShardedJit:
         return call
 
 
+def build_stage_jit(fn, params, mesh):
+    """The ONE wiring point every stage uses for its encoder program:
+    returns ``(callable, params, dp)`` — plain ``jax.jit`` when ``mesh`` is
+    None, else a :class:`RowShardedJit`-wrapped dispatch with the params
+    replicated over the mesh.  (Was copy-pasted per stage; a padding or
+    replication fix must land once, not three times.)"""
+    import jax
+
+    if mesh is None:
+        return jax.jit(fn), params, None
+    dp = RowShardedJit(mesh)
+    return dp.wrap(fn), dp.replicate(params), dp
+
+
+def rows_per_dispatch(cfg: Config, dp) -> int:
+    """Host batch rows per device dispatch: the per-device batch size times
+    the mesh width when data-parallel."""
+    return cfg.preprocess_batch_size * (dp.n if dp else 1)
+
+
 # ---------------------------------------------------------------------------
 # BERT stage (reference preprocess/bert.py)
 
@@ -115,12 +135,7 @@ class BertStage:
         self.tokenizer = BertTokenizer(vocab_file=cfg.bert_vocab, do_lower_case=False,
                                        model_max_length=cfg.max_bert_len)
         fn = lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
-        self.dp = RowShardedJit(mesh) if mesh is not None else None
-        if self.dp is not None:
-            self.params = self.dp.replicate(self.params)
-            self._jit = self.dp.wrap(fn)
-        else:
-            self._jit = jax.jit(fn)
+        self._jit, self.params, self.dp = build_stage_jit(fn, self.params, mesh)
 
     def encode_texts(self, texts: Sequence[str], output: str, max_len: int):
         """Batched inference over raw texts.
@@ -129,7 +144,7 @@ class BertStage:
         mask [N, max_len]) — the reference truncates stored features to
         max_len (bert.py:78-79).  output == 'pooler_output': [N, D]."""
         cfg = self.cfg
-        B_ = cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
+        B_ = rows_per_dispatch(cfg, self.dp)
         feats, masks = [], []
         for i in range(0, len(texts), B_):
             chunk = [str(t) for t in texts[i : i + B_]]
@@ -233,12 +248,7 @@ class ResnetStage:
         fn = lambda p, x: self.model.apply({"params": p}, x)
         # the detector stays single-device: it is an arbitrary user callable
         # (WholeImageDetector / converted FRCNN), not necessarily jittable
-        self.dp = RowShardedJit(mesh) if mesh is not None else None
-        if self.dp is not None:
-            self.params = self.dp.replicate(self.params)
-            self._jit = self.dp.wrap(fn)
-        else:
-            self._jit = jax.jit(fn)
+        self._jit, self.params, self.dp = build_stage_jit(fn, self.params, mesh)
         self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
         # object detector: callable [B,H,W,3]->(boxes [B,K,4], scores [B,K]);
         # defaults to whatever cfg.drin_object_detector/_checkpoint select
@@ -251,7 +261,7 @@ class ResnetStage:
 
     def _run_images(self, paths, crops, output: str, writer: NpyWriter):
         cfg = self.cfg
-        B_ = cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
+        B_ = rows_per_dispatch(cfg, self.dp)
         for i in range(0, len(paths), B_):
             chunk = paths[i : i + B_]
             c = crops[i : i + B_] if crops is not None else None
@@ -377,14 +387,9 @@ class ClipStage:
             v = self.model.apply({"params": p}, pix, method=self.model.get_image_features)
             return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
-        self.dp = RowShardedJit(mesh) if mesh is not None else None
-        if self.dp is not None:
-            self.params = self.dp.replicate(self.params)
-            self._text_jit = self.dp.wrap(text_feats)
-            self._image_jit = self.dp.wrap(image_feats)
-        else:
-            self._text_jit = jax.jit(text_feats)
-            self._image_jit = jax.jit(image_feats)
+        self._text_jit, self.params, self.dp = build_stage_jit(
+            text_feats, self.params, mesh)
+        self._image_jit = self.dp.wrap(image_feats) if self.dp else jax.jit(image_feats)
 
     def _embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Documented divergence from a reference bug (convention: reference
@@ -395,7 +400,7 @@ class ClipStage:
         max-id position.  Ours truncates eos-preservingly
         ([bos] + tokens[:75] + [eos]), pooling at a real eot; embeddings for
         such over-length texts intentionally differ from the reference's."""
-        B_ = self.cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
+        B_ = rows_per_dispatch(self.cfg, self.dp)
         out = []
         cap = self.clip_cfg.text.max_position_embeddings
         for i in range(0, len(texts), B_):
@@ -405,7 +410,7 @@ class ClipStage:
         return np.concatenate(out, 0)
 
     def _embed_images(self, paths: Sequence[str]) -> np.ndarray:
-        B_ = self.cfg.preprocess_batch_size * (self.dp.n if self.dp else 1)
+        B_ = rows_per_dispatch(self.cfg, self.dp)
         out = []
         for i in range(0, len(paths), B_):
             x = self.batcher.load_batch(paths[i : i + B_], self._preprocess)

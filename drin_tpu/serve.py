@@ -272,6 +272,13 @@ class Ranker:
                                            quantize=quantize_store)
             self._feats_fn = (self.store.drin_feats_fn() if self.kind == "drin"
                               else self.store.baseline_feats_fn())
+        elif quantize_store:
+            # fail loudly: an explicit int8 request that builds no store
+            # would silently leave full-precision memory expectations wrong
+            raise ValueError(
+                "quantize_store=True needs device entity tables "
+                "(entity_tables with entity_pooling_cached); this "
+                "configuration builds no rank-stage store to quantize")
         self._build_score_fns()
 
     def _build_score_fns(self):
@@ -367,7 +374,12 @@ class Ranker:
         dt = jnp.dtype(self.cfg.compute_dtype)
         self.cfg = self.cfg.replace(entity_projected=True)
         self.model, _ = get_model(self.cfg)
-        self.store = DeviceEntityStore(self.cfg, proj, dtype=dt)
+        # the rebuilt store keeps the old one's quantization: an operator who
+        # sized the deployment for int8 tables must not silently get a
+        # full-precision (2x resident bytes) store out of the projection
+        self.store = DeviceEntityStore(self.cfg, proj, dtype=dt,
+                                       quantize=self.store is not None
+                                       and self.store.quantized)
         self._feats_fn = self.store.drin_feats_fn()
         self._retrieval_table = None  # rebuild retrieval cache in model space
         self._retrieval_q = None

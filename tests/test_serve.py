@@ -534,6 +534,24 @@ def test_quantized_store_bundle_roundtrip(served, tmp_path):
     np.testing.assert_allclose(r_requant.score(batch[:-1]), want, rtol=1e-6)
 
 
+def test_quantize_store_guards(served):
+    """quantize_store must never be silently ignored (review findings): a
+    Ranker built without tables refuses the flag loudly, and the
+    entity-projection fast path rebuilds the store WITH the old store's
+    quantization (an operator who sized HBM for int8 must not silently get
+    full-precision tables back)."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    with pytest.raises(ValueError, match="quantize_store"):
+        Ranker(cfg, params=params, quantize_store=True)
+    rq = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True)
+    rq.precompute_entity_projection()
+    assert rq.store.quantized and rq.store.text.dtype == jnp.int8
+    s, i = rq.rank(ds.drin_rows_batch(np.arange(2))[:-1], k=3)
+    assert np.isfinite(np.asarray(s)).all() and i.shape == (2, 3)
+
+
 def test_save_load_bundle_roundtrip(served, tmp_path):
     """save_bundle -> from_bundle reproduces scoring exactly: config,
     params and the device entity tables travel in one deployable dir."""
