@@ -49,10 +49,14 @@ N_ITERS = 15
 UNROLL = 20  # forwards per dispatch (amortizes transport overhead)
 BASELINE_CACHE = os.path.join(REPO, "baseline_measured.json")
 
-MAX_ATTEMPTS = 5
+MAX_ATTEMPTS = 7
 ATTEMPT_TIMEOUT_S = 540  # compile ~20-40s + timed section; generous for relay
 PROBE_TIMEOUT_S = 150  # backend init + one trivial device op
-BACKOFF_S = (10, 30, 90, 180)  # between attempts; ~5 min total sleep
+# between attempts; ~22 min total sleep.  Relay outages of >90 min have
+# been observed live — a probe-gated failed attempt costs ~150s, so the
+# worst case (relay down throughout) is ~40 min before the null artifact;
+# a mid-window recovery is caught within one backoff step.
+BACKOFF_S = (10, 30, 90, 180, 420, 600)
 
 # v5e spec ceilings (BASELINE.md roofline section); the probes report what
 # THIS session actually sustains against them

@@ -119,6 +119,32 @@ def test_main_timeout_is_an_attempt_failure(monkeypatch, capsys):
     assert obj["value"] is None and "timed out" in obj["error"]
 
 
+def test_run_attempt_emits_calibration_and_ratio(monkeypatch, capsys):
+    """The child's JSON line carries the session-calibration probes
+    (VERDICT r3 #7) and computes vs_baseline; a calibration failure must
+    not sink the headline value."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "measure_calibration",
+                        lambda: {"stream_gb_s": 300.0})
+    monkeypatch.setattr(bench, "measure_ours", lambda: 123.0)
+    monkeypatch.setattr(bench, "measure_reference", lambda: 10.0)
+    bench.run_attempt()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 123.0 and obj["vs_baseline"] == 12.3
+    assert obj["calibration"] == {"stream_gb_s": 300.0}
+
+    def boom():
+        raise RuntimeError("probe died")
+
+    monkeypatch.setattr(bench, "measure_calibration", boom)
+    bench.run_attempt()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 123.0 and "error" in obj["calibration"]
+
+
 def test_main_relay_outage_skips_full_attempts(monkeypatch, capsys):
     """A downed relay hangs even jax.devices(); the probe gate must convert
     that into a cheap attempt failure WITHOUT launching the 540s measurement
