@@ -3,7 +3,7 @@
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "calibration": {...}}
+   "calibration": {...}, "secondary": {...}}
 
 The workload is the reference's headline eval configuration (SURVEY §6):
 WikiMEL shapes — batch 64, C=101 candidates, 128-token mention features,
@@ -16,12 +16,29 @@ BASELINE.md).  The reference measurement is cached in
 ``baseline_measured.json`` so repeated bench runs skip it.
 
 Resilience (VERDICT r3 #1): the TPU sits behind a relay whose backend init
-occasionally fails transiently (round 3's artifact was a stack trace because
-of exactly one such failure).  The measurement therefore runs in a CHILD
+occasionally fails transiently.  The measurement therefore runs in a CHILD
 process — a fresh process is the only reliable way to retry backend init —
-with bounded retries and exponential backoff in the parent.  On final
-failure the parent still prints the ONE JSON line with ``"value": null`` and
-an ``"error"`` field so the artifact stays parseable.
+with bounded retries and backoff in the parent.  On final failure the parent
+still prints the ONE JSON line with ``"value": null`` and an ``"error"``
+field so the artifact stays parseable.
+
+Hard deadline + signal safety (VERDICT r4 #1): external watchdogs bound
+every retry schedule — the round-4 artifact was rc=124 because a widened
+backoff schedule outlived the driver's timeout and the fail-safe line never
+printed.  The parent now (a) holds a TOTAL wall-clock budget
+(``BENCH_TOTAL_BUDGET_S``, default 900s) checked before every sleep, probe
+and attempt — when the remaining budget cannot fit another probe + minimal
+attempt it stops and emits the null artifact immediately; and (b) installs
+SIGTERM/SIGINT handlers that print the null artifact (with the last error)
+before exiting, so even a driver-side kill leaves a parseable line.
+
+Secondary scoreboard (VERDICT r4 #4): the same JSON line carries a
+``"secondary"`` dict — train-step ms (B=64, C=101), exact/int8 retrieval ms
+(B=16, 109k entities), and bf16/int8-store B=64 rank ms — each measured via
+the chained methodology and independently skippable (per-program failure or
+an exhausted attempt budget nulls that entry, never the headline; the child
+prints the headline line BEFORE starting secondary work so a mid-secondary
+kill still leaves a parseable result in its stdout).
 
 Session calibration (VERDICT r3 #7): the shared chip's throughput varies
 ±50% between sessions for model programs while simple stream/matmul probes
@@ -34,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -49,19 +67,28 @@ N_ITERS = 15
 UNROLL = 20  # forwards per dispatch (amortizes transport overhead)
 BASELINE_CACHE = os.path.join(REPO, "baseline_measured.json")
 
+METRIC = "drin_eval_throughput"
+UNIT = "mention-candidate pairs/sec/chip"
+
 MAX_ATTEMPTS = 7
 ATTEMPT_TIMEOUT_S = 540  # compile ~20-40s + timed section; generous for relay
+ATTEMPT_MIN_S = 240  # below this a fresh attempt cannot finish the headline
 PROBE_TIMEOUT_S = 150  # backend init + one trivial device op
-# between attempts; ~22 min total sleep.  Relay outages of >90 min have
-# been observed live — a probe-gated failed attempt costs ~150s, so the
-# worst case (relay down throughout) is ~40 min before the null artifact;
-# a mid-window recovery is caught within one backoff step.
-BACKOFF_S = (10, 30, 90, 180, 420, 600)
+BACKOFF_S = (10, 30, 60, 120, 240, 240)
+# Total wall-clock budget for the WHOLE parent schedule.  The driver runs
+# bench.py under its own timeout; the round-4 lesson is that the retry
+# schedule must fit UNDER that external watchdog with the artifact printed
+# before the budget runs out, not after the last retry.  15 min default sits
+# comfortably inside any plausible driver window while still riding out a
+# mid-length relay outage (observed outages: 9+ min).
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "900"))
 
 # v5e spec ceilings (BASELINE.md roofline section); the probes report what
 # THIS session actually sustains against them
 PEAK_FLOPS = 197e12
 PEAK_BW = 819e9
+
+_exit = os._exit  # test seam: the signal handler must be interceptable
 
 
 def log(*a):
@@ -213,9 +240,170 @@ def measure_reference() -> float:
     return pps
 
 
+def measure_secondary(t_end: float) -> dict:
+    """Secondary per-program scoreboard (VERDICT r4 #4): the non-headline
+    numbers BASELINE.md previously maintained by hand from ad-hoc sessions,
+    re-measured every round in the SAME session as the headline so a
+    regression in any of them is visible in BENCH_r{N}.json.
+
+    Programs (all chained-methodology device time, BASELINE.md rows):
+      * ``train_step_ms`` — full DRIN train step, B=64 C=101, bf16
+        (forward + triplet loss + backward + Adam + metric counters);
+      * ``retrieval_exact_ms`` / ``retrieval_int8_ms`` — stage-1 retrieval
+        over the full 109,557-entity table at B=16 (exact scan + top_k vs
+        int8 coarse scan + shortlist + exact rescore, serve.retrieve modes);
+      * ``rank_b64_ms`` / ``rank_int8_b64_ms`` — full DRIN rank with in-HBM
+        candidate gather over the bf16 vs int8-quantized DeviceEntityStore
+        (the int8 rank-stage A/B BASELINE.md's round-4 section left pending).
+
+    Each program is gated on the remaining attempt budget (skipped entries
+    are null and listed in ``"skipped"``) and individually wrapped — one
+    failure nulls that entry only.  Values are ms per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from benchmarks._tables import N_ENTITIES
+    from benchmarks._timing import timed_chain
+    from drin_tpu.common.config import make_config
+    from drin_tpu.models.drin import DRIN
+
+    sec: dict = {}
+    cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused",
+                      compute_dtype="bfloat16")
+    C, D = cfg.num_candidates_model, cfg.bert_embed_dim
+    rng = np.random.default_rng(0)
+    dt16 = jnp.bfloat16
+    cast16 = lambda x: (jnp.asarray(x, dt16)
+                        if np.issubdtype(np.asarray(x).dtype, np.floating)
+                        else jnp.asarray(x))
+
+    def run(name, est_s, fn):
+        if t_end - time.monotonic() < est_s:
+            log(f"secondary {name}: skipped (attempt budget; need ~{est_s}s)")
+            sec[name] = None
+            sec.setdefault("skipped", []).append(name)
+            return
+        try:
+            sec[name] = round(fn() * 1e3, 3)
+            log(f"secondary {name}: {sec[name]} ms")
+        except Exception as e:  # one program must never sink the others
+            log(f"secondary {name} failed: {e!r}")
+            sec[name] = None
+            sec.setdefault("errors", {})[name] = repr(e)[:160]
+
+    def train_step():
+        from drin_tpu.train import metrics as M
+        from drin_tpu.train.trainer import build_step_fns, create_train_state
+
+        model = DRIN(cfg)
+        feats, answer = g._random_drin_batch(cfg, B=B, rng=np.random.default_rng(0))
+        params = model.init(jax.random.key(0), tuple(x[:2] for x in feats))["params"]
+        state, tx = create_train_state(params, cfg)
+        fns = build_step_fns(lambda p, f: model.apply({"params": p}, f), cfg, tx)
+        dev = tuple(jax.device_put(cast16(np.asarray(x))) for x in feats) + (
+            jax.device_put(np.asarray(answer)),)
+        valid = jax.device_put(np.ones((B,), np.float32))
+        mstate = M.init_state(cfg.metrics_topk)
+        state, loss, mstate = fns.train_step(state, dev, valid, mstate)  # compile
+        float(loss)
+        steps = 12
+        t0 = time.perf_counter()
+        for _ in range(steps):  # chained through the donated state
+            state, loss, mstate = fns.train_step(state, dev, valid, mstate)
+        float(loss)
+        return (time.perf_counter() - t0) / steps
+
+    run("train_step_ms", 120, train_step)
+
+    # shared fixtures for the serving-side programs, built lazily so a
+    # budget-skipped retrieval doesn't pay for tables it never scans
+    shared: dict = {}
+
+    def norm_table():
+        if "norm" not in shared:
+            t = jax.random.normal(jax.random.key(1), (N_ENTITIES, D), dt16)
+            shared["norm"] = jax.jit(
+                lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(t)
+        return shared["norm"]
+
+    def retrieval_exact():
+        table = norm_table()
+        q0 = jax.device_put(jnp.asarray(rng.standard_normal((16, D)), dt16))
+
+        def chain(eps, q, table, K=4):
+            for _ in range(K):
+                qq = q + eps.astype(q.dtype) * 1e-12
+                qq = qq / jnp.linalg.norm(qq, axis=-1, keepdims=True)
+                scores, _ = jax.lax.top_k(qq @ table.T, 100)
+                eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        return timed_chain(jax.jit(chain), (q0, table), 4, iters=10)
+
+    run("retrieval_exact_ms", 90, retrieval_exact)
+
+    def retrieval_int8():
+        from drin_tpu.serve import quantize_rows, retrieve_quantized
+
+        table = norm_table()
+        qt, qscales = jax.jit(quantize_rows)(table)
+        q0 = jax.device_put(jnp.asarray(rng.standard_normal((16, D)), jnp.float32))
+
+        def chain(eps, q, table, qt, scales, K=4):
+            for _ in range(K):
+                scores, _ = retrieve_quantized(
+                    q + eps.astype(q.dtype) * 1e-12, qt, scales, table, 100, 400)
+                eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        return timed_chain(jax.jit(chain), (q0, table, qt, qscales), 4, iters=10)
+
+    run("retrieval_int8_ms", 90, retrieval_int8)
+
+    def rank(quantized: bool):
+        from benchmarks._tables import (make_full_scale_store,
+                                        make_full_scale_store_quantized)
+
+        model = DRIN(cfg)
+        feats, _ = g._random_drin_batch(cfg, B=B, rng=np.random.default_rng(0))
+        params = model.init(jax.random.key(0), tuple(x[:2] for x in feats))["params"]
+        dev_params = jax.device_put(jax.tree.map(cast16, params))
+        store = (make_full_scale_store_quantized(cfg, N_ENTITIES) if quantized
+                 else make_full_scale_store(cfg, N_ENTITIES))
+        feats_fn = store.drin_feats_fn()
+        tables = feats_fn.tables
+        rows = np.random.default_rng(0).integers(
+            0, N_ENTITIES, (B, C)).astype(np.int32)
+        batch = feats[:7] + (rows,) + feats[12:14]
+        dev = tuple(jax.device_put(cast16(np.asarray(x))) for x in batch)
+
+        def chain(eps, params, dev, tables, K=4):
+            for _ in range(K):
+                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
+                out = model.apply({"params": params}, feats_fn(b, tables))
+                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        dt = timed_chain(jax.jit(chain), (dev_params, dev, tables), 4, iters=8)
+        del store, tables
+        return dt
+
+    run("rank_b64_ms", 100, lambda: rank(False))
+    run("rank_int8_b64_ms", 100, lambda: rank(True))
+    return sec
+
+
 def run_attempt() -> None:
     """One full measurement (child-process mode): calibration probes, our
-    throughput, the cached reference baseline.  Prints the final JSON line."""
+    throughput, the cached reference baseline, then the secondary programs.
+    Prints the headline JSON line BEFORE the secondary pass (so a timeout or
+    kill mid-secondary still leaves a parseable result in this process's
+    stdout for the parent to salvage), then reprints it with ``secondary``
+    attached."""
+    t_end = (time.monotonic()
+             + float(os.environ.get("BENCH_ATTEMPT_BUDGET_S", str(ATTEMPT_TIMEOUT_S)))
+             - 20)  # leave margin so we print before the parent's timeout
     try:
         calibration = measure_calibration()
     except Exception as e:  # probes must never sink the headline number
@@ -228,13 +416,19 @@ def run_attempt() -> None:
         log(f"reference measurement failed: {e!r}")
         baseline = None
     result = {
-        "metric": "drin_eval_throughput",
+        "metric": METRIC,
         "value": round(ours, 1),
-        "unit": "mention-candidate pairs/sec/chip",
+        "unit": UNIT,
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
         "calibration": calibration,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)  # headline is now safe on stdout
+    try:
+        result["secondary"] = measure_secondary(t_end)
+    except Exception as e:  # secondary must never sink the headline
+        log(f"secondary measurements failed: {e!r}")
+        result["secondary"] = {"error": repr(e)[:200]}
+    print(json.dumps(result), flush=True)
 
 
 def run_probe() -> None:
@@ -248,13 +442,13 @@ def run_probe() -> None:
     print("probe:", float(jax.jit(lambda: jax.numpy.zeros(()) + 1.0)()), flush=True)
 
 
-def _probe_device() -> "tuple[bool, str]":
+def _probe_device(timeout_s: float = PROBE_TIMEOUT_S) -> "tuple[bool, str]":
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--probe"],
-            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S, cwd=REPO)
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
     except subprocess.TimeoutExpired:
-        return False, f"device probe hung >{PROBE_TIMEOUT_S}s (relay outage)"
+        return False, f"device probe hung >{timeout_s:.0f}s (relay outage)"
     if proc.returncode != 0:
         tail = (proc.stderr or proc.stdout or "").strip().splitlines()
         return False, "device probe failed: " + (tail[-1] if tail else f"rc={proc.returncode}")
@@ -271,7 +465,7 @@ def _parse_result_line(stdout: str):
             obj = json.loads(line)
         except ValueError:
             continue
-        if isinstance(obj, dict) and obj.get("metric") == "drin_eval_throughput":
+        if isinstance(obj, dict) and obj.get("metric") == METRIC:
             return obj
     return None
 
@@ -279,45 +473,91 @@ def _parse_result_line(stdout: str):
 def main() -> int:
     """Parent mode: run the measurement in a fresh child process per attempt
     (fresh backend init — in-process retry cannot recover a failed relay
-    client), bounded retries with backoff, parseable JSON no matter what."""
-    last_error = "no attempts ran"
-    for attempt in range(MAX_ATTEMPTS):
-        if attempt:
-            pause = BACKOFF_S[min(attempt - 1, len(BACKOFF_S) - 1)]
-            log(f"bench: attempt {attempt} failed ({last_error.splitlines()[-1][:160]}); "
-                f"retrying in {pause}s")
-            time.sleep(pause)
-        ok, why = _probe_device()
-        if not ok:
-            log(f"bench: {why}")
-            last_error = why
-            continue
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--attempt"],
-                capture_output=True, text=True, timeout=ATTEMPT_TIMEOUT_S,
-                cwd=REPO)
-        except subprocess.TimeoutExpired:
-            last_error = f"attempt timed out after {ATTEMPT_TIMEOUT_S}s"
-            continue
-        if proc.stderr:
-            sys.stderr.write(proc.stderr)
-            sys.stderr.flush()
-        result = _parse_result_line(proc.stdout)
-        if proc.returncode == 0 and result is not None:
-            print(json.dumps(result))
-            return 0
-        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
-        last_error = "\n".join(tail[-12:]) if tail else f"rc={proc.returncode}, no output"
-    # all attempts failed: still ONE parseable JSON line (VERDICT r3 #1)
-    print(json.dumps({
-        "metric": "drin_eval_throughput",
-        "value": None,
-        "unit": "mention-candidate pairs/sec/chip",
-        "vs_baseline": None,
-        "error": last_error[-800:],
-    }))
-    return 0
+    client), bounded retries with backoff, a hard total wall-clock budget,
+    and parseable JSON no matter what — including a driver-side SIGTERM."""
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+    remaining = lambda: deadline - time.monotonic()
+    state = {"error": "no attempts ran", "done": False}
+
+    def null_artifact(extra: str = "") -> None:
+        print(json.dumps({
+            "metric": METRIC,
+            "value": None,
+            "unit": UNIT,
+            "vs_baseline": None,
+            "error": (state["error"] + extra)[-800:],
+        }), flush=True)
+
+    def on_signal(signum, frame):
+        # An external watchdog fired mid-schedule: the artifact must land
+        # BEFORE we die (round 4's rc=124 left no parseable line).
+        if not state["done"]:
+            null_artifact(f" [killed by signal {signum} mid-schedule]")
+        _exit(0)
+
+    prev_handlers = {sig: signal.signal(sig, on_signal)
+                     for sig in (signal.SIGTERM, signal.SIGINT)}
+    try:
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            if attempt > 1:
+                pause = BACKOFF_S[min(attempt - 2, len(BACKOFF_S) - 1)]
+                log(f"bench: attempt {attempt - 1} failed "
+                    f"({state['error'].splitlines()[-1][:160]}); retrying in {pause}s")
+                if remaining() < pause + 30 + ATTEMPT_MIN_S:
+                    log("bench: total budget cannot fit another sleep + probe "
+                        "+ attempt; emitting the artifact now")
+                    break
+                time.sleep(pause)
+            probe_budget = min(PROBE_TIMEOUT_S, remaining() - ATTEMPT_MIN_S)
+            if probe_budget < 20:
+                log("bench: total budget exhausted before another probe")
+                break
+            ok, why = _probe_device(probe_budget)
+            if not ok:
+                log(f"bench: {why}")
+                state["error"] = why
+                continue
+            attempt_budget = min(ATTEMPT_TIMEOUT_S, remaining() - 15)
+            if attempt_budget < ATTEMPT_MIN_S:
+                log("bench: total budget too small for a full attempt")
+                break
+            env = dict(os.environ, BENCH_ATTEMPT_BUDGET_S=str(int(attempt_budget)))
+            rc: "int | None"
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--attempt"],
+                    capture_output=True, text=True, timeout=attempt_budget,
+                    cwd=REPO, env=env)
+                out, err, rc = proc.stdout or "", proc.stderr or "", proc.returncode
+            except subprocess.TimeoutExpired as e:
+                # the child prints the headline line before secondary work —
+                # salvage it from the partial stdout if it got that far
+                dec = lambda s: s.decode(errors="replace") if isinstance(s, bytes) else (s or "")
+                out, err, rc = dec(e.stdout), dec(e.stderr), None
+            if err:
+                sys.stderr.write(err)
+                sys.stderr.flush()
+            result = _parse_result_line(out)
+            if result is not None and result.get("value") is not None:
+                if rc != 0:
+                    log("bench: child died after the headline line "
+                        f"(rc={rc}); secondary measurements truncated")
+                state["done"] = True
+                print(json.dumps(result), flush=True)
+                return 0
+            if rc is None:
+                state["error"] = f"attempt timed out after {attempt_budget:.0f}s"
+            else:
+                tail = (err or out).strip().splitlines()
+                state["error"] = ("\n".join(tail[-12:]) if tail
+                                  else f"rc={rc}, no output")
+        # attempts/budget exhausted: still ONE parseable JSON line
+        state["done"] = True
+        null_artifact()
+        return 0
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
 
 if __name__ == "__main__":

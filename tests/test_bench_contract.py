@@ -131,10 +131,13 @@ def test_run_attempt_emits_calibration_and_ratio(monkeypatch, capsys):
                         lambda: {"stream_gb_s": 300.0})
     monkeypatch.setattr(bench, "measure_ours", lambda: 123.0)
     monkeypatch.setattr(bench, "measure_reference", lambda: 10.0)
+    monkeypatch.setattr(bench, "measure_secondary",
+                        lambda t_end: {"train_step_ms": 2.5})
     bench.run_attempt()
     obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert obj["value"] == 123.0 and obj["vs_baseline"] == 12.3
     assert obj["calibration"] == {"stream_gb_s": 300.0}
+    assert obj["secondary"] == {"train_step_ms": 2.5}
 
     def boom():
         raise RuntimeError("probe died")
@@ -143,6 +146,176 @@ def test_run_attempt_emits_calibration_and_ratio(monkeypatch, capsys):
     bench.run_attempt()
     obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert obj["value"] == 123.0 and "error" in obj["calibration"]
+
+
+def test_run_attempt_headline_precedes_secondary(monkeypatch, capsys):
+    """The headline JSON line must already be on stdout BEFORE the secondary
+    pass starts (the parent salvages it on a mid-secondary timeout), and a
+    secondary failure must not sink the headline (VERDICT r4 #4)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "measure_calibration", lambda: {})
+    monkeypatch.setattr(bench, "measure_ours", lambda: 50.0)
+    monkeypatch.setattr(bench, "measure_reference", lambda: 5.0)
+    seen_lines = []
+
+    def failing_secondary(t_end):
+        seen_lines.extend(capsys.readouterr().out.strip().splitlines())
+        raise RuntimeError("relay died mid-secondary")
+
+    monkeypatch.setattr(bench, "measure_secondary", failing_secondary)
+    bench.run_attempt()
+    # the headline line was out before secondary ran
+    assert any(json.loads(l)["value"] == 50.0 for l in seen_lines
+               if l.startswith("{"))
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert final["value"] == 50.0
+    assert "error" in final["secondary"]
+
+
+def _fake_clock(monkeypatch, bench):
+    """Replace bench's time source with a controllable clock whose sleep()
+    advances it; subprocess fakes advance it by their timeout kwarg."""
+    clk = {"t": 1000.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clk["t"])
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: clk.__setitem__("t", clk["t"] + s))
+    return clk
+
+
+def test_main_total_budget_bounds_schedule(monkeypatch, capsys):
+    """VERDICT r4 #1a: a retry schedule that would exceed the total budget
+    must stop and emit the null artifact BEFORE the budget runs out — never
+    ride the backoff past an external watchdog (round 4's rc=124)."""
+    import json
+
+    import bench
+
+    clk = _fake_clock(monkeypatch, bench)
+    t0 = clk["t"]
+    monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 400.0)
+    probes = []
+
+    def fake_run(cmd, **kw):
+        # relay down: every probe hangs for its full timeout
+        clk["t"] += kw.get("timeout", 0)
+        if "--probe" in cmd:
+            probes.append(cmd)
+            raise bench.subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+        raise AssertionError("full attempt launched during outage")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.main() == 0
+    assert clk["t"] - t0 <= 400.0, "schedule overran the total budget"
+    assert 0 < len(probes) < bench.MAX_ATTEMPTS, (
+        "budget gate never pruned the schedule")
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["metric"] == "drin_eval_throughput"
+    assert obj["value"] is None and "relay outage" in obj["error"]
+
+
+def test_main_attempt_timeout_clamped_to_budget(monkeypatch, capsys):
+    """The per-attempt subprocess timeout must never extend past the total
+    deadline: with ~300s of budget left the child gets ~300s, not the full
+    540s ATTEMPT_TIMEOUT_S."""
+    import json
+
+    import bench
+
+    clk = _fake_clock(monkeypatch, bench)
+    monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 320.0)
+    seen = {}
+
+    def fake_run(cmd, **kw):
+        if "--probe" in cmd:
+            clk["t"] += 5
+            return _PROBE_OK
+        seen["timeout"] = kw["timeout"]
+        clk["t"] += kw["timeout"]
+        raise bench.subprocess.TimeoutExpired(cmd, kw["timeout"])
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.main() == 0
+    assert seen["timeout"] <= 320.0 - 15
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] is None and "timed out" in obj["error"]
+
+
+def test_main_sigterm_midrun_emits_artifact(monkeypatch, capsys):
+    """VERDICT r4 #1b: a driver-side SIGTERM mid-backoff must still leave a
+    parseable artifact (the handler prints the null JSON before exiting)."""
+    import json
+    import signal as _signal
+
+    import bench
+
+    exited = []
+    monkeypatch.setattr(bench, "_exit", lambda rc: (exited.append(rc),
+                                                    (_ for _ in ()).throw(SystemExit(rc))))
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda cmd, **kw: _PROBE_OK if "--probe" in cmd
+        else _FakeProc(1, stderr="UNAVAILABLE: relay flaked"))
+
+    def sleep_then_sigterm(s):
+        # simulate the driver's kill landing during a backoff sleep
+        handler = _signal.getsignal(_signal.SIGTERM)
+        handler(_signal.SIGTERM, None)
+
+    monkeypatch.setattr(bench.time, "sleep", sleep_then_sigterm)
+    with pytest.raises(SystemExit):
+        bench.main()
+    assert exited == [0]
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["metric"] == "drin_eval_throughput"
+    assert obj["value"] is None
+    assert "signal" in obj["error"] and "UNAVAILABLE" in obj["error"]
+    # the handler was restored on exit (pytest's process must not keep it)
+    assert _signal.getsignal(_signal.SIGTERM) is not sleep_then_sigterm
+
+
+def test_main_salvages_headline_from_timed_out_child(monkeypatch, capsys):
+    """A child killed mid-secondary (TimeoutExpired) already printed the
+    headline line; the parent must salvage it from the partial stdout
+    instead of burning another attempt."""
+    import json
+
+    import bench
+
+    partial = ('{"metric": "drin_eval_throughput", "value": 7.5, "unit": "u", '
+               '"vs_baseline": 1.5, "calibration": {}}\n')
+
+    def fake_run(cmd, **kw):
+        if "--probe" in cmd:
+            return _PROBE_OK
+        raise bench.subprocess.TimeoutExpired(cmd, kw["timeout"], output=partial)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.main() == 0
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 7.5
+
+
+def test_attempt_budget_env_reaches_child(monkeypatch):
+    """The parent passes the clamped attempt budget to the child via env so
+    the secondary pass can self-limit under it."""
+    import bench
+
+    envs = []
+
+    def fake_run(cmd, **kw):
+        if "--probe" in cmd:
+            return _PROBE_OK
+        envs.append(kw.get("env", {}))
+        return _FakeProc(0, stdout='{"metric": "drin_eval_throughput", '
+                                   '"value": 1.0, "unit": "u", "vs_baseline": null}')
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.main() == 0
+    assert envs and float(envs[0]["BENCH_ATTEMPT_BUDGET_S"]) <= bench.ATTEMPT_TIMEOUT_S
 
 
 def test_main_relay_outage_skips_full_attempts(monkeypatch, capsys):
