@@ -58,17 +58,21 @@ def make_full_scale_store_quantized(cfg, n: int = N_ENTITIES, seed: int = 1):
 
     store = make_full_scale_store(cfg, n, dtype=jnp.float32, seed=seed)
 
-    @jax.jit
-    def q(x):
-        flat = x.reshape(x.shape[0], -1)
-        s = jnp.max(jnp.abs(flat), axis=1)
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def q(x, lead=1):
+        # lead=2: per-(row, slot) scales for the pooled text table, matching
+        # device_store.quantize_entity_rows(per_slot=True)
+        flat = x.reshape(x.shape[:lead] + (-1,))
+        s = jnp.max(jnp.abs(flat), axis=-1)
         s = jnp.where(s == 0, 1.0, s)
-        codes = jnp.clip(jnp.round(flat / s[:, None] * 127.0), -127, 127)
+        codes = jnp.clip(jnp.round(flat / s[..., None] * 127.0), -127, 127)
         return codes.astype(jnp.int8).reshape(x.shape), (s / 127.0).astype(jnp.float32)
 
     store.quantized = True
     store.dtype = jnp.bfloat16  # dequantized gather rows in serving dtype
-    store.text, store.text_scale = q(store.text)
+    store.text, store.text_scale = q(store.text, 2)
     store.image, store.image_scale = q(store.image)
     store.obj, store.obj_scale = q(store.obj)
     store.obj_score = store.obj_score.astype(jnp.bfloat16)

@@ -61,19 +61,29 @@ class BaselineRowsBatch(NamedTuple):
     answer: np.ndarray
 
 
-def quantize_entity_rows(x: np.ndarray):
+def quantize_entity_rows(x: np.ndarray, per_slot: bool = False):
     """Per-entity max-abs int8 quantization of an [N, ...] table: one f32
     scale per row over ALL of the row's elements (same scheme as the
     retrieval cache, serve.quantize_rows, at entity granularity).
 
+    ``per_slot=True`` (for [N, S, ...] tables whose second-axis slots hold
+    differently-scaled quantities — the pooled text table's projected slot 0
+    vs raw-CLS slot 1) uses one scale per (row, slot) instead, scale shape
+    [N, S], so a magnitude mismatch between slots cannot inflate the smaller
+    slot's quantization error (ADVICE r4; the dequant machinery broadcasts
+    arbitrary leading scale dims).
+
     Returns ``(q, scale)`` with ``q`` int8 shaped like ``x`` and ``scale``
-    float32 [N] such that ``q * scale ~= x`` (element error bounded by
-    ``max|row| / 254``).  Zero rows get scale 1 so they dequantize to zero."""
+    float32 [N] (or [N, S]) such that ``q * scale ~= x`` (element error
+    bounded by ``max|row| / 254``).  Zero rows get scale 1 so they
+    dequantize to zero."""
     x = np.asarray(x)
-    flat = x.reshape(x.shape[0], -1).astype(np.float32)
-    s = np.max(np.abs(flat), axis=1)
+    lead = 2 if per_slot else 1
+    assert x.ndim > lead, (x.shape, per_slot)
+    flat = x.reshape(x.shape[:lead] + (-1,)).astype(np.float32)
+    s = np.max(np.abs(flat), axis=-1)
     s = np.where(s == 0, np.float32(1.0), s)
-    q = np.clip(np.round(flat / s[:, None] * 127.0), -127, 127).astype(np.int8)
+    q = np.clip(np.round(flat / s[..., None] * 127.0), -127, 127).astype(np.int8)
     return q.reshape(x.shape), (s / 127.0).astype(np.float32)
 
 
@@ -193,13 +203,18 @@ class DeviceEntityStore:
         # (rows < N by construction) may ignore the distinction
         self.n_rows = int(np.asarray(tables["entity_text_feature"]).shape[0])
         if quantize:
-            def put_q(x):
-                q, s = quantize_entity_rows(x)
+            def put_q(x, per_slot=False):
+                q, s = quantize_entity_rows(x, per_slot=per_slot)
                 # scales stay f32 (cast=False): a bf16 scale would round the
                 # dequantized rows a second time
                 return put(q), put(s, cast=False)
 
-            self.text, self.text_scale = put_q(tables["entity_text_feature"])
+            # pooled text rows hold (projected, raw-CLS) slots whose
+            # magnitudes diverge after precompute_entity_projection — scale
+            # them independently ([N, 2] scales) so the retrieval-feeding
+            # CLS slot doesn't inherit the projected slot's range (ADVICE r4)
+            self.text, self.text_scale = put_q(tables["entity_text_feature"],
+                                               per_slot=self.pooled)
             self.image, self.image_scale = put_q(tables["entity_image_feature"])
             self.obj, self.obj_scale = put_q(tables["entity_object_feature"])
         else:
@@ -225,17 +240,47 @@ class DeviceEntityStore:
             ts.insert(1, self.text_mask)
         return tuple(ts)
 
-    def float_table(self, name: str):
+    def float_table(self, name: str, chunk: int = 32768):
         """Float view of ``'text'`` / ``'image'`` / ``'obj'`` for WHOLE-table
         consumers (retrieval source, GHMFC entity precompute, save_bundle):
-        a quantized store dequantizes in one jitted pass (transiently
-        materializing the compute-dtype table); otherwise the resident
-        table is returned unchanged."""
+        a quantized store dequantizes in ``chunk``-row pieces written into
+        one preallocated (donated) output buffer, so peak transient HBM is
+        one chunk's intermediates — not a whole-table f32 copy, which on a
+        chip deliberately packed to int8 capacity (~2x entities) would OOM
+        exactly the deployments quantize targets (ADVICE r4).  Non-quantized
+        stores return the resident table unchanged."""
         q = getattr(self, name)
         scale = getattr(self, f"{name}_scale")
         if scale is None:
             return q
-        return jax.jit(_dequantize, static_argnums=2)(q, scale, self.dtype)
+        n = q.shape[0]
+        deq = jax.jit(_dequantize, static_argnums=2)
+        if n <= chunk:
+            return deq(q, scale, self.dtype)
+        write = jax.jit(
+            lambda out, piece, lo: jax.lax.dynamic_update_slice(
+                out, piece, (lo,) + (0,) * (out.ndim - 1)),
+            donate_argnums=0)
+        out = jnp.zeros(q.shape, self.dtype)
+        for lo in range(0, n, chunk):
+            out = write(out, deq(q[lo : lo + chunk], scale[lo : lo + chunk],
+                                 self.dtype), jnp.int32(lo))
+        return out
+
+    def float_rows(self, name: str, lo: int, hi: int, slot=None):
+        """Dequantized ``table[lo:hi]`` rows (optionally one second-axis
+        ``slot``) — for consumers that only need a slice (chunked GHMFC
+        entity precompute, the retrieval source's single text slot): the
+        transient is the slice, never the table."""
+        q = getattr(self, name)
+        scale = getattr(self, f"{name}_scale")
+        qs = q[lo:hi] if slot is None else q[lo:hi, slot]
+        if scale is None:
+            return qs
+        ss = scale[lo:hi]
+        if slot is not None and ss.ndim > 1:  # per-slot scales [N, S]
+            ss = ss[:, slot]
+        return jax.jit(_dequantize, static_argnums=2)(qs, ss, self.dtype)
 
     def _gather_fn(self, n_tables: int, C: int):
         """(tables..., rows [B, C]) -> gathered [B, C, ...] per table."""

@@ -119,5 +119,26 @@ class ImageBatcher:
 
         return np.stack(list(self.pool.map(one, range(len(paths)))))
 
+    def load_batch_chunked(self, paths: Sequence[str], preprocess,
+                           crops: Optional[Sequence] = None,
+                           chunk: int = 0) -> np.ndarray:
+        """:meth:`load_batch` in bounded sub-chunks written into ONE
+        preallocated buffer.  Data-parallel stages dispatch
+        ``n_devices x preprocess_batch_size`` rows per device call
+        (stages.rows_per_dispatch); the host decode working set — per-image
+        result buffers plus the stack copy — must stay bounded by the base
+        batch size on a small host (ADVICE r4: 512 decoded 224x224x3 f32
+        rows are ~300MB before ``np.stack`` doubles them)."""
+        if not chunk or chunk >= len(paths):
+            return self.load_batch(paths, preprocess, crops)
+        out = None
+        for j in range(0, len(paths), chunk):
+            sub = self.load_batch(paths[j : j + chunk], preprocess,
+                                  crops[j : j + chunk] if crops is not None else None)
+            if out is None:
+                out = np.empty((len(paths),) + sub.shape[1:], sub.dtype)
+            out[j : j + len(sub)] = sub
+        return out
+
     def close(self):
         self.pool.shutdown()

@@ -265,11 +265,13 @@ class ResnetStage:
         for i in range(0, len(paths), B_):
             chunk = paths[i : i + B_]
             c = crops[i : i + B_] if crops is not None else None
-            x = self.batcher.load_batch(
+            # decode at the BASE batch size even when the encoder dispatch is
+            # n_devices wider (data-parallel stages): bounds host decode RAM
+            x = self.batcher.load_batch_chunked(
                 chunk,
                 lambda im: resnet_preprocess(im, cfg.image_input_size,
                                              cfg.resnet_crop_pct, cfg.resnet_resample),
-                c)
+                c, chunk=cfg.preprocess_batch_size)
             h, pooled = self._jit(self.params, x)
             if output == "pooler_output":
                 writer.extend(np.asarray(pooled)[:, None, :])  # [B, 1, C]
@@ -413,7 +415,11 @@ class ClipStage:
         B_ = rows_per_dispatch(self.cfg, self.dp)
         out = []
         for i in range(0, len(paths), B_):
-            x = self.batcher.load_batch(paths[i : i + B_], self._preprocess)
+            # decode chunked at the base batch size (host RAM bound) even
+            # when the device dispatch is n_devices wider — see ResnetStage
+            x = self.batcher.load_batch_chunked(
+                paths[i : i + B_], self._preprocess,
+                chunk=self.cfg.preprocess_batch_size)
             out.append(np.asarray(self._image_jit(self.params, x)))
         return np.concatenate(out, 0)
 

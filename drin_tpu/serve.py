@@ -422,12 +422,14 @@ class Ranker:
         assert self.cfg.model_type == "ghmfc", "entity precompute is the GHMFC fast path"
         enc = EntityEncoder(self.cfg)
         ep = {"params": self.params["entity_encoder"]}
-        text = self.store.float_table("text")
-        image = self.store.float_table("image")
+        n = self.store.text.shape[0]
         fn = jax.jit(lambda t, i: enc.apply(ep, t[None], None, i[None])[0])
         out = []
-        for i in range(0, text.shape[0], chunk):
-            out.append(np.asarray(fn(text[i : i + chunk], image[i : i + chunk])))
+        for i in range(0, n, chunk):
+            # dequantize per chunk (float_rows): a whole-table float view of
+            # an int8-capacity store would transiently double resident HBM
+            out.append(np.asarray(fn(self.store.float_rows("text", i, i + chunk),
+                                     self.store.float_rows("image", i, i + chunk))))
         self._entity_reprs = jax.device_put(jnp.concatenate([jnp.asarray(o) for o in out]))
         self._retrieval_table = None  # rebuild retrieval cache in model space
         self._retrieval_q = None
@@ -509,8 +511,10 @@ class Ranker:
             # PROJECTED pooled text; callers pass raw-BERT mention
             # reprs, so retrieval must stay in raw space — slot 1 keeps
             # the raw CLS vector (device_store.project_drin_tables)
-            return self.store.float_table("text")[:n, 1]
-        return self.store.float_table("text")[:n, 0]  # raw pooled text [N, D]
+            return self.store.float_rows("text", 0, n, slot=1)
+        # raw pooled text [N, D]; float_rows dequantizes only the selected
+        # slot (half the transient of a whole-table float view)
+        return self.store.float_rows("text", 0, n, slot=0)
 
     def _ensure_retrieval_table(self):
         if getattr(self, "_retrieval_table", None) is None:

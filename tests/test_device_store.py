@@ -122,13 +122,16 @@ def test_quantized_store_machinery_is_exact(wm):
     feats = jax.jit(feats_fn)(tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1]))
     rows = np.asarray(rows_batch.entity_rows)
 
-    def host_deq(x):
-        q, s = quantize_entity_rows(np.asarray(x))
-        flat = q.reshape(q.shape[0], -1).astype(np.float32) * s[:, None]
+    def host_deq(x, per_slot=False):
+        q, s = quantize_entity_rows(np.asarray(x), per_slot=per_slot)
+        lead = 2 if per_slot else 1
+        flat = q.reshape(q.shape[:lead] + (-1,)).astype(np.float32) * s[..., None]
         return flat.reshape(q.shape)
 
-    np.testing.assert_array_equal(np.asarray(feats[7]),
-                                  host_deq(tables["entity_text_feature"])[rows])
+    # the pooled text table quantizes with per-(row, slot) scales (ADVICE r4)
+    np.testing.assert_array_equal(
+        np.asarray(feats[7]),
+        host_deq(tables["entity_text_feature"], per_slot=True)[rows])
     np.testing.assert_array_equal(np.asarray(feats[9]),
                                   host_deq(tables["entity_image_feature"])[rows])
     np.testing.assert_array_equal(np.asarray(feats[10]),
@@ -195,3 +198,50 @@ def test_quantized_store_composes_with_row_sharding(wm):
     f_sh = jax.jit(s_sh.drin_feats_fn())(put)
     for a, b in zip(f_rep, f_sh):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_per_slot_scales_bound_cls_slot_error(wm):
+    """ADVICE r4: the pooled text table's slots hold differently-scaled
+    quantities; per-(row, slot) scales must keep the small slot's error
+    bounded by ITS OWN magnitude, not the big slot's."""
+    from drin_tpu.data.device_store import quantize_entity_rows
+
+    rng = np.random.default_rng(3)
+    big = 50.0 * rng.standard_normal((20, 768)).astype(np.float32)
+    small = rng.standard_normal((20, 768)).astype(np.float32)
+    table = np.stack([big, small], axis=1)  # [N, 2, D], 50x magnitude gap
+
+    q_row, s_row = quantize_entity_rows(table)            # one scale per row
+    q_slot, s_slot = quantize_entity_rows(table, per_slot=True)
+    assert s_slot.shape == (20, 2) and s_row.shape == (20,)
+    deq_row = q_row.astype(np.float32) * s_row[:, None, None]
+    deq_slot = q_slot.astype(np.float32) * s_slot[..., None]
+    err_row = np.abs(deq_row[:, 1] - small).max()
+    err_slot = np.abs(deq_slot[:, 1] - small).max()
+    # per-slot error is bounded by the small slot's own max/254
+    assert err_slot <= np.abs(small).max() / 254 + 1e-6
+    assert err_slot < err_row / 10  # row-shared scales were ~50x worse
+
+
+def test_float_table_chunked_and_float_rows(wm):
+    """float_table's chunked dequant (bounded transient HBM, ADVICE r4) and
+    float_rows' slice/slot views must all agree exactly with the host
+    dequantization."""
+    cfg, tables, ds = wm
+    store = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True)
+
+    whole = np.asarray(store.float_table("text"))          # single-pass (N<=chunk)
+    chunked = np.asarray(store.float_table("text", chunk=7))  # uneven chunks
+    np.testing.assert_array_equal(chunked, whole)
+
+    rows = np.asarray(store.float_rows("text", 3, 11))
+    np.testing.assert_array_equal(rows, whole[3:11])
+    slot1 = np.asarray(store.float_rows("text", 0, 25, slot=1))
+    np.testing.assert_array_equal(slot1, whole[:, 1])
+
+    # non-quantized store: resident tables come back unchanged
+    s_f = DeviceEntityStore(cfg, tables, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(s_f.float_table("text", chunk=7)),
+                                  np.asarray(s_f.text))
+    np.testing.assert_array_equal(np.asarray(s_f.float_rows("text", 2, 5, slot=0)),
+                                  np.asarray(s_f.text)[2:5, 0])

@@ -294,6 +294,53 @@ def test_stages_data_parallel_match_single_device(wd_raw, tmp_path):
             np.testing.assert_array_equal(b, a, err_msg=f)
 
 
+def test_image_batcher_chunked_decode(tmp_path):
+    """load_batch_chunked (ADVICE r4): identical output to one load_batch
+    call, while the underlying decode never sees more than ``chunk`` rows —
+    data-parallel stages widen the DEVICE dispatch, not the host decode
+    working set."""
+    from PIL import Image
+
+    from drin_tpu.preprocess.images import ImageBatcher
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(11):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(rng.integers(0, 255, (60, 70, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    default = tmp_path / "default.jpg"
+    Image.new("RGB", (64, 64)).save(default)
+
+    b = ImageBatcher(str(default), (8, 8), workers=2)
+    pre = lambda im: np.asarray(im.resize((16, 16)), np.float32) / 255.0
+    whole = b.load_batch(paths, pre)
+
+    widths = []
+    orig = ImageBatcher.load_batch
+
+    def spy(self, ps, preprocess, crops=None):
+        widths.append(len(ps))
+        return orig(self, ps, preprocess, crops)
+
+    ImageBatcher.load_batch = spy
+    try:
+        chunked = b.load_batch_chunked(paths, pre, chunk=4)  # uneven chunks
+        passthrough = b.load_batch_chunked(paths, pre, chunk=0)
+    finally:
+        ImageBatcher.load_batch = orig
+    np.testing.assert_array_equal(chunked, whole)
+    np.testing.assert_array_equal(passthrough, whole)
+    assert max(widths[:3]) <= 4 and widths[:3] == [4, 4, 3]
+
+    # crops thread through sub-chunks aligned with their paths
+    crops = [(0, 0, 32, 32)] * 5 + [(0, 0, 0, 0)] * 6
+    np.testing.assert_array_equal(
+        b.load_batch_chunked(paths, pre, crops, chunk=3),
+        b.load_batch(paths, pre, crops))
+    b.close()
+
+
 def test_bert_stage_brief_variant(wd_raw, tmp_path):
     """entity_text_type='brief' on the wikidiverse store encodes the brief
     strings prepare materialized (reference prepare.py:91-97 — its entity
