@@ -225,6 +225,13 @@ class Config:
     # encoders.frcnn — the pipeline consumes only boxes+scores, so the mask
     # branch of a mask_rcnn checkpoint is ignored, reference resnet.py:117-120)
     detector_checkpoint: str = ""
+    # Adopt the detector-derived arrays ({mention,entity}-object-feature/-score,
+    # reference resnet.py:152-162) VERBATIM from an existing store directory —
+    # e.g. one the reference preprocessed with its pretrained torchvision
+    # Faster R-CNN — instead of running a detector here.  Zero object-feature
+    # drift for users migrating a reference-preprocessed dataset; the resnet
+    # stage still computes the whole-image features itself.
+    import_objects_from: str = ""
     # The reference's ResNet stage runs images through HF's ConvNext
     # processor, which upsizes the shortest edge to size/crop_pct and
     # center-crops back (preprocess/images.resnet_preprocess); 0 disables.

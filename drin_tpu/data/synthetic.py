@@ -27,13 +27,17 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
     """Write a synthetic feature store for ``cfg.dataset_name`` into
     ``cfg.preprocess_dir``.  Returns the directory.
 
-    ``learnable=True`` (wikidiverse only): each mention carries a latent
-    concept vector that its text features AND its gold candidate's text
-    features share (distractors get other concepts), so a matching model can
-    drive top-1 far above chance by learning, not memorizing — purely random
-    features only reward memorization, which a 16-dim tiny model cannot do
-    at hundreds of mentions.  Used by the convergence-scale trajectory A/B
-    (tests/test_training_parity.py)."""
+    ``learnable=True``: each mention carries a latent concept vector that its
+    text features AND its gold candidate's text features share (distractors
+    get other concepts), so a matching model can drive top-1 far above chance
+    by learning, not memorizing — purely random features only reward
+    memorization, which a 16-dim tiny model cannot do at hundreds of
+    mentions.  For wikidiverse the concepts live in the mention-aligned
+    entity rows; for wikimel they live in the GLOBAL token-level entity text
+    table (reference drin/data.py:164-167) and reach the mention only through
+    the qid join (drin/data.py:88) — so a convergence run through this store
+    exercises the [N, C] gather-join input path end to end.  Used by the
+    convergence-scale trajectory A/Bs (tests/test_training_parity.py)."""
     if isinstance(n_mentions, int):
         n_mentions = {"train": n_mentions, "valid": max(2, n_mentions // 3), "test": max(2, n_mentions // 3)}
     rng = np.random.default_rng(seed)
@@ -47,9 +51,13 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
     Lm = cfg.max_entity_attr_token_len
     Tm, Te = cfg.mention_object_topk, cfg.entity_object_topk
     if learnable:
-        assert cfg.dataset_name == "wikidiverse", "learnable mode: wikidiverse"
         n_concepts = 10
         concepts = rng.standard_normal((n_concepts, D)).astype(np.float32)
+        if cfg.dataset_name == "wikimel":
+            # round-robin concept per GLOBAL entity: neighbours always carry
+            # different concepts, so "+1" below moves a clashing distractor
+            # onto a fresh concept deterministically
+            entity_concept = np.arange(n_entities) % n_concepts
 
     def _save(name: str, arr: np.ndarray):
         np.save(os.path.join(d, name + ".npy"), arr)
@@ -57,7 +65,11 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
     for split, n in n_mentions.items():
         # mention-side arrays (shared by both datasets)
         if learnable:
-            concept_ids = rng.integers(0, n_concepts, size=n)
+            if cfg.dataset_name == "wikimel":
+                gold_entity = rng.integers(0, n_entities, size=n)
+                concept_ids = entity_concept[gold_entity]
+            else:
+                concept_ids = rng.integers(0, n_concepts, size=n)
             mtf = (0.5 * rng.standard_normal((n, L, D))
                    + concepts[concept_ids][:, None, :]).astype(np.float32)
         else:
@@ -108,14 +120,31 @@ def make_synthetic_store(cfg: Config, n_mentions: dict | int = 12, n_entities: i
             _save(f"entity-object-feature_{split}", rng.standard_normal((n * C, Te, 1, Dr), dtype=np.float32))
             _save(f"entity-object-score_{split}", rng.uniform(0, 1, size=(n * C, Te)).astype(np.float32))
         else:  # wikimel: per-mention candidate qids into a global table
-            qids = np.array([f"Q{i}" for i in rng.integers(0, n_entities, size=n * C)])
+            cand_e = rng.integers(0, n_entities, size=n * C).reshape(n, C)
+            if learnable:
+                # distractors must NOT share the gold's concept; round-robin
+                # assignment makes "+1 mod N" cycle concepts, so this
+                # converges in < n_concepts passes
+                clash = entity_concept[cand_e] == concept_ids[:, None]
+                while clash.any():
+                    cand_e[clash] = (cand_e[clash] + 1) % n_entities
+                    clash = entity_concept[cand_e] == concept_ids[:, None]
+                # the gold entity sits at the answer position (prepare.py
+                # roster contract); the appended final column is stripped by
+                # loss/metrics either way (utils.py:36-37)
+                cand_e[np.arange(n), answer] = gold_entity
+            qids = np.array([f"Q{i}" for i in cand_e.ravel()])
             _save(f"entity-name-raw_{split}", qids)
 
     if cfg.dataset_name == "wikimel":
         # global entity table + qid2idx join key (reference bert.py:60-63,
         # drin/data.py:41-46, :164-175)
-        _save(f"entity-{cfg.entity_text_type}-feature",
-              rng.standard_normal((n_entities, Lm, D), dtype=np.float32))
+        if learnable:
+            getf = (concepts[entity_concept][:, None, :]
+                    + 0.4 * rng.standard_normal((n_entities, Lm, D))).astype(np.float32)
+        else:
+            getf = rng.standard_normal((n_entities, Lm, D), dtype=np.float32)
+        _save(f"entity-{cfg.entity_text_type}-feature", getf)
         elens = rng.integers(3, Lm, size=n_entities)
         emask = (np.arange(Lm)[None, :] < elens[:, None]).astype(np.int64)
         _save(f"entity-{cfg.entity_text_type}-mask", emask)

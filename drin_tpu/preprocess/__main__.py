@@ -4,6 +4,11 @@
 Stages: prepare, bert, resnet, clip, all.  Config overrides work like
 train.py (e.g. ``dataset_name=wikimel bert_checkpoint=/path/sd.pt``).
 
+Migrating a store the reference already preprocessed (with its pretrained
+torchvision detector): ``resnet import_objects_from=/path/to/ref/store``
+adopts the detector-derived object arrays verbatim — zero object-feature
+drift — while whole-image features are recomputed here.
+
 One entry replaces the reference's four separate ``__main__`` scripts
 (prepare.py:200-207, bert.py:111-118, resnet.py:164-171, clip.py:171-178),
 which are run by editing ``common/args.py`` first (readme.md:116)."""

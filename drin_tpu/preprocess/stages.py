@@ -252,8 +252,11 @@ class ResnetStage:
         self.batcher = ImageBatcher(cfg.default_image, cfg.min_image_size, cfg.image_decode_workers)
         # object detector: callable [B,H,W,3]->(boxes [B,K,4], scores [B,K]);
         # defaults to whatever cfg.drin_object_detector/_checkpoint select
-        # (drin_tpu.preprocess.detector.make_detector)
-        if detector is None:
+        # (drin_tpu.preprocess.detector.make_detector).  Never built when the
+        # object arrays are imported from an existing store — that path must
+        # not emit the stub detector's fidelity warning for a detector it
+        # will never run.
+        if detector is None and not cfg.import_objects_from:
             from drin_tpu.preprocess.detector import make_detector
 
             detector = make_detector(cfg)
@@ -289,6 +292,9 @@ class ResnetStage:
         with NpyWriter(os.path.join(d, f"{name}-image-feature_{split}.npy")) as w:
             self._run_images(image_paths, None, feature_output, w)
 
+        if cfg.import_objects_from:
+            self._import_objects(split, name, topk, len(image_paths))
+            return
         boxes, scores = self.detect(image_paths, topk)
         np.save(os.path.join(d, f"{name}-object-score_{split}.npy"), scores)
         flat_paths = np.repeat(np.asarray(image_paths), topk)
@@ -303,6 +309,44 @@ class ResnetStage:
             w.reshape([-1, topk, *w.shape])
         finally:
             w.close()
+
+    def _import_objects(self, split: str, name: str, topk: int, n: int):
+        """Adopt ``{name}-object-{feature,score}_{split}.npy`` VERBATIM from
+        ``cfg.import_objects_from`` (the reference resnet stage's detector
+        outputs, resnet.py:152-162) instead of running a detector: a store
+        the reference preprocessed with its pretrained torchvision Faster
+        R-CNN migrates with zero object-feature drift.  Shapes are validated
+        against this run's config before the byte-for-byte file copy."""
+        import shutil
+
+        cfg = self.cfg
+        src_dir = cfg.import_objects_from
+        for field in ("feature", "score"):
+            fname = f"{name}-object-{field}_{split}.npy"
+            src = os.path.join(src_dir, fname)
+            if not os.path.exists(src):
+                raise FileNotFoundError(
+                    f"import_objects_from={src_dir!r} has no {fname} — point "
+                    "it at a store whose detector stage already produced the "
+                    "object arrays for this dataset/split")
+            arr = np.load(src, mmap_mode="r")
+            if arr.shape[0] != n:
+                raise ValueError(
+                    f"{src}: {arr.shape[0]} rows, but this split has {n} "
+                    f"{name} images — the imported store was built from "
+                    "different raw data (or a different candidate count)")
+            if field == "score" and tuple(arr.shape[1:]) != (topk,):
+                raise ValueError(
+                    f"{src}: per-image shape {tuple(arr.shape[1:])}, expected "
+                    f"({topk},) — check {name}_object_topk against the store")
+            if field == "feature" and (
+                    arr.ndim < 3 or arr.shape[1] != topk
+                    or arr.shape[-1] != cfg.resnet_embed_dim):
+                raise ValueError(
+                    f"{src}: per-image shape {tuple(arr.shape[1:])}, expected "
+                    f"({topk}, ..., {cfg.resnet_embed_dim}) — check "
+                    f"{name}_object_topk / resnet_embed_dim against the store")
+            shutil.copyfile(src, os.path.join(cfg.preprocess_dir, fname))
 
     def detect(self, image_paths: Sequence[str], topk: int):
         """Top-k boxes/scores padded with default_box/0 (resnet.py:112-123).

@@ -294,6 +294,70 @@ def test_stages_data_parallel_match_single_device(wd_raw, tmp_path):
             np.testing.assert_array_equal(b, a, err_msg=f)
 
 
+def test_resnet_stage_imports_object_arrays(wd_raw, tmp_path):
+    """``import_objects_from`` (VERDICT r4 next-#6): the resnet stage adopts
+    the detector-derived arrays ({name}-object-feature/-score per split)
+    VERBATIM from an existing store — e.g. one the reference preprocessed
+    with its pretrained torchvision Faster R-CNN (resnet.py:152-162) — so a
+    migrating user gets zero object-feature drift; whole-image features are
+    still computed here.  CLI: ``python -m drin_tpu.preprocess resnet
+    import_objects_from=/path/to/reference/store`` (any cfg override).
+    Also pins the refusals: missing source file, and a topk mismatch."""
+    import filecmp
+
+    from drin_tpu.preprocess.prepare import run_prepare
+    from drin_tpu.preprocess.stages import ResnetStage
+
+    root, sentences, names, n_cand = wd_raw
+    assets = _tiny_encoders(sentences + [f"{n}: a thing" for n in names])
+
+    # source store (stands in for a reference-preprocessed one; the files
+    # follow the same on-disk naming contract)
+    cfg_src = _wd_cfg_for(root, n_cand, tmp_path / "src", assets)
+    os.makedirs(cfg_src.preprocess_dir, exist_ok=True)
+    run_prepare(cfg_src)
+    ResnetStage(cfg_src, assets["resnet_params"], assets["resnet_cfg"]).run()
+
+    cfg = _wd_cfg_for(root, n_cand, tmp_path / "dst", assets).replace(
+        import_objects_from=cfg_src.preprocess_dir)
+    os.makedirs(cfg.preprocess_dir, exist_ok=True)
+    run_prepare(cfg)
+    stage = ResnetStage(cfg, assets["resnet_params"], assets["resnet_cfg"])
+    assert stage.detector is None  # never built -> no stub fidelity warning
+    stage.run()
+
+    for name in ("mention", "entity"):
+        for split in ("train", "valid", "test"):
+            for field in ("object-feature", "object-score"):
+                f = f"{name}-{field}_{split}.npy"
+                assert filecmp.cmp(os.path.join(cfg_src.preprocess_dir, f),
+                                   os.path.join(cfg.preprocess_dir, f),
+                                   shallow=False), f"{f} not byte-identical"
+            # whole-image features are computed by this run, not copied
+            assert os.path.exists(os.path.join(
+                cfg.preprocess_dir, f"{name}-image-feature_{split}.npy"))
+
+    # refusal: empty source directory names the missing file and the knob
+    empty = tmp_path / "empty-src"
+    empty.mkdir()
+    cfg_bad = _wd_cfg_for(root, n_cand, tmp_path / "dst-bad", assets).replace(
+        import_objects_from=str(empty))
+    os.makedirs(cfg_bad.preprocess_dir, exist_ok=True)
+    run_prepare(cfg_bad)
+    with pytest.raises(FileNotFoundError, match="import_objects_from"):
+        ResnetStage(cfg_bad, assets["resnet_params"], assets["resnet_cfg"]).run()
+
+    # refusal: a config whose topk disagrees with the imported store's shape
+    cfg_topk = _wd_cfg_for(root, n_cand, tmp_path / "dst-topk", assets).replace(
+        import_objects_from=cfg_src.preprocess_dir,
+        mention_object_topk=cfg_src.mention_object_topk + 1,
+        entity_object_topk=cfg_src.entity_object_topk + 1)
+    os.makedirs(cfg_topk.preprocess_dir, exist_ok=True)
+    run_prepare(cfg_topk)
+    with pytest.raises(ValueError, match="object_topk"):
+        ResnetStage(cfg_topk, assets["resnet_params"], assets["resnet_cfg"]).run()
+
+
 def test_image_batcher_chunked_decode(tmp_path):
     """load_batch_chunked (ADVICE r4): identical output to one load_batch
     call, while the underlying decode never sees more than ``chunk`` rows —

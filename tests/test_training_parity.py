@@ -355,33 +355,43 @@ def test_full_harness_trajectory_melhi(tmp_path, capsys):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("model_type", ["drin", "ghmfc"])
-def test_convergence_parity(tmp_path, capsys, model_type):
-    """Convergence-scale trajectory A/B (VERDICT r3 next-#3): 300 learnable
-    synthetic mentions (shared latent concepts between mention and gold
-    entity text — make_synthetic_store(learnable=True)), 12 epochs in ONE
-    fit chunk, approximating the reference's real schedule (30 epochs, test
-    every 10: train.py:141-144, args.py:109) at a scale where an
-    lr-schedule- or loss-scale-class bug invisible to the 4-epoch A/Bs
+@pytest.mark.parametrize("model_type,dataset", [
+    ("drin", "wikidiverse"), ("ghmfc", "wikidiverse"), ("drin", "wikimel")])
+def test_convergence_parity(tmp_path, capsys, model_type, dataset):
+    """Convergence-scale trajectory A/B (VERDICT r3 next-#3, r4 next-#3):
+    300 learnable synthetic mentions (shared latent concepts between mention
+    and gold entity text — make_synthetic_store(learnable=True)), 12 epochs
+    in ONE fit chunk, approximating the reference's real schedule (30
+    epochs, test every 10: train.py:141-144, args.py:109) at a scale where
+    an lr-schedule- or loss-scale-class bug invisible to the 4-epoch A/Bs
     shows up as a diverged endpoint.
 
+    The wikimel variant drives the reference's worst-case input path — the
+    per-mention qid join into the GLOBAL entity table (drin/data.py:85-126)
+    — at convergence scale, then re-trains from the same init through
+    ``DeviceEntityStore.drin_feats_fn()`` (device-resident tables, [B, C]
+    row-index batches) and asserts the production rows path lands at the
+    same endpoint.
+
     Asserts BOTH sides actually LEARNED — final valid top-1 >= 0.6 against
-    1/6 chance — and that ours lands at the reference's endpoint (final
-    valid and test loss + top-1 within tolerance)."""
+    1/6 (wikidiverse) or 1/8 (wikimel) chance — and that ours lands at the
+    reference's endpoint (final valid and test loss + top-1 within
+    tolerance)."""
     import torch
 
     from drin_tpu.data.dataset import create_datasets
     from drin_tpu.data.synthetic import make_synthetic_store, tiny_config
     from drin_tpu.train.trainer import Trainer
 
-    store = str(tmp_path / f"conv-store-{model_type}")
-    cfg = tiny_config("wikidiverse", model_type, preprocess_dir=store).replace(
+    store = str(tmp_path / f"conv-store-{model_type}-{dataset}")
+    cfg = tiny_config(dataset, model_type, preprocess_dir=store).replace(
         shuffle_train_data=False, acc_correction=(0.0, 0.0, 0.0),
         transformer_dropout=0.0)
     make_synthetic_store(cfg, n_mentions={"train": 300, "valid": 60, "test": 60},
                          seed=21, learnable=True)
 
-    ref_train = _load_reference_harness(cfg, store, model_type=model_type)
+    ref_train = _load_reference_harness(cfg, store, model_type=model_type,
+                                        dataset=dataset)
     if model_type != "drin":
         ref_train.data_module.BertTokenizer = type(
             "TokStub", (), {"from_pretrained": staticmethod(lambda name: None)})
@@ -428,6 +438,29 @@ def test_convergence_parity(tmp_path, capsys, model_type):
                                rtol=5e-2, atol=5e-3)
     assert abs(our_top1 - ref_top1) <= 0.05
     assert abs(our_test["accs"][1] - ref_test[-1]["accs"][0]) <= 0.05
+
+    if dataset == "wikimel":
+        # production rows path: same init, same schedule, but batches carry
+        # [B, C] row indices and the gather happens in-step on device
+        # (data/device_store.py) — must land at the host-gather endpoint
+        from drin_tpu.data.device_store import DeviceEntityStore
+
+        dev_store = DeviceEntityStore(cfg, train_ds.tables, dtype=jnp.float32)
+        feats_fn = dev_store.drin_feats_fn()
+        params0 = jax.tree.map(jnp.asarray,
+                               drin_params_from_torch(init_sd, cfg.num_gcn_layers))
+        tr_rows = Trainer(cfg, lambda p, f: model.apply({"params": p}, f),
+                          params0, feats_fn=feats_fn, log=lambda *a: None)
+        rows_valid = tr_rows.fit(train_ds, valid_ds, epochs, kind="drin_rows")
+        rows_test = tr_rows.test(test_ds, kind="drin_rows")
+        rows_top1 = rows_valid[-1]["accs"][1]
+        assert rows_top1 >= 0.6, f"rows path did not learn: {rows_top1}"
+        assert abs(rows_top1 - our_top1) <= 0.05
+        np.testing.assert_allclose(rows_valid[-1]["loss"], our_valid[-1]["loss"],
+                                   rtol=2e-2, atol=1e-3)
+        np.testing.assert_allclose(rows_test["loss"], our_test["loss"],
+                                   rtol=2e-2, atol=1e-3)
+        assert abs(rows_test["accs"][1] - our_test["accs"][1]) <= 0.05
 
 
 class _TorchTokShim:
