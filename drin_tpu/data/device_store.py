@@ -164,7 +164,8 @@ class DeviceEntityStore:
     tests/test_device_store.py)."""
 
     def __init__(self, cfg: Config, tables: dict, dtype=None, sharding=None,
-                 mesh=None, shard_rows: bool = False, quantize: bool = False):
+                 mesh=None, shard_rows: bool = False, quantize: bool = False,
+                 fused_gather: bool = False):
         assert cfg.entity_pooling_cached or shard_rows, (
             "non-pooled token-level tables exceed one chip's HBM; use "
             "shard_rows=True on a mesh (or enable the pooled entity cache)")
@@ -202,7 +203,51 @@ class DeviceEntityStore:
         # /stats) must not see the zero pad rows — only the in-step gather
         # (rows < N by construction) may ignore the distinction
         self.n_rows = int(np.asarray(tables["entity_text_feature"]).shape[0])
-        if quantize:
+        self.fused = bool(fused_gather)
+        self.packed = self.packed_scales = None
+        if self.fused:
+            # Serve the int8 tables through the Pallas gather+dequant kernel
+            # (ops/pallas/gather.py): one tile-aligned DMA per entity row,
+            # dequant in VMEM, only bf16 written.  Costs the slab pad —
+            # sub-rows round up to the 8-sublane tile (44 -> 48 = +9%
+            # resident/read bytes at the reference 768/2048 dims).
+            from drin_tpu.ops.pallas.gather import (fused_gather_supported,
+                                                    pack_quantized_tables)
+
+            assert quantize and self.pooled and not shard_rows, (
+                "fused_gather fuses the int8 gather+dequant kernel: it "
+                "requires quantize=True, the pooled entity cache, and a "
+                "replicated (non-row-sharded) store")
+            # ONE packed int8 [m, 128] slab per entity (text ‖ image ‖ obj)
+            # so the kernel's gather is one tile-aligned DMA per row;
+            # per-table attrs stay None (a second per-table copy would erase
+            # the capacity win) and float_rows/float_table slice sub-row
+            # spans out of the packed slab
+            qs = [quantize_entity_rows(np.asarray(tables[k]), per_slot=ps)
+                  for k, ps in (("entity_text_feature", True),
+                                ("entity_image_feature", False),
+                                ("entity_object_feature", False))]
+            tails = tuple(np.asarray(tables[k]).shape[1:] for k in
+                          ("entity_text_feature", "entity_image_feature",
+                           "entity_object_feature"))
+            chunks = tuple((int(np.prod(t)), (2 if i == 0 else 1))
+                           for i, t in enumerate(tails))
+            assert fused_gather_supported(sum(w for w, _ in chunks), chunks), (
+                "fused_gather needs 128-lane-aligned feature slots; "
+                f"got widths {[c[0] for c in chunks]} "
+                "(use the XLA path for these dims)", chunks)
+            packed, psc = pack_quantized_tables([q for q, _ in qs],
+                                                [s for _, s in qs])
+            self._chunks, self._tails = chunks, tails
+            subs = np.cumsum([0] + [w // 128 for w, _ in chunks])
+            self._layout = {name: (int(subs[i]), int(subs[i + 1]),
+                                   chunks[i][1], tails[i])
+                            for i, name in enumerate(("text", "image", "obj"))}
+            self.packed = put(packed)
+            self.packed_scales = put(psc, cast=False)
+            self.text = self.image = self.obj = None
+            self.text_scale = self.image_scale = self.obj_scale = None
+        elif quantize:
             def put_q(x, per_slot=False):
                 q, s = quantize_entity_rows(x, per_slot=per_slot)
                 # scales stay f32 (cast=False): a bf16 scale would round the
@@ -228,6 +273,8 @@ class DeviceEntityStore:
                           for t in self._tables())
 
     def _tables(self):
+        if self.fused:
+            return (self.packed, self.packed_scales, self.obj_score)
         if self.quantized:
             ts = [self.text, self.text_scale]
             if self.text_mask is not None:
@@ -240,6 +287,19 @@ class DeviceEntityStore:
             ts.insert(1, self.text_mask)
         return tuple(ts)
 
+    def _qview(self, name: str, lo: int, hi: int):
+        """Quantized ``(rows, scales)`` for ``table[lo:hi]`` in the same
+        shapes the per-table layout stores — on a fused store these are
+        sub-row-span slices of the packed slab (transient is the slice,
+        never a per-table copy)."""
+        if not self.fused:
+            return getattr(self, name)[lo:hi], getattr(self, f"{name}_scale")[lo:hi]
+        s0, s1, nslots, tail = self._layout[name]
+        q = self.packed[lo:hi, s0:s1].reshape((hi - lo,) + tail)
+        # every sub-row of a slot repeats that slot's scale: stride one out
+        ss = self.packed_scales[lo:hi, s0:s1:(s1 - s0) // nslots]
+        return q, (ss if nslots > 1 else ss[:, 0])
+
     def float_table(self, name: str, chunk: int = 32768):
         """Float view of ``'text'`` / ``'image'`` / ``'obj'`` for WHOLE-table
         consumers (retrieval source, GHMFC entity precompute, save_bundle):
@@ -249,21 +309,20 @@ class DeviceEntityStore:
         chip deliberately packed to int8 capacity (~2x entities) would OOM
         exactly the deployments quantize targets (ADVICE r4).  Non-quantized
         stores return the resident table unchanged."""
-        q = getattr(self, name)
-        scale = getattr(self, f"{name}_scale")
-        if scale is None:
-            return q
-        n = q.shape[0]
+        if not self.quantized:
+            return getattr(self, name)
+        n = (self.packed if self.fused else getattr(self, name)).shape[0]
         deq = jax.jit(_dequantize, static_argnums=2)
         if n <= chunk:
-            return deq(q, scale, self.dtype)
+            return deq(*self._qview(name, 0, n), self.dtype)
         write = jax.jit(
             lambda out, piece, lo: jax.lax.dynamic_update_slice(
                 out, piece, (lo,) + (0,) * (out.ndim - 1)),
             donate_argnums=0)
-        out = jnp.zeros(q.shape, self.dtype)
+        shape = (n,) + self._layout[name][3] if self.fused else getattr(self, name).shape
+        out = jnp.zeros(shape, self.dtype)
         for lo in range(0, n, chunk):
-            out = write(out, deq(q[lo : lo + chunk], scale[lo : lo + chunk],
+            out = write(out, deq(*self._qview(name, lo, min(lo + chunk, n)),
                                  self.dtype), jnp.int32(lo))
         return out
 
@@ -272,14 +331,14 @@ class DeviceEntityStore:
         ``slot``) — for consumers that only need a slice (chunked GHMFC
         entity precompute, the retrieval source's single text slot): the
         transient is the slice, never the table."""
-        q = getattr(self, name)
-        scale = getattr(self, f"{name}_scale")
-        qs = q[lo:hi] if slot is None else q[lo:hi, slot]
-        if scale is None:
-            return qs
-        ss = scale[lo:hi]
-        if slot is not None and ss.ndim > 1:  # per-slot scales [N, S]
-            ss = ss[:, slot]
+        if not self.quantized:
+            q = getattr(self, name)
+            return q[lo:hi] if slot is None else q[lo:hi, slot]
+        qs, ss = self._qview(name, lo, hi)
+        if slot is not None:
+            qs = qs[:, slot]
+            if ss.ndim > 1:  # per-slot scales [N, S]
+                ss = ss[:, slot]
         return jax.jit(_dequantize, static_argnums=2)(qs, ss, self.dtype)
 
     def _gather_fn(self, n_tables: int, C: int):
@@ -298,6 +357,29 @@ class DeviceEntityStore:
         default_tables = self._tables()
         gathers: dict = {}  # keyed by candidate count (scatter layout depends on C)
         dt = self.dtype
+        if self.fused:
+            from drin_tpu.ops.pallas.gather import gather_dequant
+
+            chunks, tails = self._chunks, self._tails
+            # interpret mode lets the CPU-mesh test suite execute the kernel;
+            # decided at trace time, static for the lowered program
+            interp = jax.default_backend() != "tpu"
+
+            def feats_fn(feats, tables=default_tables):
+                (mtf, mtm, sp, ep, mif, mof, mos, rows, miet, mtei) = feats
+                packed, psc, eos_t = tables
+                tf, imf, of = gather_dequant(packed, psc, rows, chunks, dt,
+                                             interpret=interp)
+                etf = tf.reshape(rows.shape + tails[0])
+                eif = imf.reshape(rows.shape + tails[1])
+                eof = of.reshape(rows.shape + tails[2])
+                eos = eos_t[rows]
+                etm = jnp.zeros((rows.shape[0],), jnp.int32)
+                return (mtf, mtm, sp, ep, mif, mof, mos,
+                        etf, etm, eif, eof, eos, miet, mtei)
+
+            feats_fn.tables = default_tables
+            return feats_fn
 
         def feats_fn(feats, tables=default_tables):
             (mtf, mtm, sp, ep, mif, mof, mos, rows, miet, mtei) = feats
@@ -329,6 +411,9 @@ class DeviceEntityStore:
     def baseline_feats_fn(self):
         """See :meth:`drin_feats_fn` for the ``.tables`` pass-as-argument
         contract."""
+        assert not self.fused, (
+            "fused_gather packs the DRIN three-table layout; baseline "
+            "rankers need a standard (quantize=True) store")
         text, mask, image = self.text, self.text_mask, self.image
         if self.quantized:
             scales = (self.text_scale, self.image_scale)

@@ -251,7 +251,8 @@ class Ranker:
 
     def __init__(self, cfg: Config, params=None, entity_tables: Optional[dict] = None,
                  checkpoint_dir: Optional[str] = None, step: Optional[int] = None,
-                 model=None, quantize_store: bool = False):
+                 model=None, quantize_store: bool = False,
+                 fused_gather: bool = False):
         self.cfg = cfg
         self.model, self.kind = get_model(cfg)
         if model is not None:  # caller-supplied module (e.g. custom bert_cfg)
@@ -267,9 +268,17 @@ class Ranker:
         self._cast = cast
         if entity_tables is not None and cfg.entity_pooling_cached:
             # quantize_store: int8 rank tables, ~2x entities per chip;
-            # scores tolerance-bounded (device_store.DeviceEntityStore)
+            # scores tolerance-bounded (device_store.DeviceEntityStore).
+            # fused_gather: serve the int8 tables through the Pallas
+            # gather+dequant kernel (ops/pallas/gather.py) — one packed-row
+            # DMA + in-VMEM dequant instead of XLA's two materializations
+            if fused_gather and self.kind != "drin":
+                raise ValueError("fused_gather packs the DRIN three-table "
+                                 f"layout; model_type={cfg.model_type} uses "
+                                 "the standard quantized store")
             self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt,
-                                           quantize=quantize_store)
+                                           quantize=quantize_store,
+                                           fused_gather=fused_gather)
             self._feats_fn = (self.store.drin_feats_fn() if self.kind == "drin"
                               else self.store.baseline_feats_fn())
         elif quantize_store:
@@ -379,7 +388,9 @@ class Ranker:
         # full-precision (2x resident bytes) store out of the projection
         self.store = DeviceEntityStore(self.cfg, proj, dtype=dt,
                                        quantize=self.store is not None
-                                       and self.store.quantized)
+                                       and self.store.quantized,
+                                       fused_gather=self.store is not None
+                                       and self.store.fused)
         self._feats_fn = self.store.drin_feats_fn()
         self._retrieval_table = None  # rebuild retrieval cache in model space
         self._retrieval_q = None
@@ -696,7 +707,8 @@ class Ranker:
 
     @classmethod
     def from_bundle(cls, path: str, model=None,
-                    quantize_store: bool = False) -> "Ranker":
+                    quantize_store: bool = False,
+                    fused_gather: bool = False) -> "Ranker":
         """Reconstruct a Ranker from a :meth:`save_bundle` directory.
         ``quantize_store=True`` loads the bundled float tables into the
         int8 rank store (bundles always persist floats)."""
@@ -715,7 +727,8 @@ class Ranker:
             os.path.abspath(os.path.join(path, "state")))
         tables = restored.get("tables")
         return cls(cfg, params=restored["params"], entity_tables=tables,
-                   model=model, quantize_store=quantize_store)
+                   model=model, quantize_store=quantize_store,
+                   fused_gather=fused_gather)
 
 
 # ---------------------------------------------------------------------------
@@ -1134,6 +1147,9 @@ def main(argv=None):
       row-sharding over all visible devices)
     * ``quantize_store=true`` — int8 RANK-stage entity tables (~2x
       entities per chip; scores tolerance-bounded, see DeviceEntityStore)
+    * ``fused_gather=true`` — serve the int8 tables through the fused
+      Pallas gather+dequant kernel (DRIN + quantize_store only; needs
+      128-lane-aligned feature dims, refused loudly otherwise)
 
     Returns the server object (tests use ``port=0`` + ``.shutdown()``); the
     ``__main__`` path blocks until interrupted."""
@@ -1152,11 +1168,13 @@ def main(argv=None):
     shard = overrides.pop("shard_retrieval", False)
     expand = int(overrides.pop("retrieve_expand", 4))
     quantize_store = overrides.pop("quantize_store", False)
+    fused_gather = overrides.pop("fused_gather", False)
     if bundle is not None:
         if overrides:
             raise SystemExit("bundle mode takes no config overrides, got: "
                              + ", ".join(sorted(overrides)))
-        ranker = Ranker.from_bundle(bundle, quantize_store=bool(quantize_store))
+        ranker = Ranker.from_bundle(bundle, quantize_store=bool(quantize_store),
+                                    fused_gather=bool(fused_gather))
     else:
         from drin_tpu.common.config import make_config
 
@@ -1169,7 +1187,8 @@ def main(argv=None):
 
             tables = load_wikimel_entity_tables(cfg)
         ranker = Ranker(cfg, entity_tables=tables,
-                        quantize_store=bool(quantize_store))
+                        quantize_store=bool(quantize_store),
+                        fused_gather=bool(fused_gather))
     if project:
         ranker.precompute_entity_projection()
     if precompute:

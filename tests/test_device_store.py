@@ -245,3 +245,134 @@ def test_float_table_chunked_and_float_rows(wm):
                                   np.asarray(s_f.text))
     np.testing.assert_array_equal(np.asarray(s_f.float_rows("text", 2, 5, slot=0)),
                                   np.asarray(s_f.text)[2:5, 0])
+
+
+def test_fused_gather_kernel_bit_equal():
+    """ops/pallas/gather.gather_dequant (interpret mode) must be BIT-EQUAL
+    to the XLA gather+dequant it replaces — incl. a row count that doesn't
+    divide the block (pad rows gathered then sliced off) and repeated
+    indices."""
+    from drin_tpu.ops.pallas.gather import (fused_gather_supported,
+                                            gather_dequant,
+                                            pack_quantized_tables)
+
+    rng = np.random.default_rng(7)
+    N, chunks = 300, ((256, 2), (128, 1), (256, 1))
+    D = sum(w for w, _ in chunks)
+    assert fused_gather_supported(D, chunks)
+    qt = [rng.integers(-127, 128, (N, w)).astype(np.int8) for w, _ in chunks]
+    sc = [rng.uniform(0.01, 2.0, (N, s)).astype(np.float32)
+          for _, s in chunks]
+    packed, psc = pack_quantized_tables(qt, sc)
+    assert packed.shape == (N, 8, 128)  # 5 data sub-rows pad to the 8-tile
+    rows = rng.integers(0, N, (5, 7)).astype(np.int32)  # R=35, pads to 64
+    rows[0, :3] = rows[0, 3]  # repeated indices
+
+    outs = gather_dequant(jnp.asarray(packed), jnp.asarray(psc),
+                          jnp.asarray(rows), chunks, jnp.float32,
+                          interpret=True)
+    for out, q, s, (w, ns) in zip(outs, qt, sc, chunks):
+        assert out.shape == rows.shape + (w,)
+        per = w // ns
+        want = (q[rows].reshape(rows.shape + (ns, per)).astype(np.float32)
+                * s[rows][..., None]).reshape(rows.shape + (w,))
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+    # unsupported layouts are refused, not silently mis-lowered
+    assert not fused_gather_supported(D + 64, chunks)
+    assert not fused_gather_supported(D, ((256, 3), (128, 1), (256, 1)))
+
+
+@pytest.fixture(scope="module")
+def wm128(tmp_path_factory):
+    """128-lane-aligned feature dims (the fused kernel's layout rule);
+    everything else stays the tiny schema."""
+    d = str(tmp_path_factory.mktemp("wm-dev-128"))
+    cfg = tiny_config("wikimel", "drin", preprocess_dir=d,
+                      bert_embed_dim=128, resnet_embed_dim=128,
+                      gcn_embed_dim=128, entity_final_output_dim=128,
+                      mention_final_output_dim=128)
+    make_synthetic_store(cfg, n_mentions=8, n_entities=40, seed=13)
+    tables = load_wikimel_entity_tables(cfg)
+    ds = MELFeatureDataset(cfg, "train", tables)
+    return cfg, tables, ds
+
+
+def test_fused_store_matches_quantized_store(wm128):
+    """The fused store (packed int8 table + Pallas gather+dequant) must
+    reproduce the standard quantized store's feature tuple BIT-EQUALLY:
+    same quantization, same dequant math, only the data movement differs.
+    Capacity is preserved (no second per-table copy)."""
+    cfg, tables, ds = wm128
+    s_q = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True)
+    s_f = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                            fused_gather=True)
+    assert s_f.fused and s_f.text is None  # no per-table copies
+    # resident bytes = the packed slab + per-sub-row scales + float scores:
+    # the slab pads sub-rows to the 8-sublane tile (2x at these tiny dims;
+    # 48/44 = +9% at the reference dims — device_store docstring)
+    N, m = s_f.packed.shape[:2]
+    assert s_f.nbytes == N * m * 128 + N * m * 4 + s_f.obj_score.nbytes
+
+    rows_batch = ds.drin_rows_batch(np.arange(6))
+    feats = tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1])
+    f_q = jax.jit(s_q.drin_feats_fn())(feats)
+    f_f = jax.jit(s_f.drin_feats_fn())(feats)
+    assert len(f_q) == len(f_f)
+    for a, b in zip(f_q, f_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # whole-table / slice views agree with the per-table quantized layout
+    for name in ("text", "image", "obj"):
+        np.testing.assert_array_equal(np.asarray(s_f.float_table(name, chunk=16)),
+                                      np.asarray(s_q.float_table(name, chunk=16)))
+    np.testing.assert_array_equal(np.asarray(s_f.float_rows("text", 3, 9, slot=1)),
+                                  np.asarray(s_q.float_rows("text", 3, 9, slot=1)))
+
+    # layout rules are enforced loudly, not silently wrong
+    with pytest.raises(AssertionError):
+        s_f.baseline_feats_fn()
+    with pytest.raises(AssertionError):
+        DeviceEntityStore(cfg, tables, dtype=jnp.float32, fused_gather=True)
+
+
+def test_fused_store_unaligned_dims_refused(wm):
+    """Tiny (non-128-aligned) feature dims must be refused at construction
+    — the XLA quantized path is the fallback, never a mis-lowered kernel."""
+    cfg, tables, _ = wm
+    with pytest.raises(AssertionError):
+        DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                          fused_gather=True)
+
+
+def test_fused_store_serving_end_to_end(wm128):
+    """Ranker(fused_gather=True): scores match the quantize_store Ranker
+    to a few ULPs (the FEATURE TUPLE is bit-equal —
+    test_fused_store_matches_quantized_store — but the Pallas call is an
+    XLA fusion boundary, so downstream reassociation can differ by one
+    ULP), the projection fast path preserves fused mode, and non-DRIN
+    models are refused at construction."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds = wm128
+    cfg = cfg.replace(compute_dtype="float32")
+    model = DRIN(cfg)
+    params = model.init(jax.random.key(1), ds.drin_batch(np.arange(4))[:-1])["params"]
+    rq = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True)
+    rf = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True,
+                fused_gather=True)
+    assert rf.store.fused
+    b = ds.drin_rows_batch(np.arange(5))
+    np.testing.assert_allclose(rf.score(b[:-1]), rq.score(b[:-1]), atol=1e-6)
+
+    # projection rebuild keeps the fused layout (like it keeps quantization)
+    rf.precompute_entity_projection()
+    assert rf.store.fused and rf.store.quantized
+    rq.precompute_entity_projection()
+    np.testing.assert_allclose(rf.score(b[:-1]), rq.score(b[:-1]), atol=1e-6)
+
+    # non-DRIN refusal fires before the store (or score fns) are built
+    bl_cfg = cfg.replace(model_type="ghmfc")
+    with pytest.raises(ValueError, match="fused_gather"):
+        Ranker(bl_cfg, params={}, entity_tables=tables,
+               quantize_store=True, fused_gather=True)
