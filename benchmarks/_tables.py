@@ -79,3 +79,50 @@ def make_full_scale_store_quantized(cfg, n: int = N_ENTITIES, seed: int = 1):
     store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                        for t in store._tables())
     return store
+
+
+def make_full_scale_store_fused(cfg, n: int = N_ENTITIES, seed: int = 1):
+    """Fused-kernel variant: the same-seed quantized tables packed IN HBM
+    into the [n, m, 128] int8 slab + [n, m] per-sub-row scales the Pallas
+    gather+dequant kernel reads (ops/pallas/gather.py) — no host transfer;
+    per-table int8 intermediates are freed as the slab is assembled."""
+    import jax
+    import jax.numpy as jnp
+
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    storeq = make_full_scale_store_quantized(cfg, n, seed=seed)
+    D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
+    rng = np.random.default_rng(0)
+    tiny = {
+        "entity_text_feature": rng.standard_normal((64, 2, D)).astype(np.float32),
+        "entity_image_feature": rng.standard_normal((64, 1, Dr)).astype(np.float32),
+        "entity_object_feature": rng.standard_normal((64, Te, 1, Dr)).astype(np.float32),
+        "entity_object_score": rng.uniform(0, 1, (64, Te)).astype(np.float32),
+    }
+    store = DeviceEntityStore(cfg, tiny, dtype=jnp.bfloat16, quantize=True,
+                              fused_gather=True)
+    m = store.packed.shape[1]
+    subs = [(hi - lo) for (lo, hi, _, _) in
+            (store._layout[k] for k in ("text", "image", "obj"))]
+
+    @jax.jit
+    def pack(text, image, obj, tsc, isc, osc):
+        parts = [t.reshape(n, -1, 128) for t in (text, image, obj)]
+        pad = jnp.zeros((n, m - sum(subs), 128), jnp.int8)
+        packed = jnp.concatenate(parts + [pad], axis=1)
+        scs = [jnp.repeat(s.reshape(n, -1), sub // s.reshape(n, -1).shape[1],
+                          axis=1)
+               for s, sub in zip((tsc, isc, osc), subs)]
+        scs.append(jnp.ones((n, m - sum(subs)), jnp.float32))
+        return packed, jnp.concatenate(scs, axis=1)
+
+    store.packed, store.packed_scales = pack(
+        storeq.text, storeq.image, storeq.obj,
+        storeq.text_scale, storeq.image_scale, storeq.obj_scale)
+    store.obj_score = storeq.obj_score
+    store.n_rows = n
+    store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                       for t in store._tables())
+    del storeq
+    return store

@@ -196,6 +196,46 @@ def main():
             "ms_per_batch": round(dt * 1e3, 3),
             "pairs_per_sec": round(B * C / dt, 1)}), flush=True)
 
+    # fused int8 store (device_store fused_gather): the Pallas gather+dequant
+    # kernel (ops/pallas/gather.py) replaces XLA's gather -> materialize ->
+    # dequantize -> materialize; same quantized data, so this row is a direct
+    # A/B against drin_rank_int8 AND drin_rank above
+    from benchmarks._tables import make_full_scale_store_fused
+
+    del storeq, rankerq, feats_fnq, tablesq  # free HBM before the slab builds
+    storef = make_full_scale_store_fused(cfg, N_ENTITIES)
+    rankerf = Ranker(cfg, params=params)
+    rankerf.set_store(storef)
+    feats_fnf = rankerf._feats_fn
+    tablesf = feats_fnf.tables
+    nbytesf = storef.nbytes
+    log(f"fused int8 slab: {nbytesf / 1e6:.0f} MB resident")
+    for B in (1, 64):
+        log(f"drin_rank_fused B={B}...")
+        feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
+        rows = rng.integers(0, N, (B, C)).astype(np.int32)
+        batch = feats[:7] + (rows,) + feats[12:14]
+        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
+        cast16 = lambda x: (jnp.asarray(x, dt16)
+                            if np.issubdtype(np.asarray(x).dtype, np.floating)
+                            else jnp.asarray(x))
+        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
+
+        def rank_chain_f(eps, params, dev, tables, K=K):
+            for _ in range(K):
+                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
+                out = apply_fn(params, feats_fnf(b, tables))
+                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        dt = timed_chain(jax.jit(rank_chain_f), (dev_params, dev, tablesf), K, iters=10)
+        print(json.dumps({
+            "measurement": "drin_rank_fused", "batch": B, "candidates": C,
+            "resident_mb": round(nbytesf / 1e6),
+            "ms_per_batch": round(dt * 1e3, 3),
+            "pairs_per_sec": round(B * C / dt, 1)}), flush=True)
+    del storef, rankerf, feats_fnf, tablesf
+
     # sustained concurrent serving: many client threads firing single-mention
     # requests — direct interleaved jit calls vs the micro-batching queue
     # (serve.BatchingRanker).  End-to-end wall clock including host work and
