@@ -81,17 +81,22 @@ def make_full_scale_store_quantized(cfg, n: int = N_ENTITIES, seed: int = 1):
     return store
 
 
-def make_full_scale_store_fused(cfg, n: int = N_ENTITIES, seed: int = 1):
+def make_full_scale_store_fused(cfg, n: int = N_ENTITIES, seed: int = 1,
+                                base=None):
     """Fused-kernel variant: the same-seed quantized tables packed IN HBM
     into the [n, m, 128] int8 slab + [n, m] per-sub-row scales the Pallas
     gather+dequant kernel reads (ops/pallas/gather.py) — no host transfer;
-    per-table int8 intermediates are freed as the slab is assembled."""
+    per-table int8 intermediates are freed as the slab is assembled.
+
+    ``base``: an existing :func:`make_full_scale_store_quantized` store to
+    pack from (saves rebuilding it when the caller already measured the
+    int8 store in the same session)."""
     import jax
     import jax.numpy as jnp
 
     from drin_tpu.data.device_store import DeviceEntityStore
 
-    storeq = make_full_scale_store_quantized(cfg, n, seed=seed)
+    storeq = base or make_full_scale_store_quantized(cfg, n, seed=seed)
     D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
     rng = np.random.default_rng(0)
     tiny = {
