@@ -161,11 +161,20 @@ class DeviceEntityStore:
     retrieval cache's exact shortlist rescore) — per-element table error is
     <= max|row|/254, comparable to the bf16 rounding the serving path
     already accepts (machinery-exactness and score-divergence tests:
-    tests/test_device_store.py)."""
+    tests/test_device_store.py).
+
+    ``include`` names the feature tables the consumer's model actually
+    reads.  Baseline (GHMFC) rankers read only text + image
+    (reference ghmfc.py:202-251 — the entity tower has no object branch),
+    so ``include=("text", "image")`` skips uploading the object table and
+    scores entirely: at the WikiMEL serving scale that is ~450MB bf16
+    (~225MB int8) of HBM the model would never touch.  DRIN requires the
+    full default."""
 
     def __init__(self, cfg: Config, tables: dict, dtype=None, sharding=None,
                  mesh=None, shard_rows: bool = False, quantize: bool = False,
-                 fused_gather: bool = False):
+                 fused_gather: bool = False,
+                 include: tuple = ("text", "image", "obj")):
         assert cfg.entity_pooling_cached or shard_rows, (
             "non-pooled token-level tables exceed one chip's HBM; use "
             "shard_rows=True on a mesh (or enable the pooled entity cache)")
@@ -173,6 +182,12 @@ class DeviceEntityStore:
         self.sharded = shard_rows
         self.quantized = bool(quantize)
         self.mesh = mesh
+        assert {"text", "image"} <= set(include) <= {"text", "image", "obj"}, (
+            "include must keep the text and image tables (retrieval scans "
+            f"text; every model reads both) — got {include}")
+        # canonical order so the fused slab layout / _tables() are stable
+        self.include = tuple(n for n in ("text", "image", "obj")
+                             if n in include)
         dt = jnp.dtype(dtype or cfg.compute_dtype)
         self.dtype = dt
         if shard_rows:
@@ -218,20 +233,26 @@ class DeviceEntityStore:
                 "fused_gather fuses the int8 gather+dequant kernel: it "
                 "requires quantize=True, the pooled entity cache, and a "
                 "replicated (non-row-sharded) store")
-            # ONE packed int8 [m, 128] slab per entity (text ‖ image ‖ obj)
-            # so the kernel's gather is one tile-aligned DMA per row;
-            # per-table attrs stay None (a second per-table copy would erase
-            # the capacity win) and float_rows/float_table slice sub-row
-            # spans out of the packed slab
-            qs = [quantize_entity_rows(np.asarray(tables[k]), per_slot=ps)
-                  for k, ps in (("entity_text_feature", True),
-                                ("entity_image_feature", False),
-                                ("entity_object_feature", False))]
-            tails = tuple(np.asarray(tables[k]).shape[1:] for k in
-                          ("entity_text_feature", "entity_image_feature",
-                           "entity_object_feature"))
-            chunks = tuple((int(np.prod(t)), (2 if i == 0 else 1))
-                           for i, t in enumerate(tails))
+            # ONE packed int8 [m, 128] slab per entity (text ‖ image ‖ obj
+            # for DRIN; text ‖ image for baseline stores that exclude the
+            # object table) so the kernel's gather is one tile-aligned DMA
+            # per row; per-table attrs stay None (a second per-table copy
+            # would erase the capacity win) and float_rows/float_table
+            # slice sub-row spans out of the packed slab
+            keys = {"text": "entity_text_feature",
+                    "image": "entity_image_feature",
+                    "obj": "entity_object_feature"}
+            # per-slot scales only for the pooled text table's (projected,
+            # raw-CLS) slot pair (ADVICE r4)
+            qs = [quantize_entity_rows(np.asarray(tables[keys[n]]),
+                                       per_slot=n == "text")
+                  for n in self.include]
+            tails = tuple(np.asarray(tables[keys[n]]).shape[1:]
+                          for n in self.include)
+            # n_slots per chunk comes from the scale shape: [N, S] per-slot
+            # scales -> S slots, [N] per-row scales -> 1 slot
+            chunks = tuple((int(np.prod(t)), int(np.prod(s.shape[1:])))
+                           for t, (_, s) in zip(tails, qs))
             assert fused_gather_supported(sum(w for w, _ in chunks), chunks), (
                 "fused_gather needs 128-lane-aligned feature slots; "
                 f"got widths {[c[0] for c in chunks]} "
@@ -242,7 +263,7 @@ class DeviceEntityStore:
             subs = np.cumsum([0] + [w // 128 for w, _ in chunks])
             self._layout = {name: (int(subs[i]), int(subs[i + 1]),
                                    chunks[i][1], tails[i])
-                            for i, name in enumerate(("text", "image", "obj"))}
+                            for i, name in enumerate(self.include)}
             self.packed = put(packed)
             self.packed_scales = put(psc, cast=False)
             self.text = self.image = self.obj = None
@@ -261,40 +282,52 @@ class DeviceEntityStore:
             self.text, self.text_scale = put_q(tables["entity_text_feature"],
                                                per_slot=self.pooled)
             self.image, self.image_scale = put_q(tables["entity_image_feature"])
-            self.obj, self.obj_scale = put_q(tables["entity_object_feature"])
+            self.obj, self.obj_scale = (
+                put_q(tables["entity_object_feature"])
+                if "obj" in self.include else (None, None))
         else:
             self.text_scale = self.image_scale = self.obj_scale = None
             self.text = put(tables["entity_text_feature"])  # [N, 2, D] pooled / [N, Le, D]
             self.image = put(tables["entity_image_feature"])  # [N, 1, Dr]
-            self.obj = put(tables["entity_object_feature"])  # [N, Te, 1, Dr]
+            self.obj = (put(tables["entity_object_feature"])  # [N, Te, 1, Dr]
+                        if "obj" in self.include else None)
         self.text_mask = None if self.pooled else put(tables["entity_text_mask"])  # [N, Le]
-        self.obj_score = put(tables["entity_object_score"])  # [N, Te] (tiny; kept float)
+        self.obj_score = (put(tables["entity_object_score"])  # [N, Te] (tiny; kept float)
+                          if "obj" in self.include else None)
         self.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                           for t in self._tables())
 
     def _tables(self):
         if self.fused:
-            return (self.packed, self.packed_scales, self.obj_score)
-        if self.quantized:
+            ts = [self.packed, self.packed_scales, self.obj_score]
+        elif self.quantized:
             ts = [self.text, self.text_scale]
             if self.text_mask is not None:
                 ts.append(self.text_mask)
             ts += [self.image, self.image_scale, self.obj, self.obj_scale,
                    self.obj_score]
-            return tuple(ts)
-        ts = [self.text, self.image, self.obj, self.obj_score]
-        if self.text_mask is not None:
-            ts.insert(1, self.text_mask)
-        return tuple(ts)
+        else:
+            ts = [self.text, self.image, self.obj, self.obj_score]
+            if self.text_mask is not None:
+                ts.insert(1, self.text_mask)
+        # an include-narrowed store (baseline: no object tables) leaves the
+        # excluded attrs None; drop them so consumers see a dense tuple
+        return tuple(t for t in ts if t is not None)
 
     def _qview(self, name: str, lo: int, hi: int):
         """Quantized ``(rows, scales)`` for ``table[lo:hi]`` in the same
         shapes the per-table layout stores — on a fused store these are
         sub-row-span slices of the packed slab (transient is the slice,
         never a per-table copy)."""
+        assert name in self.include, (
+            f"store was built without the {name!r} table (include="
+            f"{self.include})")
         if not self.fused:
             return getattr(self, name)[lo:hi], getattr(self, f"{name}_scale")[lo:hi]
         s0, s1, nslots, tail = self._layout[name]
+        # clamp like a python slice would: chunked consumers pass hi past
+        # the table end on their last chunk
+        hi = min(hi, self.packed.shape[0])
         q = self.packed[lo:hi, s0:s1].reshape((hi - lo,) + tail)
         # every sub-row of a slot repeats that slot's scale: stride one out
         ss = self.packed_scales[lo:hi, s0:s1:(s1 - s0) // nslots]
@@ -309,6 +342,9 @@ class DeviceEntityStore:
         chip deliberately packed to int8 capacity (~2x entities) would OOM
         exactly the deployments quantize targets (ADVICE r4).  Non-quantized
         stores return the resident table unchanged."""
+        assert name in self.include, (
+            f"store was built without the {name!r} table (include="
+            f"{self.include})")
         if not self.quantized:
             return getattr(self, name)
         n = (self.packed if self.fused else getattr(self, name)).shape[0]
@@ -331,6 +367,9 @@ class DeviceEntityStore:
         ``slot``) — for consumers that only need a slice (chunked GHMFC
         entity precompute, the retrieval source's single text slot): the
         transient is the slice, never the table."""
+        assert name in self.include, (
+            f"store was built without the {name!r} table (include="
+            f"{self.include})")
         if not self.quantized:
             q = getattr(self, name)
             return q[lo:hi] if slot is None else q[lo:hi, slot]
@@ -354,6 +393,9 @@ class DeviceEntityStore:
         call.  Closing over them instead would bake the (possibly
         multi-GB) tables into the lowered program as constants — measured
         to hang compilation at the real WikiMEL table size."""
+        assert "obj" in self.include, (
+            "DRIN reads the entity object tables; this store was built "
+            f"with include={self.include} (a baseline layout)")
         default_tables = self._tables()
         gathers: dict = {}  # keyed by candidate count (scatter layout depends on C)
         dt = self.dtype
@@ -411,9 +453,34 @@ class DeviceEntityStore:
     def baseline_feats_fn(self):
         """See :meth:`drin_feats_fn` for the ``.tables`` pass-as-argument
         contract."""
-        assert not self.fused, (
-            "fused_gather packs the DRIN three-table layout; baseline "
-            "rankers need a standard (quantize=True) store")
+        dt = self.dtype
+        if self.fused:
+            from drin_tpu.ops.pallas.gather import gather_dequant
+
+            assert self.include == ("text", "image"), (
+                "a fused baseline store must pack exactly the text+image "
+                f"layout (include={self.include}): gathering a slab that "
+                "also carries the DRIN object chunk would read dead bytes "
+                "per row — rebuild with include=('text', 'image')")
+            default_tables = (self.packed, self.packed_scales)
+            chunks, tails = self._chunks, self._tails
+            interp = jax.default_backend() != "tpu"
+
+            def feats_fn(feats, tables=default_tables):
+                (mtf, mtm, sp, ep, mif, rows) = feats
+                packed, psc = tables
+                tf, imf = gather_dequant(packed, psc, rows, chunks, dt,
+                                         interpret=interp)
+                etf = tf.reshape(rows.shape + tails[0])
+                eif = imf.reshape(rows.shape + tails[1])
+                etm = jnp.zeros((rows.shape[0],), jnp.int32)
+                if eif.ndim == 4:  # [B, C, 1, Dr] pooler rows -> [B, C, Dr]
+                    eif = eif.reshape(eif.shape[0], eif.shape[1], -1)
+                return (mtf, mtm, sp, ep, mif, etf, etm, eif)
+
+            feats_fn.tables = default_tables
+            return feats_fn
+
         text, mask, image = self.text, self.text_mask, self.image
         if self.quantized:
             scales = (self.text_scale, self.image_scale)
@@ -422,7 +489,6 @@ class DeviceEntityStore:
         else:
             default_tables = (text, image) if self.pooled else (text, mask, image)
         gathers: dict = {}
-        dt = self.dtype
 
         def feats_fn(feats, tables=default_tables):
             (mtf, mtm, sp, ep, mif, rows) = feats

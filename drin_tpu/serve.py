@@ -272,22 +272,30 @@ class Ranker:
             # fused_gather: serve the int8 tables through the Pallas
             # gather+dequant kernel (ops/pallas/gather.py) — one packed-row
             # DMA + in-VMEM dequant instead of XLA's two materializations
-            if fused_gather and self.kind != "drin":
-                raise ValueError("fused_gather packs the DRIN three-table "
-                                 f"layout; model_type={cfg.model_type} uses "
-                                 "the standard quantized store")
+            # (DRIN three-table layout or the GHMFC text+image layout)
+            if fused_gather and cfg.model_type not in ("drin", "ghmfc"):
+                raise ValueError("fused_gather packs the DRIN or GHMFC "
+                                 f"table layouts; model_type={cfg.model_type}"
+                                 " uses the standard quantized store")
+            # baselines never read the entity object tables (reference
+            # ghmfc.py:202-251): skip uploading them — ~450MB bf16 of HBM
+            # at the WikiMEL serving scale the model would never touch
+            include = (("text", "image", "obj") if self.kind == "drin"
+                       else ("text", "image"))
             self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt,
                                            quantize=quantize_store,
-                                           fused_gather=fused_gather)
+                                           fused_gather=fused_gather,
+                                           include=include)
             self._feats_fn = (self.store.drin_feats_fn() if self.kind == "drin"
                               else self.store.baseline_feats_fn())
-        elif quantize_store:
-            # fail loudly: an explicit int8 request that builds no store
-            # would silently leave full-precision memory expectations wrong
+        elif quantize_store or fused_gather:
+            # fail loudly: an explicit int8/fused request that builds no
+            # store would silently leave memory/latency expectations wrong
             raise ValueError(
-                "quantize_store=True needs device entity tables "
+                ("quantize_store" if quantize_store else "fused_gather")
+                + "=True needs device entity tables "
                 "(entity_tables with entity_pooling_cached); this "
-                "configuration builds no rank-stage store to quantize")
+                "configuration builds no rank-stage store")
         self._build_score_fns()
 
     def _build_score_fns(self):
@@ -433,7 +441,8 @@ class Ranker:
         assert self.cfg.model_type == "ghmfc", "entity precompute is the GHMFC fast path"
         enc = EntityEncoder(self.cfg)
         ep = {"params": self.params["entity_encoder"]}
-        n = self.store.text.shape[0]
+        # n_rows, not text.shape[0]: a fused store keeps no per-table copy
+        n = self.store.n_rows
         fn = jax.jit(lambda t, i: enc.apply(ep, t[None], None, i[None])[0])
         out = []
         for i in range(0, n, chunk):
@@ -696,9 +705,14 @@ class Ranker:
             payload["tables"] = {
                 "entity_text_feature": np.asarray(self.store.float_table("text")[:n], np.float32),
                 "entity_image_feature": np.asarray(self.store.float_table("image")[:n], np.float32),
-                "entity_object_feature": np.asarray(self.store.float_table("obj")[:n], np.float32),
-                "entity_object_score": np.asarray(self.store.obj_score[:n], np.float32),
             }
+            if "obj" in self.store.include:
+                # baseline stores skip the object tables entirely (Ranker
+                # include narrowing); their bundles persist what was served
+                payload["tables"]["entity_object_feature"] = np.asarray(
+                    self.store.float_table("obj")[:n], np.float32)
+                payload["tables"]["entity_object_score"] = np.asarray(
+                    self.store.obj_score[:n], np.float32)
         ckpt = ocp.StandardCheckpointer()
         # force: refreshing a deployment artifact in place must overwrite
         ckpt.save(os.path.abspath(os.path.join(path, "state")), payload,
@@ -1148,8 +1162,8 @@ def main(argv=None):
     * ``quantize_store=true`` — int8 RANK-stage entity tables (~2x
       entities per chip; scores tolerance-bounded, see DeviceEntityStore)
     * ``fused_gather=true`` — serve the int8 tables through the fused
-      Pallas gather+dequant kernel (DRIN + quantize_store only; needs
-      128-lane-aligned feature dims, refused loudly otherwise)
+      Pallas gather+dequant kernel (DRIN or GHMFC, with quantize_store;
+      needs 128-lane-aligned feature dims, refused loudly otherwise)
 
     Returns the server object (tests use ``port=0`` + ``.shutdown()``); the
     ``__main__`` path blocks until interrupted."""

@@ -336,6 +336,82 @@ def test_fused_store_matches_quantized_store(wm128):
         DeviceEntityStore(cfg, tables, dtype=jnp.float32, fused_gather=True)
 
 
+def test_include_narrowed_store_skips_obj(wm):
+    """Baseline (GHMFC) stores read only text+image (reference
+    ghmfc.py:202-251): include=('text','image') must skip uploading the
+    object tables entirely — smaller resident bytes, loud refusal on any
+    object access, and a DRIN feats_fn request fails at build time."""
+    cfg, tables, ds = wm
+    for quantize in (False, True):
+        full = DeviceEntityStore(cfg, tables, dtype=jnp.float32,
+                                 quantize=quantize)
+        slim = DeviceEntityStore(cfg, tables, dtype=jnp.float32,
+                                 quantize=quantize,
+                                 include=("text", "image"))
+        assert slim.obj is None and slim.obj_score is None
+        obj_bytes = sum(np.asarray(tables[k], np.float32).nbytes // (4 if quantize else 1)
+                        for k in ("entity_object_feature",))
+        assert slim.nbytes <= full.nbytes - obj_bytes
+        with pytest.raises(AssertionError, match="include"):
+            slim.float_table("obj")
+        with pytest.raises(AssertionError, match="include"):
+            slim.float_rows("obj", 0, 4)
+        with pytest.raises(AssertionError, match="include"):
+            slim.drin_feats_fn()
+        # the baseline path is unchanged: feature tuples equal the full
+        # store's (the object tables never fed it)
+        rows_batch = ds.baseline_rows_batch(np.arange(4))
+        feats = tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1])
+        f_full = jax.jit(full.baseline_feats_fn())(feats)
+        f_slim = jax.jit(slim.baseline_feats_fn())(feats)
+        for a, b in zip(f_full, f_slim):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # unknown names and text/image-less layouts are refused
+    with pytest.raises(AssertionError, match="include"):
+        DeviceEntityStore(cfg, tables, dtype=jnp.float32, include=("text",))
+    with pytest.raises(AssertionError, match="include"):
+        DeviceEntityStore(cfg, tables, dtype=jnp.float32,
+                          include=("text", "image", "banana"))
+
+
+def test_fused_baseline_store_matches_quantized(wm128):
+    """The GHMFC fused layout (text ‖ image slab, include-narrowed) must
+    reproduce the XLA quantized store's baseline feature tuple BIT-EQUALLY,
+    and a DRIN-layout fused slab refuses baseline_feats_fn (gathering it
+    would read the dead object chunk per row)."""
+    cfg, tables, ds = wm128
+    s_q = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                            include=("text", "image"))
+    s_f = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                            fused_gather=True, include=("text", "image"))
+    assert s_f.fused and s_f.text is None and s_f.obj_score is None
+    # slab covers ONLY text+image sub-rows (plus 8-sublane tile pad)
+    n_sub = (np.prod(tables["entity_text_feature"].shape[1:])
+             + np.prod(tables["entity_image_feature"].shape[1:])) // 128
+    assert s_f.packed.shape[1] == -(-int(n_sub) // 8) * 8
+
+    rows_batch = ds.baseline_rows_batch(np.arange(6))
+    feats = tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1])
+    f_q = jax.jit(s_q.baseline_feats_fn())(feats)
+    f_f = jax.jit(s_f.baseline_feats_fn())(feats)
+    assert len(f_q) == len(f_f)
+    for a, b in zip(f_q, f_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # float views agree across layouts for the packed tables
+    for name in ("text", "image"):
+        np.testing.assert_array_equal(np.asarray(s_f.float_table(name, chunk=16)),
+                                      np.asarray(s_q.float_table(name, chunk=16)))
+    np.testing.assert_array_equal(np.asarray(s_f.float_rows("text", 3, 9, slot=0)),
+                                  np.asarray(s_q.float_rows("text", 3, 9, slot=0)))
+
+    # a DRIN-layout (three-chunk) fused slab refuses the baseline path
+    s_drin = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                               fused_gather=True)
+    with pytest.raises(AssertionError, match="include"):
+        s_drin.baseline_feats_fn()
+
+
 def test_fused_store_unaligned_dims_refused(wm):
     """Tiny (non-128-aligned) feature dims must be refused at construction
     — the XLA quantized path is the fallback, never a mis-lowered kernel."""
@@ -371,8 +447,13 @@ def test_fused_store_serving_end_to_end(wm128):
     rq.precompute_entity_projection()
     np.testing.assert_allclose(rf.score(b[:-1]), rq.score(b[:-1]), atol=1e-6)
 
-    # non-DRIN refusal fires before the store (or score fns) are built
-    bl_cfg = cfg.replace(model_type="ghmfc")
-    with pytest.raises(ValueError, match="fused_gather"):
+    # models without a fused table layout are refused before the store
+    # (or score fns) are built: melhi builds no pooled store at all
+    # (wikidiverse entities are mention-aligned), so an explicit
+    # fused/int8 request fails loudly rather than being ignored
+    bl_cfg = cfg.replace(model_type="melhi", dataset_name="wikidiverse")
+    with pytest.raises(ValueError, match="quantize_store"):
         Ranker(bl_cfg, params={}, entity_tables=tables,
                quantize_store=True, fused_gather=True)
+    with pytest.raises(ValueError, match="fused_gather"):
+        Ranker(bl_cfg, params={}, entity_tables=tables, fused_gather=True)

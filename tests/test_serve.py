@@ -725,6 +725,56 @@ def test_ghmfc_entity_precompute_matches_model(tmp_path):
         srv.shutdown()
 
 
+def test_ghmfc_fused_store_serving_end_to_end(tmp_path):
+    """Ranker(fused_gather=True) for GHMFC: the store narrows to the
+    text+image slab (no object tables resident), scores match the XLA
+    quantize_store Ranker to a few ULPs, and the bundle round-trips
+    without object arrays."""
+    from drin_tpu.serve import Ranker
+    from drin_tpu.models import get_model
+
+    d = str(tmp_path / "store")
+    cfg = tiny_config("wikimel", "ghmfc", preprocess_dir=d,
+                      bert_embed_dim=128, resnet_embed_dim=128,
+                      entity_final_output_dim=128,
+                      mention_final_output_dim=128).replace(
+        compute_dtype="float32")
+    make_synthetic_store(cfg, n_mentions=8, n_entities=30, seed=15)
+    tables = load_wikimel_entity_tables(cfg)
+    ds = MELFeatureDataset(cfg, "train", tables)
+    model, kind = get_model(cfg)
+    assert kind == "baseline"
+    dense = ds.baseline_batch(np.arange(4))[:-1]
+    params = model.init(jax.random.key(3), dense)["params"]
+
+    rq = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True)
+    rf = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True,
+                fused_gather=True)
+    assert rq.store.include == ("text", "image")  # baselines skip obj
+    assert rf.store.fused and rf.store.obj_score is None
+    b = ds.baseline_rows_batch(np.arange(5))
+    np.testing.assert_allclose(rf.score(b[:-1]), rq.score(b[:-1]), atol=1e-6)
+
+    # retrieval + the GHMFC precompute fast path run off the fused slab
+    q = np.asarray(tables["entity_text_feature"][[3, 11], 0])
+    s1, i1 = rf.retrieve(q, k=3, mode="exact")
+    assert i1[0, 0] == 3 and i1[1, 0] == 11
+    reprs = rf.precompute_entity_reprs(chunk=7)
+    assert reprs.shape[0] == 30
+
+    # bundle: no object arrays persisted, reload serves identically
+    rf2 = Ranker(cfg, params=params, entity_tables=tables,
+                 quantize_store=True, fused_gather=True)
+    bd = str(tmp_path / "bundle")
+    rf2.save_bundle(bd)
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(
+        str(tmp_path / "bundle" / "state"))
+    assert "entity_object_feature" not in restored["tables"]
+    r3 = Ranker.from_bundle(bd, quantize_store=True, fused_gather=True)
+    np.testing.assert_allclose(r3.score(b[:-1]), rf2.score(b[:-1]), atol=1e-6)
+
+
 def test_drin_entity_projection_matches(served):
     """DRIN serving projection: precomputing the entity-side linears into
     the tables must leave rows-batch scores unchanged."""
