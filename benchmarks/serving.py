@@ -202,8 +202,11 @@ def main():
     # A/B against drin_rank_int8 AND drin_rank above
     from benchmarks._tables import make_full_scale_store_fused
 
-    del storeq, rankerq, feats_fnq, tablesq  # free HBM before the slab builds
-    storef = make_full_scale_store_fused(cfg, N_ENTITIES)
+    del rankerq, feats_fnq, tablesq
+    # pack the slab FROM the int8 store just measured (no 2.5GB f32 rebuild;
+    # transient HBM = int8 tables + slab instead of full-scale f32 tables)
+    storef = make_full_scale_store_fused(cfg, N_ENTITIES, base=storeq)
+    del storeq
     rankerf = Ranker(cfg, params=params)
     rankerf.set_store(storef)
     feats_fnf = rankerf._feats_fn

@@ -149,7 +149,12 @@ def gather_dequant(table, scales, rows, chunks, out_dtype,
     assert scales.shape == (N, m), (scales.shape, (N, m))
     assert fused_gather_supported(m_data * LANES, chunks)
     shape = rows.shape
+    # Match jnp indexing semantics exactly (wrap negatives once, clamp the
+    # rest): an out-of-range index must degrade to the same deterministic
+    # row the XLA store paths gather, never an out-of-bounds HBM DMA (the
+    # rows reach serving straight from network requests).
     flat = rows.reshape(-1).astype(jnp.int32)
+    flat = jnp.clip(jnp.where(flat < 0, flat + N, flat), 0, N - 1)
     R = flat.shape[0]
     pad = (-R) % block_rows
     if pad:

@@ -282,6 +282,22 @@ def test_fused_gather_kernel_bit_equal():
     assert not fused_gather_supported(D + 64, chunks)
     assert not fused_gather_supported(D, ((256, 3), (128, 1), (256, 1)))
 
+    # out-of-range indices degrade to jnp indexing semantics (wrap negatives
+    # once, clamp the rest) — the same rows the XLA store paths gather; a
+    # malformed serving request must never turn into an OOB HBM DMA
+    bad = np.array([[-1, 0, N - 1, N, N + 7, -2 * N, 3, 5]], np.int32)
+    outs = gather_dequant(jnp.asarray(packed), jnp.asarray(psc),
+                          jnp.asarray(bad), chunks, jnp.float32,
+                          interpret=True)
+    fixed = np.clip(np.where(bad < 0, bad + N, bad), 0, N - 1)
+    xla = np.asarray(jnp.asarray(qt[0])[jnp.asarray(bad)])
+    np.testing.assert_array_equal(xla, qt[0][fixed])  # jnp semantics pinned
+    for out, q, s, (w, ns) in zip(outs, qt, sc, chunks):
+        per = w // ns
+        want = (q[fixed].reshape(bad.shape + (ns, per)).astype(np.float32)
+                * s[fixed][..., None]).reshape(bad.shape + (w,))
+        np.testing.assert_array_equal(np.asarray(out), want)
+
 
 @pytest.fixture(scope="module")
 def wm128(tmp_path_factory):
