@@ -273,7 +273,52 @@ def main():
                "ms_per_request_sustained": round(dt / n_req * 1e3, 2)}
         if label == "micro-batched":
             out["device_calls"] = br._batches_run
+            out["batch_buckets"] = br.batch_trace()
         print(json.dumps(out), flush=True)
+
+    # device-side replay of the batcher's ACTUAL call trace: the wall-clock
+    # numbers above are transport-bound on this relay-attached host
+    # (BASELINE.md serving section), so they can't say what the chip itself
+    # sustains.  Replay answers that with measurements, not inference: time
+    # each bucket-size rank program the batcher really dispatched (chained
+    # device calls, no per-request transport), then sum the trace's call
+    # multiset — vs direct mode = n_req executions of the B=1 program.
+    trace = br.batch_trace()
+    sizes = sorted({1} | {int(key.split(":")[1]) for key in trace})
+    bucket_ms = {}
+    for Bb in sizes:
+        log(f"replay bucket B={Bb}...")
+        feats, _ = g._random_drin_batch(cfg, B=Bb, rng=rng)
+        rowsb = rng.integers(0, N, (Bb, C)).astype(np.int32)
+        batch = feats[:7] + (rowsb,) + feats[12:14]
+        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
+        cast16 = lambda x: (jnp.asarray(x, dt16)
+                            if np.issubdtype(np.asarray(x).dtype, np.floating)
+                            else jnp.asarray(x))
+        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
+
+        def replay_chain(eps, params, dev, tables, K=K):
+            for _ in range(K):
+                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
+                out = apply_fn(params, feats_fn(b, tables))
+                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
+            return eps
+
+        dt = timed_chain(jax.jit(replay_chain), (dev_params, dev, tables),
+                         K, iters=10)
+        bucket_ms[Bb] = dt * 1e3
+    batched_ms = sum(c * bucket_ms[int(key.split(":")[1])]
+                     for key, c in trace.items())
+    direct_ms = n_req * bucket_ms[1]
+    print(json.dumps({
+        "measurement": "serve_device_replay", "requests": n_req,
+        "trace": trace,
+        "bucket_ms": {str(b): round(ms, 3) for b, ms in bucket_ms.items()},
+        "batched_device_ms": round(batched_ms, 2),
+        "batched_requests_per_sec_device": round(n_req / (batched_ms / 1e3), 1),
+        "direct_device_ms": round(direct_ms, 2),
+        "direct_requests_per_sec_device": round(n_req / (direct_ms / 1e3), 1),
+    }), flush=True)
     br.close()
 
 

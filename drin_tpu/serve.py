@@ -793,6 +793,14 @@ class BatchingRanker:
         # run on pipeline threads, so the read-modify-write needs a lock
         self._batches_run = 0
         self._rows_run = 0
+        # device-call trace: (kind, padded bucket) -> #calls.  This is the
+        # batcher's actual program multiset — replaying it with chained
+        # device calls measures the device-side sustained throughput that
+        # end-to-end wall clock can't isolate on a transport-bound host
+        # (benchmarks/serving.py serve_device_replay)
+        from collections import Counter
+
+        self._batch_buckets: "Counter" = Counter()
         # ring of recent end-to-end request latencies (enqueue -> result),
         # in seconds; bounded so a long-lived server stays O(1) memory
         from collections import deque
@@ -853,6 +861,16 @@ class BatchingRanker:
         q = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3
         return {"count": len(lats), "p50_ms": round(q(0.50), 3),
                 "p95_ms": round(q(0.95), 3), "p99_ms": round(q(0.99), 3)}
+
+    def batch_trace(self) -> dict:
+        """The device-call multiset so far: ``{"<kind>:<bucket>": count}``
+        (bucket = the PADDED batch size actually dispatched; pad waste =
+        sum(bucket*count) - rows_run).  Exposed in /stats and replayed
+        on-device by benchmarks/serving.py to measure the batcher's
+        device-side sustained throughput."""
+        with self._stats_lock:
+            return {f"{kind}:{bucket}": int(c)
+                    for (kind, bucket), c in sorted(self._batch_buckets.items())}
 
     def rank(self, feats, k: int = 5):
         """Same contract as :meth:`Ranker.rank`; blocks until the coalesced
@@ -947,6 +965,7 @@ class BatchingRanker:
                 with self._stats_lock:
                     self._batches_run += 1
                     self._rows_run += n
+                    self._batch_buckets[(kind, bucket)] += 1
                 off = 0
                 for req, sz in zip(group, sizes):
                     req.fut.set_result((scores[off : off + sz], idx[off : off + sz]))
@@ -967,6 +986,7 @@ class BatchingRanker:
                         with self._stats_lock:
                             self._batches_run += 1
                             self._rows_run += req.feats[0].shape[0]
+                            self._batch_buckets[(kind, req.feats[0].shape[0])] += 1
                         req.fut.set_result(out)
                         done(req)
                     except Exception as e:
@@ -1093,6 +1113,7 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                 if base is not ranker:  # batcher observability counters
                     out["batches_run"] = ranker._batches_run
                     out["rows_run"] = ranker._rows_run
+                    out["batch_buckets"] = ranker.batch_trace()
                     out["latency"] = ranker.latency_quantiles()
                 self._reply(200, out)
             else:

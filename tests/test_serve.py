@@ -361,6 +361,13 @@ def test_batching_ranker_coalesces_and_matches(served):
         assert br._rows_run == n_req
         assert br._batches_run < n_req, (
             f"no coalescing: {br._batches_run} device calls for {n_req} requests")
+        # the device-call trace records every dispatched (kind, PADDED
+        # bucket): counts match batches_run, padded rows cover rows served
+        trace = br.batch_trace()
+        assert sum(trace.values()) == br._batches_run
+        assert all(key.startswith("rank:") for key in trace)
+        padded = sum(int(key.split(":")[1]) * c for key, c in trace.items())
+        assert padded >= n_req
     finally:
         br.close()
 
@@ -620,6 +627,7 @@ def test_serve_cli_from_bundle(served, tmp_path):
             f"http://127.0.0.1:{port}/stats", timeout=30).read())
         assert stats["micro_batched"] and stats["sharded_retrieval"]
         assert stats["batches_run"] >= 1 and stats["rows_run"] >= 2
+        assert sum(stats["batch_buckets"].values()) == stats["batches_run"]
         assert stats["entity_rows"] == tables["entity_text_feature"].shape[0]
         assert stats["latency"]["count"] >= 1 and stats["latency"]["p50_ms"] > 0
 
