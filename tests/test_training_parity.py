@@ -356,7 +356,8 @@ def test_full_harness_trajectory_melhi(tmp_path, capsys):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("model_type,dataset", [
-    ("drin", "wikidiverse"), ("ghmfc", "wikidiverse"), ("drin", "wikimel")])
+    ("drin", "wikidiverse"), ("ghmfc", "wikidiverse"), ("drin", "wikimel"),
+    ("ghmfc", "wikimel")])
 def test_convergence_parity(tmp_path, capsys, model_type, dataset):
     """Convergence-scale trajectory A/B (VERDICT r3 next-#3, r4 next-#3):
     300 learnable synthetic mentions (shared latent concepts between mention
@@ -445,14 +446,25 @@ def test_convergence_parity(tmp_path, capsys, model_type, dataset):
         # (data/device_store.py) — must land at the host-gather endpoint
         from drin_tpu.data.device_store import DeviceEntityStore
 
-        dev_store = DeviceEntityStore(cfg, train_ds.tables, dtype=jnp.float32)
-        feats_fn = dev_store.drin_feats_fn()
-        params0 = jax.tree.map(jnp.asarray,
-                               drin_params_from_torch(init_sd, cfg.num_gcn_layers))
+        if model_type == "drin":
+            dev_store = DeviceEntityStore(cfg, train_ds.tables, dtype=jnp.float32)
+            feats_fn = dev_store.drin_feats_fn()
+            params0 = jax.tree.map(jnp.asarray,
+                                   drin_params_from_torch(init_sd, cfg.num_gcn_layers))
+            rows_kind = "drin_rows"
+        else:
+            from drin_tpu.models.torch_import import ghmfc_params_from_torch
+
+            dev_store = DeviceEntityStore(cfg, train_ds.tables, dtype=jnp.float32,
+                                          include=("text", "image"))
+            feats_fn = dev_store.baseline_feats_fn()
+            params0 = jax.tree.map(jnp.asarray,
+                                   ghmfc_params_from_torch(init_sd, cfg))
+            rows_kind = "baseline_rows"
         tr_rows = Trainer(cfg, lambda p, f: model.apply({"params": p}, f),
                           params0, feats_fn=feats_fn, log=lambda *a: None)
-        rows_valid = tr_rows.fit(train_ds, valid_ds, epochs, kind="drin_rows")
-        rows_test = tr_rows.test(test_ds, kind="drin_rows")
+        rows_valid = tr_rows.fit(train_ds, valid_ds, epochs, kind=rows_kind)
+        rows_test = tr_rows.test(test_ds, kind=rows_kind)
         rows_top1 = rows_valid[-1]["accs"][1]
         assert rows_top1 >= 0.6, f"rows path did not learn: {rows_top1}"
         assert abs(rows_top1 - our_top1) <= 0.05
