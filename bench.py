@@ -37,8 +37,10 @@ Secondary scoreboard (VERDICT r4 #4): the same JSON line carries a
 (B=16, 109k entities), and bf16/int8-store B=64 rank ms — each measured via
 the chained methodology and independently skippable (per-program failure or
 an exhausted attempt budget nulls that entry, never the headline; the child
-prints the headline line BEFORE starting secondary work so a mid-secondary
-kill still leaves a parseable result in its stdout).
+prints the headline line BEFORE starting secondary work and re-prints the
+enriched line after EVERY secondary program, so a mid-secondary kill loses
+at most the in-flight program).  ``secondary`` holds only numeric entries;
+skip lists / error strings ride the sibling ``secondary_notes`` field.
 
 Session calibration (VERDICT r3 #7): the shared chip's throughput varies
 ±50% between sessions for model programs while simple stream/matmul probes
@@ -240,7 +242,7 @@ def measure_reference() -> float:
     return pps
 
 
-def measure_secondary(t_end: float) -> dict:
+def measure_secondary(t_end: float, on_update=None) -> "tuple[dict, dict]":
     """Secondary per-program scoreboard (VERDICT r4 #4): the non-headline
     numbers BASELINE.md previously maintained by hand from ad-hoc sessions,
     re-measured every round in the SAME session as the headline so a
@@ -258,9 +260,14 @@ def measure_secondary(t_end: float) -> dict:
         DeviceEntityStore (ops/pallas/gather.py) — a per-round three-way
         store A/B in one session.
 
-    Each program is gated on the remaining attempt budget (skipped entries
-    are null and listed in ``"skipped"``) and individually wrapped — one
-    failure nulls that entry only.  Values are ms per batch."""
+    Each program is gated on the remaining attempt budget and individually
+    wrapped — one failure nulls that entry only.  Returns ``(sec, notes)``:
+    ``sec`` holds ONLY metric keys (float ms per batch, or null), so a
+    round-over-round consumer can iterate its items numerically; skip lists
+    and error strings live in the separate ``notes`` dict.  ``on_update`` (if
+    given) is called as ``on_update(sec, notes)`` after EVERY program so the
+    caller can re-emit a progressively enriched artifact — a kill mid-pass
+    then loses at most the in-flight program, not the measured ones."""
     import jax
     import jax.numpy as jnp
 
@@ -271,6 +278,7 @@ def measure_secondary(t_end: float) -> dict:
     from drin_tpu.models.drin import DRIN
 
     sec: dict = {}
+    notes: dict = {}
     cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused",
                       compute_dtype="bfloat16")
     C, D = cfg.num_candidates_model, cfg.bert_embed_dim
@@ -284,15 +292,17 @@ def measure_secondary(t_end: float) -> dict:
         if t_end - time.monotonic() < est_s:
             log(f"secondary {name}: skipped (attempt budget; need ~{est_s}s)")
             sec[name] = None
-            sec.setdefault("skipped", []).append(name)
-            return
-        try:
-            sec[name] = round(fn() * 1e3, 3)
-            log(f"secondary {name}: {sec[name]} ms")
-        except Exception as e:  # one program must never sink the others
-            log(f"secondary {name} failed: {e!r}")
-            sec[name] = None
-            sec.setdefault("errors", {})[name] = repr(e)[:160]
+            notes.setdefault("skipped", []).append(name)
+        else:
+            try:
+                sec[name] = round(fn() * 1e3, 3)
+                log(f"secondary {name}: {sec[name]} ms")
+            except Exception as e:  # one program must never sink the others
+                log(f"secondary {name} failed: {e!r}")
+                sec[name] = None
+                notes.setdefault("errors", {})[name] = repr(e)[:160]
+        if on_update is not None:
+            on_update(sec, notes)
 
     def train_step():
         from drin_tpu.train import metrics as M
@@ -364,9 +374,11 @@ def measure_secondary(t_end: float) -> dict:
     run("retrieval_int8_ms", 90, retrieval_int8)
 
     def rank(mode: str):
-        from benchmarks._tables import (make_full_scale_store,
+        from benchmarks._tables import (make_device_rank_batch,
+                                        make_full_scale_store,
                                         make_full_scale_store_fused,
                                         make_full_scale_store_quantized)
+        from benchmarks._timing import rank_chain_time
 
         # model/params/batch are mode-independent — built once, shared by
         # the three store A/Bs; the fused slab packs from the int8 store
@@ -376,13 +388,11 @@ def measure_secondary(t_end: float) -> dict:
             model = DRIN(cfg)
             feats, _ = g._random_drin_batch(cfg, B=B, rng=np.random.default_rng(0))
             params = model.init(jax.random.key(0), tuple(x[:2] for x in feats))["params"]
-            rows = np.random.default_rng(0).integers(
-                0, N_ENTITIES, (B, C)).astype(np.int32)
-            batch = feats[:7] + (rows,) + feats[12:14]
             shared["rank_fix"] = {
                 "model": model,
                 "params": jax.device_put(jax.tree.map(cast16, params)),
-                "dev": tuple(jax.device_put(cast16(np.asarray(x))) for x in batch)}
+                "dev": make_device_rank_batch(
+                    cfg, B, np.random.default_rng(0), N_ENTITIES)}
         fix = shared["rank_fix"]
         model, dev_params, dev = fix["model"], fix["params"], fix["dev"]
         if mode == "int8":
@@ -394,15 +404,10 @@ def measure_secondary(t_end: float) -> dict:
             store = make_full_scale_store(cfg, N_ENTITIES)
         feats_fn = store.drin_feats_fn()
         tables = feats_fn.tables
-
-        def chain(eps, params, dev, tables, K=4):
-            for _ in range(K):
-                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
-                out = model.apply({"params": params}, feats_fn(b, tables))
-                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        dt = timed_chain(jax.jit(chain), (dev_params, dev, tables), 4, iters=8)
+        # shared chain implementation (benchmarks/_timing.rank_chain_time):
+        # the serving benchmark's store A/Bs time the identical program shape
+        dt = rank_chain_time(lambda p, f: model.apply({"params": p}, f),
+                             feats_fn, dev_params, dev, tables, K=4, iters=8)
         del store, tables
         return dt
 
@@ -410,11 +415,14 @@ def measure_secondary(t_end: float) -> dict:
     run("rank_int8_b64_ms", 100, lambda: rank("int8"))
     # int8 store served through the fused Pallas gather+dequant kernel
     # (ops/pallas/gather.py): same quantized data as rank_int8_b64_ms, so
-    # the pair is a per-round kernel-vs-XLA A/B.  Cheaper estimate than the
-    # other rank rows: it reuses their fixture and packs the int8 store
-    # it inherits
-    run("rank_fused_b64_ms", 70, lambda: rank("fused"))
-    return sec
+    # the pair is a per-round kernel-vs-XLA A/B.  The cheap estimate (70s)
+    # only holds when it inherits rank_int8's quantized store; if that row
+    # was skipped or failed before building it, the fused fixture rebuilds
+    # the full-scale quantized store itself — charge the full rank-row cost
+    # so the budget gate cannot be overrun by the silent rebuild.
+    run("rank_fused_b64_ms", 70 if "rank_q" in shared else 170,
+        lambda: rank("fused"))
+    return sec, notes
 
 
 def run_attempt() -> None:
@@ -446,8 +454,21 @@ def run_attempt() -> None:
         "calibration": calibration,
     }
     print(json.dumps(result), flush=True)  # headline is now safe on stdout
+
+    def emit_partial(sec, notes):
+        # progressively enriched line after EVERY secondary program: the
+        # parent keeps the LAST parseable line, so a kill mid-pass loses at
+        # most the in-flight program, never the already-measured entries
+        result["secondary"] = dict(sec)
+        if notes:
+            result["secondary_notes"] = dict(notes)
+        print(json.dumps(result), flush=True)
+
     try:
-        result["secondary"] = measure_secondary(t_end)
+        sec, notes = measure_secondary(t_end, on_update=emit_partial)
+        result["secondary"] = sec
+        if notes:
+            result["secondary_notes"] = notes
     except Exception as e:  # secondary must never sink the headline
         log(f"secondary measurements failed: {e!r}")
         result["secondary"] = {"error": repr(e)[:200]}

@@ -48,6 +48,29 @@ def make_full_scale_store(cfg, n: int = N_ENTITIES, dtype=None, seed: int = 1):
     return store
 
 
+def make_device_rank_batch(cfg, B: int, rng, n: int = N_ENTITIES):
+    """The device-resident rank request batch every rank benchmark times:
+    random mention-side features plus a [B, C] matrix of random entity-table
+    rows (the production WikiMEL input layout, drin/data.py:85-126 in the
+    reference), floats cast to bf16 on device (serving dtype), integer
+    tensors left untouched.  Shared by bench.py's secondary rank rows and
+    benchmarks/serving.py's store A/Bs so the fixture layout can't drift
+    between them."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+
+    C = cfg.num_candidates_model
+    feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
+    rows = rng.integers(0, n, (B, C)).astype(np.int32)
+    batch = feats[:7] + (rows,) + feats[12:14]
+    cast16 = lambda x: (jnp.asarray(np.asarray(x), jnp.bfloat16)
+                        if np.issubdtype(np.asarray(x).dtype, np.floating)
+                        else jnp.asarray(np.asarray(x)))
+    return tuple(jax.device_put(cast16(x)) for x in batch)
+
+
 def make_full_scale_store_quantized(cfg, n: int = N_ENTITIES, seed: int = 1):
     """int8 variant of :func:`make_full_scale_store`: the same-seed random
     tables quantized IN HBM (jitted per-entity max-abs, the

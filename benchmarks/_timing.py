@@ -29,3 +29,27 @@ def timed_chain(jfn, args, K: int, iters: int = 8) -> float:
         eps = jfn(eps, *args)
     float(eps)
     return (time.perf_counter() - t0) / (iters * K)
+
+
+def rank_chain_time(apply_fn, feats_fn, dev_params, dev_batch, tables,
+                    K: int = 4, iters: int = 10) -> float:
+    """Seconds per rank forward: K chained ``apply_fn(params,
+    feats_fn(batch, tables))`` calls, chained through a float perturbation
+    of the batch's first (float) tensor per the module rule above.  The ONE
+    rank-timing implementation — bench.py's secondary rows and every
+    benchmarks/serving.py store A/B call this, so a methodology fix lands
+    everywhere at once.  ``tables`` rides through jit as an ARGUMENT
+    (closure-captured device tables become compile-time constants and hang
+    remote compilation at production sizes — CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(eps, params, dev, tables):
+        for _ in range(K):
+            b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
+            out = apply_fn(params, feats_fn(b, tables))
+            eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
+        return eps
+
+    return timed_chain(jax.jit(chain), (dev_params, dev_batch, tables),
+                       K, iters=iters)

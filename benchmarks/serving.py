@@ -48,7 +48,7 @@ def main():
     cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused",
                       compute_dtype="bfloat16")
     C = cfg.num_candidates_model
-    D, Dr, Te = cfg.bert_embed_dim, cfg.resnet_embed_dim, cfg.entity_object_topk
+    D = cfg.bert_embed_dim
 
     rng = np.random.default_rng(0)
     # Full-scale tables generated ON DEVICE (shared fixture; see
@@ -131,28 +131,22 @@ def main():
                 "ms_per_query_batch": round(dt * 1e3, 3),
                 "queries_per_sec": round(B / dt, 1)}), flush=True)
 
-    # full DRIN rank over device-resident tables (rows batch)
+    # full DRIN rank over device-resident tables (rows batch).  All four
+    # rank-style measurements below (bf16 / int8 / fused store A/Bs + the
+    # batcher trace replay) go through the ONE shared chain implementation
+    # (benchmarks/_timing.rank_chain_time) and batch builder
+    # (benchmarks/_tables.make_device_rank_batch) — also used by bench.py's
+    # secondary rows, so the methodology cannot drift between scripts.
+    from benchmarks._tables import make_device_rank_batch
+    from benchmarks._timing import rank_chain_time
+
     apply_fn = lambda p, f: model.apply({"params": p}, f)
     dev_params = ranker.params
     for B in (1, 8, 64):
         log(f"drin_rank B={B}...")
-        feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
-        rows = rng.integers(0, N, (B, C)).astype(np.int32)
-        batch = feats[:7] + (rows,) + feats[12:14]
-        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
-        cast16 = lambda x: (jnp.asarray(x, dt16)
-                            if np.issubdtype(np.asarray(x).dtype, np.floating)
-                            else jnp.asarray(x))
-        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
-
-        def rank_chain(eps, params, dev, tables, K=K):
-            for _ in range(K):
-                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
-                out = apply_fn(params, feats_fn(b, tables))
-                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        dt = timed_chain(jax.jit(rank_chain), (dev_params, dev, tables), K, iters=10)
+        dev = make_device_rank_batch(cfg, B, rng, N)
+        dt = rank_chain_time(apply_fn, feats_fn, dev_params, dev, tables,
+                             K=K, iters=10)
         print(json.dumps({
             "measurement": "drin_rank", "batch": B, "candidates": C,
             "ms_per_batch": round(dt * 1e3, 3),
@@ -173,23 +167,9 @@ def main():
         f"(vs {nbytes / 1e6:.0f} MB bf16)")
     for B in (1, 64):
         log(f"drin_rank_int8 B={B}...")
-        feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
-        rows = rng.integers(0, N, (B, C)).astype(np.int32)
-        batch = feats[:7] + (rows,) + feats[12:14]
-        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
-        cast16 = lambda x: (jnp.asarray(x, dt16)
-                            if np.issubdtype(np.asarray(x).dtype, np.floating)
-                            else jnp.asarray(x))
-        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
-
-        def rank_chain_q(eps, params, dev, tables, K=K):
-            for _ in range(K):
-                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
-                out = apply_fn(params, feats_fnq(b, tables))
-                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        dt = timed_chain(jax.jit(rank_chain_q), (dev_params, dev, tablesq), K, iters=10)
+        dev = make_device_rank_batch(cfg, B, rng, N)
+        dt = rank_chain_time(apply_fn, feats_fnq, dev_params, dev, tablesq,
+                             K=K, iters=10)
         print(json.dumps({
             "measurement": "drin_rank_int8", "batch": B, "candidates": C,
             "resident_mb": round(nbytesq / 1e6),
@@ -215,23 +195,9 @@ def main():
     log(f"fused int8 slab: {nbytesf / 1e6:.0f} MB resident")
     for B in (1, 64):
         log(f"drin_rank_fused B={B}...")
-        feats, _ = g._random_drin_batch(cfg, B=B, rng=rng)
-        rows = rng.integers(0, N, (B, C)).astype(np.int32)
-        batch = feats[:7] + (rows,) + feats[12:14]
-        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
-        cast16 = lambda x: (jnp.asarray(x, dt16)
-                            if np.issubdtype(np.asarray(x).dtype, np.floating)
-                            else jnp.asarray(x))
-        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
-
-        def rank_chain_f(eps, params, dev, tables, K=K):
-            for _ in range(K):
-                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
-                out = apply_fn(params, feats_fnf(b, tables))
-                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        dt = timed_chain(jax.jit(rank_chain_f), (dev_params, dev, tablesf), K, iters=10)
+        dev = make_device_rank_batch(cfg, B, rng, N)
+        dt = rank_chain_time(apply_fn, feats_fnf, dev_params, dev, tablesf,
+                             K=K, iters=10)
         print(json.dumps({
             "measurement": "drin_rank_fused", "batch": B, "candidates": C,
             "resident_mb": round(nbytesf / 1e6),
@@ -288,24 +254,9 @@ def main():
     bucket_ms = {}
     for Bb in sizes:
         log(f"replay bucket B={Bb}...")
-        feats, _ = g._random_drin_batch(cfg, B=Bb, rng=rng)
-        rowsb = rng.integers(0, N, (Bb, C)).astype(np.int32)
-        batch = feats[:7] + (rowsb,) + feats[12:14]
-        cast = lambda x: (x.astype(np.float32) if x.dtype == np.float64 else x)
-        cast16 = lambda x: (jnp.asarray(x, dt16)
-                            if np.issubdtype(np.asarray(x).dtype, np.floating)
-                            else jnp.asarray(x))
-        dev = tuple(jax.device_put(cast16(cast(np.asarray(x)))) for x in batch)
-
-        def replay_chain(eps, params, dev, tables, K=K):
-            for _ in range(K):
-                b = (dev[0] + eps.astype(dev[0].dtype) * 1e-12,) + dev[1:]
-                out = apply_fn(params, feats_fn(b, tables))
-                eps = jnp.sum(out.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        dt = timed_chain(jax.jit(replay_chain), (dev_params, dev, tables),
-                         K, iters=10)
+        dev = make_device_rank_batch(cfg, Bb, rng, N)
+        dt = rank_chain_time(apply_fn, feats_fn, dev_params, dev, tables,
+                             K=K, iters=10)
         bucket_ms[Bb] = dt * 1e3
     batched_ms = sum(c * bucket_ms[int(key.split(":")[1])]
                      for key, c in trace.items())

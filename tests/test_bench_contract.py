@@ -132,12 +132,13 @@ def test_run_attempt_emits_calibration_and_ratio(monkeypatch, capsys):
     monkeypatch.setattr(bench, "measure_ours", lambda: 123.0)
     monkeypatch.setattr(bench, "measure_reference", lambda: 10.0)
     monkeypatch.setattr(bench, "measure_secondary",
-                        lambda t_end: {"train_step_ms": 2.5})
+                        lambda t_end, on_update=None: ({"train_step_ms": 2.5}, {}))
     bench.run_attempt()
     obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert obj["value"] == 123.0 and obj["vs_baseline"] == 12.3
     assert obj["calibration"] == {"stream_gb_s": 300.0}
     assert obj["secondary"] == {"train_step_ms": 2.5}
+    assert "secondary_notes" not in obj  # empty notes stay off the artifact
 
     def boom():
         raise RuntimeError("probe died")
@@ -161,7 +162,7 @@ def test_run_attempt_headline_precedes_secondary(monkeypatch, capsys):
     monkeypatch.setattr(bench, "measure_reference", lambda: 5.0)
     seen_lines = []
 
-    def failing_secondary(t_end):
+    def failing_secondary(t_end, on_update=None):
         seen_lines.extend(capsys.readouterr().out.strip().splitlines())
         raise RuntimeError("relay died mid-secondary")
 
@@ -173,6 +174,58 @@ def test_run_attempt_headline_precedes_secondary(monkeypatch, capsys):
     final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert final["value"] == 50.0
     assert "error" in final["secondary"]
+
+
+def test_run_attempt_reemits_after_each_secondary_program(monkeypatch, capsys):
+    """Every secondary program completion re-prints the enriched line, so a
+    hard kill mid-pass (SIGKILL/timeout — no exception path runs) leaves the
+    already-measured entries on stdout for the parent to salvage."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "measure_calibration", lambda: {})
+    monkeypatch.setattr(bench, "measure_ours", lambda: 50.0)
+    monkeypatch.setattr(bench, "measure_reference", lambda: 5.0)
+
+    def fake_secondary(t_end, on_update=None):
+        on_update({"train_step_ms": 2.5}, {})
+        on_update({"train_step_ms": 2.5, "rank_b64_ms": None},
+                  {"errors": {"rank_b64_ms": "RuntimeError('x')"}})
+        raise RuntimeError("killed mid third program")
+
+    monkeypatch.setattr(bench, "measure_secondary", fake_secondary)
+    bench.run_attempt()
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    # headline first, then one enriched line per completed program
+    assert "secondary" not in lines[0]
+    assert lines[1]["secondary"] == {"train_step_ms": 2.5}
+    assert "secondary_notes" not in lines[1]
+    assert lines[2]["secondary"]["rank_b64_ms"] is None
+    assert "rank_b64_ms" in lines[2]["secondary_notes"]["errors"]
+    # metric entries stay numeric-or-null — bookkeeping never pollutes them
+    assert all(v is None or isinstance(v, float)
+               for l in lines[1:3] for v in l["secondary"].values())
+
+
+def test_measure_secondary_skips_everything_on_spent_budget(monkeypatch):
+    """With the attempt budget already spent, every program is skipped: all
+    metric entries null, names listed in notes['skipped'], on_update called
+    per program — and the metrics dict holds ONLY metric keys."""
+    import time as _time
+
+    import bench
+
+    updates = []
+    sec, notes = bench.measure_secondary(
+        _time.monotonic() - 1.0, on_update=lambda s, n: updates.append(len(s)))
+    assert set(sec) == {"train_step_ms", "retrieval_exact_ms",
+                        "retrieval_int8_ms", "rank_b64_ms",
+                        "rank_int8_b64_ms", "rank_fused_b64_ms"}
+    assert all(v is None for v in sec.values())
+    assert notes["skipped"] == list(sec)
+    assert updates == list(range(1, len(sec) + 1))
 
 
 def _fake_clock(monkeypatch, bench):
