@@ -281,7 +281,7 @@ def measure_secondary(t_end: float, on_update=None) -> "tuple[dict, dict]":
     notes: dict = {}
     cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused",
                       compute_dtype="bfloat16")
-    C, D = cfg.num_candidates_model, cfg.bert_embed_dim
+    D = cfg.bert_embed_dim
     rng = np.random.default_rng(0)
     dt16 = jnp.bfloat16
     cast16 = lambda x: (jnp.asarray(x, dt16)
