@@ -470,8 +470,12 @@ def run_attempt() -> None:
         if notes:
             result["secondary_notes"] = notes
     except Exception as e:  # secondary must never sink the headline
+        # ``secondary`` keeps only the numeric entries emit_partial already
+        # attached (possibly none); the error rides ``secondary_notes`` so
+        # the metrics dict stays numeric-or-null per the module contract
         log(f"secondary measurements failed: {e!r}")
-        result["secondary"] = {"error": repr(e)[:200]}
+        result.setdefault("secondary", {})
+        result.setdefault("secondary_notes", {})["fatal"] = repr(e)[:200]
     print(json.dumps(result), flush=True)
 
 
@@ -541,6 +545,21 @@ def main() -> int:
 
     prev_handlers = {sig: signal.signal(sig, on_signal)
                      for sig in (signal.SIGTERM, signal.SIGINT)}
+
+    def emit_final(line_fn) -> int:
+        # Atomic final emit: block the watchdog signals BEFORE flipping
+        # state['done'] and printing, so a SIGTERM can never land between
+        # the flip and the print (where the handler would skip its null
+        # artifact and the round ends with zero parseable lines).  The
+        # process exits right after, so the signals are never unblocked.
+        signal.pthread_sigmask(signal.SIG_BLOCK,
+                               {signal.SIGTERM, signal.SIGINT})
+        state["done"] = True
+        line_fn()
+        # the caller's finally unblocks: by then done=True, so a deferred
+        # signal can at worst kill the process AFTER the line landed
+        return 0
+
     try:
         for attempt in range(1, MAX_ATTEMPTS + 1):
             if attempt > 1:
@@ -586,9 +605,8 @@ def main() -> int:
                 if rc != 0:
                     log("bench: child died after the headline line "
                         f"(rc={rc}); secondary measurements truncated")
-                state["done"] = True
-                print(json.dumps(result), flush=True)
-                return 0
+                return emit_final(
+                    lambda: print(json.dumps(result), flush=True))
             if rc is None:
                 state["error"] = f"attempt timed out after {attempt_budget:.0f}s"
             else:
@@ -596,12 +614,15 @@ def main() -> int:
                 state["error"] = ("\n".join(tail[-12:]) if tail
                                   else f"rc={rc}, no output")
         # attempts/budget exhausted: still ONE parseable JSON line
-        state["done"] = True
-        null_artifact()
-        return 0
+        return emit_final(null_artifact)
     finally:
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
+        # drop emit_final's mask so an in-process caller (tests) keeps a
+        # clean signal state; any deferred watchdog signal now fires with
+        # the restored handler, after the artifact is already on stdout
+        signal.pthread_sigmask(signal.SIG_UNBLOCK,
+                               {signal.SIGTERM, signal.SIGINT})
 
 
 if __name__ == "__main__":

@@ -24,6 +24,16 @@ while :; do
   fi
   l=$(left)
   cap=$((ATTEMPT < l - 10 ? ATTEMPT : l - 10))
+  # never launch a doomed attempt: a cap squeezed far below the requested
+  # timeout (the probe ate the budget's tail) is guaranteed to be killed
+  # mid-run — that's budget expiry, not an attempt failure, and a command
+  # without bench.py's kill-safe artifact discipline could leave partial
+  # output.  Floor: 1/4 of the requested timeout (min 60s), overridable.
+  MIN_CAP=${RUN_WHEN_UP_MIN_ATTEMPT_S:-$((ATTEMPT / 4 > 60 ? ATTEMPT / 4 : 60))}
+  if [ "$cap" -lt "$MIN_CAP" ]; then
+    echo "run_when_up: budget expired (cap ${cap}s < min ${MIN_CAP}s)" >&2
+    exit 3
+  fi
   timeout "$cap" "$@" && exit 0
   echo "run_when_up: attempt failed (rc=$?), re-probing" >&2
   need 30; sleep 30

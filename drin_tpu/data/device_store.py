@@ -341,7 +341,15 @@ class DeviceEntityStore:
         one chunk's intermediates — not a whole-table f32 copy, which on a
         chip deliberately packed to int8 capacity (~2x entities) would OOM
         exactly the deployments quantize targets (ADVICE r4).  Non-quantized
-        stores return the resident table unchanged."""
+        stores return the resident table unchanged.
+
+        On a ROW-SHARDED quantized store the chunked path accumulates on
+        the HOST and returns a numpy array: a device output buffer would
+        have to live unsharded on one chip (``jnp.zeros`` ignores the
+        source table's sharding), re-creating the very single-device
+        whole-table copy the sharding exists to avoid.  Whole-table
+        consumers are host-bound by design (``save_bundle``); device
+        consumers of sharded stores must use :meth:`float_rows` slices."""
         assert name in self.include, (
             f"store was built without the {name!r} table (include="
             f"{self.include})")
@@ -351,6 +359,14 @@ class DeviceEntityStore:
         deq = jax.jit(_dequantize, static_argnums=2)
         if n <= chunk:
             return deq(*self._qview(name, 0, n), self.dtype)
+        if self.sharded:
+            # host accumulation: the device transient is one chunk's
+            # dequant; a device output buffer would sit unsharded on one
+            # chip (see docstring)
+            pieces = [np.asarray(deq(*self._qview(name, lo, min(lo + chunk, n)),
+                                     self.dtype))
+                      for lo in range(0, n, chunk)]
+            return np.concatenate(pieces)
         write = jax.jit(
             lambda out, piece, lo: jax.lax.dynamic_update_slice(
                 out, piece, (lo,) + (0,) * (out.ndim - 1)),

@@ -80,6 +80,38 @@ def test_main_retries_then_succeeds(monkeypatch, capsys):
     assert json.loads(last)["value"] == 9.0
 
 
+def test_main_final_emit_blocks_watchdog_signals(monkeypatch, capsys):
+    """The final artifact line must print with SIGTERM/SIGINT BLOCKED — a
+    watchdog signal landing between state['done']=True and the print would
+    otherwise make the handler skip its null artifact and exit with zero
+    parseable lines.  main() restores a clean mask afterwards (in-process
+    callers keep normal signal delivery)."""
+    import json
+    import signal as _signal
+
+    import bench
+
+    ok = ('{"metric": "drin_eval_throughput", "value": 9.0, "unit": "u", '
+          '"vs_baseline": 2.0}')
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda cmd, **kw: _PROBE_OK if "--probe" in cmd
+        else _FakeProc(0, stdout=ok))
+    masks = []
+    real_dumps = bench.json.dumps
+
+    def spy_dumps(obj):
+        masks.append(_signal.pthread_sigmask(_signal.SIG_BLOCK, set()))
+        return real_dumps(obj)
+
+    monkeypatch.setattr(bench.json, "dumps", spy_dumps)
+    assert bench.main() == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["value"] == 9.0
+    assert {_signal.SIGTERM, _signal.SIGINT} <= masks[-1]
+    cur = _signal.pthread_sigmask(_signal.SIG_BLOCK, set())
+    assert _signal.SIGTERM not in cur and _signal.SIGINT not in cur
+
+
 def test_main_failure_still_prints_parseable_json(monkeypatch, capsys):
     """All attempts exhausted -> ONE JSON line with value null + error field
     (the artifact must never be a bare stack trace again)."""
@@ -173,7 +205,10 @@ def test_run_attempt_headline_precedes_secondary(monkeypatch, capsys):
                if l.startswith("{"))
     final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert final["value"] == 50.0
-    assert "error" in final["secondary"]
+    # the metrics dict stays numeric-or-null (empty here: nothing completed
+    # before the failure); the error rides secondary_notes
+    assert final["secondary"] == {}
+    assert "relay died" in final["secondary_notes"]["fatal"]
 
 
 def test_run_attempt_reemits_after_each_secondary_program(monkeypatch, capsys):
@@ -207,6 +242,12 @@ def test_run_attempt_reemits_after_each_secondary_program(monkeypatch, capsys):
     # metric entries stay numeric-or-null — bookkeeping never pollutes them
     assert all(v is None or isinstance(v, float)
                for l in lines[1:3] for v in l["secondary"].values())
+    # the exception path's final line KEEPS the partial numeric entries
+    # (never overwrites them with an error blob) and records the fatal
+    # error in secondary_notes
+    assert lines[-1]["secondary"] == lines[2]["secondary"]
+    assert "killed mid third" in lines[-1]["secondary_notes"]["fatal"]
+    assert "rank_b64_ms" in lines[-1]["secondary_notes"]["errors"]
 
 
 def test_measure_secondary_skips_everything_on_spent_budget(monkeypatch):

@@ -200,6 +200,28 @@ def test_quantized_store_composes_with_row_sharding(wm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sharded_float_table_accumulates_on_host(wm):
+    """float_table's chunked path on a ROW-SHARDED quantized store must not
+    rebuild the whole float table on one device (jnp.zeros would sit
+    unsharded on the default chip — the single-device copy sharding exists
+    to avoid): it accumulates on the host and matches the replicated
+    store's dequant exactly on the unpadded rows."""
+    from drin_tpu.parallel import mesh as pmesh
+
+    cfg, tables, ds = wm
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    s_rep = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True)
+    s_sh = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                             mesh=mesh, shard_rows=True)
+    n = s_sh.n_rows
+    whole = s_sh.float_table("text", chunk=7)  # forces the chunked path
+    assert isinstance(whole, np.ndarray)  # host array, no device buffer
+    np.testing.assert_array_equal(
+        whole[:n], np.asarray(s_rep.float_table("text", chunk=7))[:n])
+    # pad rows (row axis padded to the mesh multiple) dequantize to zero
+    np.testing.assert_array_equal(whole[n:], np.zeros_like(whole[n:]))
+
+
 def test_per_slot_scales_bound_cls_slot_error(wm):
     """ADVICE r4: the pooled text table's slots hold differently-scaled
     quantities; per-(row, slot) scales must keep the small slot's error
