@@ -339,19 +339,16 @@ def measure_secondary(t_end: float, on_update=None) -> "tuple[dict, dict]":
                 lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(t)
         return shared["norm"]
 
+    # retrieval rows share the chain implementation and exact-scan body
+    # with benchmarks/serving.py's stage-1 sweeps (same no-drift contract
+    # as the rank rows)
+    from benchmarks._timing import exact_retrieval_body, retrieve_chain_time
+
     def retrieval_exact():
         table = norm_table()
         q0 = jax.device_put(jnp.asarray(rng.standard_normal((16, D)), dt16))
-
-        def chain(eps, q, table, K=4):
-            for _ in range(K):
-                qq = q + eps.astype(q.dtype) * 1e-12
-                qq = qq / jnp.linalg.norm(qq, axis=-1, keepdims=True)
-                scores, _ = jax.lax.top_k(qq @ table.T, 100)
-                eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        return timed_chain(jax.jit(chain), (q0, table), 4, iters=10)
+        return retrieve_chain_time(exact_retrieval_body, q0, (table,),
+                                   K=4, iters=10)
 
     run("retrieval_exact_ms", 90, retrieval_exact)
 
@@ -361,15 +358,10 @@ def measure_secondary(t_end: float, on_update=None) -> "tuple[dict, dict]":
         table = norm_table()
         qt, qscales = jax.jit(quantize_rows)(table)
         q0 = jax.device_put(jnp.asarray(rng.standard_normal((16, D)), jnp.float32))
-
-        def chain(eps, q, table, qt, scales, K=4):
-            for _ in range(K):
-                scores, _ = retrieve_quantized(
-                    q + eps.astype(q.dtype) * 1e-12, qt, scales, table, 100, 400)
-                eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        return timed_chain(jax.jit(chain), (q0, table, qt, qscales), 4, iters=10)
+        body = lambda q, table, qt, scales: retrieve_quantized(
+            q, qt, scales, table, 100, 400)
+        return retrieve_chain_time(body, q0, (table, qt, qscales),
+                                   K=4, iters=10)
 
     run("retrieval_int8_ms", 90, retrieval_int8)
 

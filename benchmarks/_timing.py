@@ -31,6 +31,38 @@ def timed_chain(jfn, args, K: int, iters: int = 8) -> float:
     return (time.perf_counter() - t0) / (iters * K)
 
 
+def exact_retrieval_body(q, table):
+    """The ONE definition of the exact stage-1 scan both benchmark scripts
+    time: renormalize the (perturbed) queries, cosine-score the full
+    normalized table, top-k the shortlist."""
+    import jax
+    import jax.numpy as jnp
+
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return jax.lax.top_k(q @ table.T, 100)
+
+
+def retrieve_chain_time(body, q0, tables, K: int = 4, iters: int = 10) -> float:
+    """Seconds per retrieval call: K chained ``body(q, *tables) ->
+    (scores, idx)`` calls, chained through a float perturbation of the
+    query per the module rule.  The ONE retrieval-timing implementation —
+    bench.py's secondary retrieval rows and benchmarks/serving.py's
+    stage-1 sweeps share it, so a methodology fix lands everywhere at once
+    (same contract as :func:`rank_chain_time` for rank programs).  Device
+    tables ride through jit as ARGUMENTS (closure-captured tables become
+    compile-time constants — CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(eps, q, *tbls):
+        for _ in range(K):
+            scores, _ = body(q + eps.astype(q.dtype) * 1e-12, *tbls)
+            eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
+        return eps
+
+    return timed_chain(jax.jit(chain), (q0,) + tuple(tables), K, iters=iters)
+
+
 def rank_chain_time(apply_fn, feats_fn, dev_params, dev_batch, tables,
                     K: int = 4, iters: int = 10) -> float:
     """Seconds per rank forward: K chained ``apply_fn(params,

@@ -69,26 +69,21 @@ def main():
     nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize for t in tables)
     log(f"device tables: {nbytes / 1e6:.0f} MB resident ({N} entities, bf16)")
 
-    from benchmarks._timing import timed_chain
-
     # stage-1 retrieval: [B, D] x [D, N] cosine + top-k over the full table
     norm_table = jax.jit(lambda t: t / jnp.linalg.norm(t, axis=-1, keepdims=True))(
         ranker.store.text[:, 0])
+
+    # retrieval sweeps share the chain implementation and exact-scan body
+    # with bench.py's secondary retrieval rows (benchmarks/_timing) — same
+    # no-drift contract as the rank rows below
+    from benchmarks._timing import exact_retrieval_body, retrieve_chain_time
 
     K = 4
     for B in (1, 16):
         log(f"retrieve B={B}...")
         q0 = jax.device_put(jnp.asarray(rng.standard_normal((B, D)), dt16))
-
-        def retrieve_chain(eps, q, table, K=K):
-            for _ in range(K):
-                qq = q + eps.astype(q.dtype) * 1e-12
-                qq = qq / jnp.linalg.norm(qq, axis=-1, keepdims=True)
-                scores, _ = jax.lax.top_k(qq @ table.T, 100)
-                eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
-            return eps
-
-        dt = timed_chain(jax.jit(retrieve_chain), (q0, norm_table), K, iters=16)
+        dt = retrieve_chain_time(exact_retrieval_body, q0, (norm_table,),
+                                 K=K, iters=16)
         print(json.dumps({
             "measurement": "stage1_retrieve", "batch": B, "entities": N_ENTITIES,
             "ms_per_query_batch": round(dt * 1e3, 3),
@@ -116,15 +111,8 @@ def main():
         for mode, body, extra in (("approx", approx_body, ()),
                                   ("int8", int8_body, (qt, qscales))):
             log(f"retrieve_{mode} B={B}...")
-
-            def retrieve_chain2(eps, q, *tbls, body=body, K=K):
-                for _ in range(K):
-                    scores, _ = body(q + eps.astype(q.dtype) * 1e-12, *tbls)
-                    eps = jnp.sum(scores.astype(jnp.float32)) * 1e-9 + eps
-                return eps
-
-            dt = timed_chain(jax.jit(retrieve_chain2),
-                             (q0, norm_table) + extra, K, iters=16)
+            dt = retrieve_chain_time(body, q0, (norm_table,) + extra,
+                                     K=K, iters=16)
             print(json.dumps({
                 "measurement": f"stage1_retrieve_{mode}", "batch": B,
                 "entities": N_ENTITIES, "shortlist": kc,
@@ -142,11 +130,13 @@ def main():
 
     apply_fn = lambda p, f: model.apply({"params": p}, f)
     dev_params = ranker.params
+    rank_ms = {}  # per-batch-size ms, reused by the trace replay below
     for B in (1, 8, 64):
         log(f"drin_rank B={B}...")
         dev = make_device_rank_batch(cfg, B, rng, N)
         dt = rank_chain_time(apply_fn, feats_fn, dev_params, dev, tables,
                              K=K, iters=10)
+        rank_ms[B] = dt * 1e3
         print(json.dumps({
             "measurement": "drin_rank", "batch": B, "candidates": C,
             "ms_per_batch": round(dt * 1e3, 3),
@@ -251,8 +241,15 @@ def main():
     # multiset — vs direct mode = n_req executions of the B=1 program.
     trace = br.batch_trace()
     sizes = sorted({1} | {int(key.split(":")[1]) for key in trace})
-    bucket_ms = {}
+    # bucket sizes the drin_rank section already timed (same fixture,
+    # store, chain and iters) are reused — re-running them would double
+    # that section's device time on the contended shared chip for
+    # identical numbers; only trace buckets not yet measured run here
+    bucket_ms = {B: ms for B, ms in rank_ms.items() if B in sizes}
     for Bb in sizes:
+        if Bb in bucket_ms:
+            log(f"replay bucket B={Bb}: reusing drin_rank's measurement")
+            continue
         log(f"replay bucket B={Bb}...")
         dev = make_device_rank_batch(cfg, Bb, rng, N)
         dt = rank_chain_time(apply_fn, feats_fn, dev_params, dev, tables,
