@@ -152,6 +152,8 @@ class Config:
     enable_checkpointing: bool = False
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
+    # Checkpoint STEP number to resume from (checkpoints are keyed by
+    # global step under checkpoint_dir); None resumes from the latest.
     resume_from: Optional[str] = None
     # Compute dtype for the model body; params stay f32.
     compute_dtype: str = "float32"

@@ -164,12 +164,13 @@ class DeviceEntityStore:
     tests/test_device_store.py).
 
     ``include`` names the feature tables the consumer's model actually
-    reads.  Baseline (GHMFC) rankers read only text + image
-    (reference ghmfc.py:202-251 — the entity tower has no object branch),
-    so ``include=("text", "image")`` skips uploading the object table and
-    scores entirely: at the WikiMEL serving scale that is ~450MB bf16
-    (~225MB int8) of HBM the model would never touch.  DRIN requires the
-    full default."""
+    reads.  GHMFC's entity tower reads ONLY the text table (reference
+    ghmfc.py:202-251 — no entity-image and no object branch; MELHI reads
+    entity images but is wikidiverse-only and never gets a device store),
+    so ``include=("text",)`` skips uploading the image AND object tables:
+    at the WikiMEL serving scale that is ~900MB bf16 (~450MB int8) of HBM
+    the model would never touch — the capacity headroom quantize exists
+    for.  DRIN requires the full default."""
 
     def __init__(self, cfg: Config, tables: dict, dtype=None, sharding=None,
                  mesh=None, shard_rows: bool = False, quantize: bool = False,
@@ -182,9 +183,9 @@ class DeviceEntityStore:
         self.sharded = shard_rows
         self.quantized = bool(quantize)
         self.mesh = mesh
-        assert {"text", "image"} <= set(include) <= {"text", "image", "obj"}, (
-            "include must keep the text and image tables (retrieval scans "
-            f"text; every model reads both) — got {include}")
+        assert {"text"} <= set(include) <= {"text", "image", "obj"}, (
+            "include must keep the text table (stage-1 retrieval scans it) "
+            f"— got {include}")
         # canonical order so the fused slab layout / _tables() are stable
         self.include = tuple(n for n in ("text", "image", "obj")
                              if n in include)
@@ -281,14 +282,17 @@ class DeviceEntityStore:
             # CLS slot doesn't inherit the projected slot's range (ADVICE r4)
             self.text, self.text_scale = put_q(tables["entity_text_feature"],
                                                per_slot=self.pooled)
-            self.image, self.image_scale = put_q(tables["entity_image_feature"])
+            self.image, self.image_scale = (
+                put_q(tables["entity_image_feature"])
+                if "image" in self.include else (None, None))
             self.obj, self.obj_scale = (
                 put_q(tables["entity_object_feature"])
                 if "obj" in self.include else (None, None))
         else:
             self.text_scale = self.image_scale = self.obj_scale = None
             self.text = put(tables["entity_text_feature"])  # [N, 2, D] pooled / [N, Le, D]
-            self.image = put(tables["entity_image_feature"])  # [N, 1, Dr]
+            self.image = (put(tables["entity_image_feature"])  # [N, 1, Dr]
+                          if "image" in self.include else None)
             self.obj = (put(tables["entity_object_feature"])  # [N, Te, 1, Dr]
                         if "obj" in self.include else None)
         self.text_mask = None if self.pooled else put(tables["entity_text_mask"])  # [N, Le]
@@ -409,9 +413,9 @@ class DeviceEntityStore:
         call.  Closing over them instead would bake the (possibly
         multi-GB) tables into the lowered program as constants — measured
         to hang compilation at the real WikiMEL table size."""
-        assert "obj" in self.include, (
-            "DRIN reads the entity object tables; this store was built "
-            f"with include={self.include} (a baseline layout)")
+        assert {"image", "obj"} <= set(self.include), (
+            "DRIN reads the entity image AND object tables; this store was "
+            f"built with include={self.include} (a baseline layout)")
         default_tables = self._tables()
         gathers: dict = {}  # keyed by candidate count (scatter layout depends on C)
         dt = self.dtype
@@ -468,16 +472,31 @@ class DeviceEntityStore:
 
     def baseline_feats_fn(self):
         """See :meth:`drin_feats_fn` for the ``.tables`` pass-as-argument
-        contract."""
+        contract.
+
+        GHMFC's entity tower reads ONLY the text table (reference
+        ghmfc.py:202-251 — no entity-image branch; MELHI reads entity
+        images but is wikidiverse-only and never gets a device store), so
+        an ``include=("text",)`` store skips uploading the image table
+        entirely and the model's unused ``entity_image`` slot is a zeros
+        placeholder."""
         dt = self.dtype
+        has_img = "image" in self.include
+
+        def placeholder_eif(rows):
+            # the model never reads this slot; [B, C, 1] keeps the tuple
+            # shape contract without resident or gathered image bytes
+            return jnp.zeros(rows.shape + (1,), dt)
+
         if self.fused:
             from drin_tpu.ops.pallas.gather import gather_dequant
 
-            assert self.include == ("text", "image"), (
-                "a fused baseline store must pack exactly the text+image "
+            assert self.include in (("text",), ("text", "image")), (
+                "a fused baseline store must pack exactly the text(+image) "
                 f"layout (include={self.include}): gathering a slab that "
                 "also carries the DRIN object chunk would read dead bytes "
-                "per row — rebuild with include=('text', 'image')")
+                "per row — rebuild with include=('text',) or "
+                "('text', 'image')")
             default_tables = (self.packed, self.packed_scales)
             chunks, tails = self._chunks, self._tails
             interp = jax.default_backend() != "tpu"
@@ -485,10 +504,11 @@ class DeviceEntityStore:
             def feats_fn(feats, tables=default_tables):
                 (mtf, mtm, sp, ep, mif, rows) = feats
                 packed, psc = tables
-                tf, imf = gather_dequant(packed, psc, rows, chunks, dt,
-                                         interpret=interp)
-                etf = tf.reshape(rows.shape + tails[0])
-                eif = imf.reshape(rows.shape + tails[1])
+                got = gather_dequant(packed, psc, rows, chunks, dt,
+                                     interpret=interp)
+                etf = got[0].reshape(rows.shape + tails[0])
+                eif = (got[1].reshape(rows.shape + tails[1]) if has_img
+                       else placeholder_eif(rows))
                 etm = jnp.zeros((rows.shape[0],), jnp.int32)
                 if eif.ndim == 4:  # [B, C, 1, Dr] pooler rows -> [B, C, Dr]
                     eif = eif.reshape(eif.shape[0], eif.shape[1], -1)
@@ -499,11 +519,15 @@ class DeviceEntityStore:
 
         text, mask, image = self.text, self.text_mask, self.image
         if self.quantized:
-            scales = (self.text_scale, self.image_scale)
-            default_tables = ((text, scales[0], image, scales[1]) if self.pooled
-                              else (text, scales[0], mask, image, scales[1]))
+            default_tables = (text, self.text_scale)
+            if not self.pooled:
+                default_tables += (mask,)
+            if has_img:
+                default_tables += (image, self.image_scale)
         else:
-            default_tables = (text, image) if self.pooled else (text, mask, image)
+            default_tables = (text,) if self.pooled else (text, mask)
+            if has_img:
+                default_tables += (image,)
         gathers: dict = {}
 
         def feats_fn(feats, tables=default_tables):
@@ -511,20 +535,18 @@ class DeviceEntityStore:
             C = rows.shape[1]
             if C not in gathers:
                 gathers[C] = self._gather_fn(len(tables), C)
-            got = gathers[C](*tables, rows)
+            got = list(gathers[C](*tables, rows))
             if self.quantized:
-                if self.pooled:
-                    tq, tsc, iq, isc = got
-                    etm = jnp.zeros((rows.shape[0],), jnp.int32)
-                else:
-                    tq, tsc, etm, iq, isc = got
-                etf = _dequantize(tq, tsc, dt)
-                eif = _dequantize(iq, isc, dt)
-            elif self.pooled:
-                etf, eif = got
-                etm = jnp.zeros((rows.shape[0],), jnp.int32)
+                etf = _dequantize(got.pop(0), got.pop(0), dt)
+                etm = (jnp.zeros((rows.shape[0],), jnp.int32) if self.pooled
+                       else got.pop(0))
+                eif = (_dequantize(got.pop(0), got.pop(0), dt) if has_img
+                       else placeholder_eif(rows))
             else:
-                etf, etm, eif = got
+                etf = got.pop(0)
+                etm = (jnp.zeros((rows.shape[0],), jnp.int32) if self.pooled
+                       else got.pop(0))
+                eif = got.pop(0) if has_img else placeholder_eif(rows)
             if eif.ndim == 4:  # [B, C, 1, Dr] pooler rows -> [B, C, Dr]
                 eif = eif.reshape(eif.shape[0], eif.shape[1], -1)
             return (mtf, mtm, sp, ep, mif, etf, etm, eif)

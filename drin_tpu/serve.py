@@ -266,7 +266,12 @@ class Ranker:
         self._feats_fn = None
         self._tables = entity_tables
         self._cast = cast
-        if entity_tables is not None and cfg.entity_pooling_cached:
+        # The online model tokenizes entity TEXT inside the forward
+        # (models/ghmfc.GHMFCOnline); its requests carry OnlineBatch token
+        # features, never precomputed-table row indices — building a rows
+        # store would make score() unpack the wrong tuple on every request
+        if (entity_tables is not None and cfg.entity_pooling_cached
+                and not cfg.online_bert):
             # quantize_store: int8 rank tables, ~2x entities per chip;
             # scores tolerance-bounded (device_store.DeviceEntityStore).
             # fused_gather: serve the int8 tables through the Pallas
@@ -277,11 +282,13 @@ class Ranker:
                 raise ValueError("fused_gather packs the DRIN or GHMFC "
                                  f"table layouts; model_type={cfg.model_type}"
                                  " uses the standard quantized store")
-            # baselines never read the entity object tables (reference
-            # ghmfc.py:202-251): skip uploading them — ~450MB bf16 of HBM
+            # GHMFC's entity tower reads ONLY text (reference
+            # ghmfc.py:202-251 — no image/object branch; MELHI reads entity
+            # images but is wikidiverse-only and never reaches this store):
+            # skip uploading the image + object tables — ~900MB bf16 of HBM
             # at the WikiMEL serving scale the model would never touch
             include = (("text", "image", "obj") if self.kind == "drin"
-                       else ("text", "image"))
+                       else ("text",))
             self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt,
                                            quantize=quantize_store,
                                            fused_gather=fused_gather,
@@ -294,8 +301,8 @@ class Ranker:
             raise ValueError(
                 ("quantize_store" if quantize_store else "fused_gather")
                 + "=True needs device entity tables "
-                "(entity_tables with entity_pooling_cached); this "
-                "configuration builds no rank-stage store")
+                "(entity_tables with entity_pooling_cached, offline "
+                "model); this configuration builds no rank-stage store")
         self._build_score_fns()
 
     def _build_score_fns(self):
@@ -440,16 +447,27 @@ class Ranker:
         assert self.store is not None, "needs device entity tables"
         assert self.cfg.model_type == "ghmfc", "entity precompute is the GHMFC fast path"
         enc = EntityEncoder(self.cfg)
+        # params ride through jit as ARGUMENTS like the entity tables
+        # (_build_score_fns): closing over them would bake the encoder
+        # weights into the lowered program as constants — the exact
+        # remote-compile hazard the pass-tables-as-arguments contract exists
+        # to avoid (data/device_store.py docstring)
         ep = {"params": self.params["entity_encoder"]}
         # n_rows, not text.shape[0]: a fused store keeps no per-table copy
         n = self.store.n_rows
-        fn = jax.jit(lambda t, i: enc.apply(ep, t[None], None, i[None])[0])
+        fn = jax.jit(lambda p, t, i: enc.apply(p, t[None], None, i[None])[0])
+        has_img = "image" in self.store.include
+        dt = jnp.dtype(self.cfg.compute_dtype)
         out = []
         for i in range(0, n, chunk):
             # dequantize per chunk (float_rows): a whole-table float view of
-            # an int8-capacity store would transiently double resident HBM
-            out.append(np.asarray(fn(self.store.float_rows("text", i, i + chunk),
-                                     self.store.float_rows("image", i, i + chunk))))
+            # an int8-capacity store would transiently double resident HBM.
+            # EntityEncoder never reads its entity_image slot (no image
+            # branch, ghmfc.py:202-251): a text-only store passes zeros
+            rows = self.store.float_rows("text", i, i + chunk)
+            img = (self.store.float_rows("image", i, i + chunk) if has_img
+                   else jnp.zeros((rows.shape[0], 1), dt))
+            out.append(np.asarray(fn(ep, rows, img)))
         self._entity_reprs = jax.device_put(jnp.concatenate([jnp.asarray(o) for o in out]))
         self._retrieval_table = None  # rebuild retrieval cache in model space
         self._retrieval_q = None
@@ -459,19 +477,19 @@ class Ranker:
         mp = {"params": self.params["mention_encoder"]}
         reprs = self._entity_reprs
 
-        def rank_rows(mention_feats, rows, table, k):
+        def rank_rows(params, mention_feats, rows, table, k):
             from drin_tpu.ops.core import cosine_similarity
 
-            m = menc.apply(mp, *mention_feats)  # [B, D]
+            m = menc.apply(params, *mention_feats)  # [B, D]
             e = table[rows]  # [B, C, D]
             scores = cosine_similarity(jnp.broadcast_to(m[:, None, :], e.shape), e)
             return jax.lax.top_k(scores, k)
 
-        # reprs passed as an argument, not a closure constant (see
-        # _build_score_fns)
-        rr_jit = jax.jit(rank_rows, static_argnums=3)
+        # reprs AND the mention-encoder params pass as arguments, not
+        # closure constants (see _build_score_fns)
+        rr_jit = jax.jit(rank_rows, static_argnums=4)
         self._rank_rows = lambda mention_feats, rows, k: rr_jit(
-            mention_feats, rows, reprs, k)
+            mp, mention_feats, rows, reprs, k)
         return np.asarray(self._entity_reprs)
 
     def rank_rows(self, mention_feats, rows: np.ndarray, k: int = 5):
@@ -702,13 +720,15 @@ class Ranker:
             n = self.store.n_rows
             # a quantized store persists DEQUANTIZED floats: the bundle is
             # the deployment artifact and must reload into any store mode
+            # include-narrowed stores (GHMFC: text only) persist what was
+            # served; the excluded tables were never uploaded
             payload["tables"] = {
                 "entity_text_feature": np.asarray(self.store.float_table("text")[:n], np.float32),
-                "entity_image_feature": np.asarray(self.store.float_table("image")[:n], np.float32),
             }
+            if "image" in self.store.include:
+                payload["tables"]["entity_image_feature"] = np.asarray(
+                    self.store.float_table("image")[:n], np.float32)
             if "obj" in self.store.include:
-                # baseline stores skip the object tables entirely (Ranker
-                # include narrowing); their bundles persist what was served
                 payload["tables"]["entity_object_feature"] = np.asarray(
                     self.store.float_table("obj")[:n], np.float32)
                 payload["tables"]["entity_object_score"] = np.asarray(
@@ -818,15 +838,23 @@ class BatchingRanker:
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
-    def close(self):
+    def close(self, timeout: float = 10.0):
         import queue
 
         with self._close_lock:
             self._stop = True
             self._q.put(None)
-        self._thread.join(timeout=10)
+        self._thread.join(timeout=timeout)
         if self._flush_pool is not None:
             self._flush_pool.shutdown(wait=True)
+            if self._thread.is_alive():
+                # the dispatcher outlived the first join (e.g. blocked in
+                # _inflight.acquire() behind slow in-flight flushes that the
+                # shutdown above just drained): it will wake, hit the
+                # shut-down pool, flush its taken window INLINE (_dispatch's
+                # submit fallback) and exit — wait for that so no window's
+                # futures are stranded after close() returns
+                self._thread.join(timeout=timeout)
         # fail any request that raced past the _stop check and enqueued
         # behind the sentinel — its future would otherwise never resolve
         # (e.g. an HTTP handler thread blocking forever during shutdown)
@@ -1011,7 +1039,13 @@ class BatchingRanker:
                 finally:
                     self._inflight.release()
 
-            self._flush_pool.submit(run)
+            try:
+                self._flush_pool.submit(run)
+            except RuntimeError:
+                # pool shut down by close() while this window was already
+                # taken: flush inline so its futures still resolve (they
+                # were dequeued, so close()'s queue drain can't see them)
+                run()
 
 
 # ---------------------------------------------------------------------------
@@ -1124,27 +1158,42 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
+                # parse phase: json decode, payload decode, field extraction
+                # — ANY failure here is a malformed request (the client's
+                # fault), 400
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
                 if self.path == "/rank_text":
-                    scores, idx = ranker.rank_text(
+                    call = lambda: ranker.rank_text(
                         req["sentences"], req["spans"], req["candidates"],
                         int(req.get("k", 5)))
                 elif self.path == "/retrieve":
                     # BatchingRanker coalesces retrieves too (same window)
                     q = _decode_arrays(req["query"])["q"]
                     expand = req.get("expand")
-                    scores, idx = ranker.retrieve(
+                    call = lambda: ranker.retrieve(
                         q, int(req.get("k", 100)), mode=req.get("mode"),
                         expand=int(expand) if expand is not None else None)
                 else:
                     arrays = _decode_arrays(req["features"])
                     order = fields or sorted(arrays)
                     feats = tuple(arrays[name] for name in order)
-                    scores, idx = ranker.rank(feats, int(req.get("k", 5)))
-                self._reply(200, {"scores": scores.tolist(), "indices": idx.tolist()})
-            except Exception as e:  # serving must not die on a bad request
+                    call = lambda: ranker.rank(feats, int(req.get("k", 5)))
+            except Exception as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                scores, idx = call()
+                self._reply(200, {"scores": scores.tolist(), "indices": idx.tolist()})
+            except (KeyError, ValueError, TypeError, AssertionError) as e:
+                # bad shapes/dtypes/unknown modes in an otherwise
+                # well-formed payload surface here: still the request
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # serving must not die on a failed request
+                # anything else (device fault, closed batcher, OOM) is a
+                # SERVER error — a 400 would make retry policies and
+                # operators blame the client for a backend fault
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
@@ -1217,7 +1266,10 @@ def main(argv=None):
         dataset_name = overrides.pop("dataset_name", "wikidiverse")
         cfg = make_config(model_type, dataset_name, **overrides)
         tables = None
-        if cfg.dataset_name == "wikimel" and cfg.entity_pooling_cached:
+        if (cfg.dataset_name == "wikimel" and cfg.entity_pooling_cached
+                and not cfg.online_bert):
+            # the online model never reads precomputed entity tables
+            # (it tokenizes entity text per request) — don't load them
             from drin_tpu.data.dataset import load_wikimel_entity_tables
 
             tables = load_wikimel_entity_tables(cfg)

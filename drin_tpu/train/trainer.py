@@ -315,7 +315,17 @@ class Trainer:
 
         # an async save from THIS manager may still be in flight
         self._ckpt_mgr.wait_until_finished()
-        step = int(step) if step is not None else self._ckpt_mgr.latest_step()
+        if step is not None:
+            try:
+                step = int(step)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "resume_from takes the checkpoint STEP number (e.g. "
+                    "resume_from=2000; checkpoints are keyed by global "
+                    f"step under checkpoint_dir), not a path: got {step!r}"
+                ) from None
+        else:
+            step = self._ckpt_mgr.latest_step()
         if step is None:
             return
         abstract = {

@@ -404,9 +404,35 @@ def test_include_narrowed_store_skips_obj(wm):
         f_slim = jax.jit(slim.baseline_feats_fn())(feats)
         for a, b in zip(f_full, f_slim):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # unknown names and text/image-less layouts are refused
+
+        # GHMFC reads ONLY the text table (no entity-image branch,
+        # reference ghmfc.py:202-251): a text-only store drops the image
+        # bytes too, substitutes a zeros placeholder for the unused
+        # entity_image slot, and the MODEL's scores are unchanged
+        slim_t = DeviceEntityStore(cfg, tables, dtype=jnp.float32,
+                                   quantize=quantize, include=("text",))
+        assert slim_t.image is None and slim_t.image_scale is None
+        img_bytes = np.asarray(tables["entity_image_feature"],
+                               np.float32).nbytes // (4 if quantize else 1)
+        assert slim_t.nbytes <= slim.nbytes - img_bytes
+        with pytest.raises(AssertionError, match="include"):
+            slim_t.float_table("image")
+        f_text = jax.jit(slim_t.baseline_feats_fn())(feats)
+        for i, (a, b) in enumerate(zip(f_full, f_text)):
+            if i == 7:  # entity_image: zeros placeholder, never read
+                assert not np.asarray(b).any()
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        from drin_tpu.models.ghmfc import GHMFC
+
+        model = GHMFC(cfg)
+        params = model.init(jax.random.key(0), f_full)["params"]
+        np.testing.assert_array_equal(
+            np.asarray(model.apply({"params": params}, f_full)),
+            np.asarray(model.apply({"params": params}, f_text)))
+    # unknown names and text-less layouts are refused
     with pytest.raises(AssertionError, match="include"):
-        DeviceEntityStore(cfg, tables, dtype=jnp.float32, include=("text",))
+        DeviceEntityStore(cfg, tables, dtype=jnp.float32, include=("image",))
     with pytest.raises(AssertionError, match="include"):
         DeviceEntityStore(cfg, tables, dtype=jnp.float32,
                           include=("text", "image", "banana"))
@@ -442,6 +468,19 @@ def test_fused_baseline_store_matches_quantized(wm128):
                                       np.asarray(s_q.float_table(name, chunk=16)))
     np.testing.assert_array_equal(np.asarray(s_f.float_rows("text", 3, 9, slot=0)),
                                   np.asarray(s_q.float_rows("text", 3, 9, slot=0)))
+
+    # the text-only fused layout (GHMFC's default) packs a one-chunk slab
+    # and bit-matches the XLA text-only store (placeholder eif both sides)
+    s_q_t = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                              include=("text",))
+    s_f_t = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,
+                              fused_gather=True, include=("text",))
+    n_sub_t = int(np.prod(tables["entity_text_feature"].shape[1:])) // 128
+    assert s_f_t.packed.shape[1] == -(-n_sub_t // 8) * 8
+    f_q_t = jax.jit(s_q_t.baseline_feats_fn())(feats)
+    f_f_t = jax.jit(s_f_t.baseline_feats_fn())(feats)
+    for a, b in zip(f_q_t, f_f_t):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # a DRIN-layout (three-chunk) fused slab refuses the baseline path
     s_drin = DeviceEntityStore(cfg, tables, dtype=jnp.float32, quantize=True,

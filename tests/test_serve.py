@@ -735,9 +735,10 @@ def test_ghmfc_entity_precompute_matches_model(tmp_path):
 
 def test_ghmfc_fused_store_serving_end_to_end(tmp_path):
     """Ranker(fused_gather=True) for GHMFC: the store narrows to the
-    text+image slab (no object tables resident), scores match the XLA
+    text-only slab (no image/object tables resident — GHMFC's entity tower
+    reads only text, reference ghmfc.py:202-251), scores match the XLA
     quantize_store Ranker to a few ULPs, and the bundle round-trips
-    without object arrays."""
+    without image/object arrays."""
     from drin_tpu.serve import Ranker
     from drin_tpu.models import get_model
 
@@ -758,7 +759,7 @@ def test_ghmfc_fused_store_serving_end_to_end(tmp_path):
     rq = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True)
     rf = Ranker(cfg, params=params, entity_tables=tables, quantize_store=True,
                 fused_gather=True)
-    assert rq.store.include == ("text", "image")  # baselines skip obj
+    assert rq.store.include == ("text",)  # GHMFC reads only the text table
     assert rf.store.fused and rf.store.obj_score is None
     b = ds.baseline_rows_batch(np.arange(5))
     np.testing.assert_allclose(rf.score(b[:-1]), rq.score(b[:-1]), atol=1e-6)
@@ -779,6 +780,7 @@ def test_ghmfc_fused_store_serving_end_to_end(tmp_path):
     restored = ocp.StandardCheckpointer().restore(
         str(tmp_path / "bundle" / "state"))
     assert "entity_object_feature" not in restored["tables"]
+    assert "entity_image_feature" not in restored["tables"]
     r3 = Ranker.from_bundle(bd, quantize_store=True, fused_gather=True)
     np.testing.assert_allclose(r3.score(b[:-1]), rf2.score(b[:-1]), atol=1e-6)
 
@@ -958,3 +960,116 @@ def test_melhi_ranker_serves_end_to_end(tmp_path):
     cfg_wm = tiny_config("wikimel", "melhi", preprocess_dir=d)
     with pytest.raises(NotImplementedError, match="melhi.*wikidiverse"):
         Ranker(cfg_wm, params=params)
+
+
+def test_online_ranker_ignores_entity_tables(served):
+    """An online-BERT config must NOT build a rows store even when entity
+    tables are supplied: the online model tokenizes entity text inside the
+    forward (reference ghmfc.py:216-236) and its requests carry OnlineBatch
+    token features — a rows-store feats_fn would unpack the wrong tuple on
+    every /rank request (the tables are simply not this model's input)."""
+    from drin_tpu.data.online import OnlineBatch
+    from drin_tpu.serve import Ranker, rank_feat_fields
+
+    cfg, tables, ds, params, batch = served
+    ocfg = tiny_config("wikimel", "ghmfc").replace(
+        online_bert=True, num_entity_sentence=0, finetune_bert=False)
+    # the trap this guards: the pooled-cache property is on by default for
+    # wikimel, so without the online_bert guard a store WOULD be built
+    assert ocfg.entity_pooling_cached
+    r = Ranker(ocfg, params={"w": np.zeros((2, 2), np.float32)},
+               entity_tables=tables)
+    assert r.store is None and r._feats_fn is None
+    # /rank field order advertises the online token-feature contract
+    assert rank_feat_fields(r) == list(OnlineBatch._fields[:-1])
+    # an explicit int8-store request on the online model fails loudly
+    with pytest.raises(ValueError, match="quantize_store"):
+        Ranker(ocfg, params={"w": np.zeros((2, 2), np.float32)},
+               entity_tables=tables, quantize_store=True)
+
+
+def test_http_status_codes_classify_faults(served):
+    """Server-side faults return 500; malformed payloads return 400 — a
+    blanket 400 would make retry policies blame clients for backend
+    faults."""
+    import types
+    import urllib.error
+
+    from drin_tpu.serve import _encode_arrays, serve_http
+
+    cfg = served[0]
+
+    def boom_rank(feats, k):
+        raise RuntimeError("device fell over")
+
+    boom = types.SimpleNamespace(cfg=cfg, rank=boom_rank)
+    server = serve_http(boom, port=0)
+    port = server.server_address[1]
+
+    def post(body: bytes):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        payload = _encode_arrays({"a": np.zeros((1, 2), np.float32)})
+        ok_body = json.dumps({"features": payload, "k": 1}).encode()
+        code, out = post(ok_body)
+        assert code == 500 and "RuntimeError" in out["error"]
+        code, out = post(b"{not json")
+        assert code == 400
+        code, out = post(json.dumps({"wrong_key": 1}).encode())
+        assert code == 400 and "KeyError" in out["error"]
+    finally:
+        server.shutdown()
+
+
+def test_batching_ranker_close_resolves_taken_window(served):
+    """close() must not strand a window the dispatcher has taken but not yet
+    submitted.  Arrange: pipeline_depth=2 flushes block the device while the
+    dispatcher holds window 3 in _inflight.acquire(); close()'s first join
+    times out, the flush pool shuts down, and the dispatcher's submit hits
+    the closed pool — the fallback must flush INLINE so every caller's
+    future resolves (before the fix those callers blocked forever in
+    fut.result())."""
+    import concurrent.futures as cf
+    import threading
+    import time
+    import types
+
+    from drin_tpu.serve import BatchingRanker
+
+    cfg = served[0]
+    release = threading.Event()
+
+    def rank(feats, k):
+        release.wait(timeout=30)
+        b = feats[0].shape[0]
+        return np.zeros((b, k), np.float32), np.zeros((b, k), np.int64)
+
+    dummy = types.SimpleNamespace(cfg=cfg, rank=rank)
+    br = BatchingRanker(dummy, max_batch=1, wait_ms=1.0, buckets=(1,),
+                        pipeline_depth=2)
+    feats = (np.zeros((1, 3), np.float32),)
+    with cf.ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(br.rank, feats, 2)]
+        time.sleep(0.25)  # flush 1 in flight (blocked), sem 2 -> 1
+        futs.append(ex.submit(br.rank, feats, 2))
+        time.sleep(0.25)  # flush 2 in flight (blocked), sem 1 -> 0
+        futs.append(ex.submit(br.rank, feats, 2))
+        time.sleep(0.3)   # dispatcher holds window 3, blocked in acquire()
+        t = threading.Timer(0.5, release.set)
+        t.start()
+        try:
+            br.close(timeout=0.2)
+            for f in futs:
+                s, i = f.result(timeout=30)
+                assert s.shape == (1, 2)
+        finally:
+            t.cancel()
+            release.set()

@@ -516,3 +516,21 @@ def test_dropout_active_in_training_only(tmp_path):
     d1 = np.asarray(model.apply({"params": params}, feats))
     d2 = np.asarray(model.apply({"params": params}, feats))
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_restore_rejects_path_like_resume_from():
+    """resume_from takes a STEP number; a path-like value must fail with an
+    error naming the contract, not int()'s bare 'invalid literal'."""
+    class _Mgr:
+        def wait_until_finished(self):
+            pass
+
+        def latest_step(self):
+            return None
+
+    t = Trainer.__new__(Trainer)
+    t._ckpt_mgr = _Mgr()
+    with pytest.raises(ValueError, match="STEP number"):
+        t.restore("checkpoints/2000")
+    # no step and no checkpoints yet: restore is a no-op, not an error
+    assert t.restore(None) is None
