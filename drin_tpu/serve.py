@@ -266,12 +266,7 @@ class Ranker:
         self._feats_fn = None
         self._tables = entity_tables
         self._cast = cast
-        # The online model tokenizes entity TEXT inside the forward
-        # (models/ghmfc.GHMFCOnline); its requests carry OnlineBatch token
-        # features, never precomputed-table row indices — building a rows
-        # store would make score() unpack the wrong tuple on every request
-        if (entity_tables is not None and cfg.entity_pooling_cached
-                and not cfg.online_bert):
+        if entity_tables is not None and cfg.entity_pooling_cached:
             # quantize_store: int8 rank tables, ~2x entities per chip;
             # scores tolerance-bounded (device_store.DeviceEntityStore).
             # fused_gather: serve the int8 tables through the Pallas
@@ -293,16 +288,25 @@ class Ranker:
                                            quantize=quantize_store,
                                            fused_gather=fused_gather,
                                            include=include)
-            self._feats_fn = (self.store.drin_feats_fn() if self.kind == "drin"
-                              else self.store.baseline_feats_fn())
+            # The online model tokenizes entity TEXT inside the forward
+            # (models/ghmfc.GHMFCOnline); its requests carry OnlineBatch
+            # token features, never precomputed-table row indices — a rows
+            # feats_fn would make score() unpack the wrong tuple on every
+            # request.  The store itself still serves MODEL-INDEPENDENT
+            # stage-1 /retrieve (a raw pooled-text scan) and the
+            # quantize/shard retrieval caches built on it.
+            if not cfg.online_bert:
+                self._feats_fn = (self.store.drin_feats_fn()
+                                  if self.kind == "drin"
+                                  else self.store.baseline_feats_fn())
         elif quantize_store or fused_gather:
             # fail loudly: an explicit int8/fused request that builds no
             # store would silently leave memory/latency expectations wrong
             raise ValueError(
                 ("quantize_store" if quantize_store else "fused_gather")
                 + "=True needs device entity tables "
-                "(entity_tables with entity_pooling_cached, offline "
-                "model); this configuration builds no rank-stage store")
+                "(entity_tables with entity_pooling_cached); this "
+                "configuration builds no rank-stage store")
         self._build_score_fns()
 
     def _build_score_fns(self):
@@ -373,7 +377,9 @@ class Ranker:
         ``entity_tables`` (or None, making a later projection call fail
         loudly rather than silently projecting the old tables)."""
         self.store = store
-        self._feats_fn = (store.drin_feats_fn() if self.kind == "drin"
+        # online models take token features, never rows (see __init__)
+        self._feats_fn = (None if self.cfg.online_bert
+                          else store.drin_feats_fn() if self.kind == "drin"
                           else store.baseline_feats_fn())
         self._tables = entity_tables
         self._retrieval_table = None
@@ -446,6 +452,12 @@ class Ranker:
 
         assert self.store is not None, "needs device entity tables"
         assert self.cfg.model_type == "ghmfc", "entity precompute is the GHMFC fast path"
+        if self.cfg.online_bert:
+            raise NotImplementedError(
+                "entity precompute is the OFFLINE GHMFC fast path: the "
+                "online model has no standalone entity_encoder params to "
+                "encode the table with (it tokenizes entity text per "
+                "request)")
         enc = EntityEncoder(self.cfg)
         # params ride through jit as ARGUMENTS like the entity tables
         # (_build_score_fns): closing over them would bake the encoder
@@ -647,7 +659,13 @@ class Ranker:
         ``"exact"`` pins true per-shard top-k shortlists, ``"approx"``
         rides the per-shard float scan, whose shortlist is an exact
         superset below 4096 rows per shard)."""
-        assert self.store is not None, "retrieve() needs device entity tables"
+        if self.store is None:
+            # a deployment fault, not a request fault: the SERVER was built
+            # without entity tables — RuntimeError so the HTTP layer
+            # reports 500, not a client-blaming 400
+            raise RuntimeError(
+                "retrieve() needs device entity tables: this Ranker was "
+                "built without entity_tables/entity_pooling_cached")
         if expand is not None and expand < 1:
             # same loud failure as the cache builders (quantize_retrieval /
             # shard_retrieval assert expand >= 1); expand=0 would silently
@@ -839,6 +857,16 @@ class BatchingRanker:
         self._thread.start()
 
     def close(self, timeout: float = 10.0):
+        """Stop the dispatcher; bounded by ~2x ``timeout``.
+
+        In-flight device flushes are NOT awaited (the relay can hang for
+        minutes — CLAUDE.md — and a close() that blocks on a hung device
+        call would hang every graceful shutdown): they keep running in the
+        pool's threads and resolve their callers' futures when the device
+        answers.  A window the dispatcher has taken but not yet submitted
+        flushes inline once it wakes (the closed-pool fallback in
+        ``_dispatch``), so no future is ever stranded — some may simply
+        resolve after close() returns."""
         import queue
 
         with self._close_lock:
@@ -846,14 +874,13 @@ class BatchingRanker:
             self._q.put(None)
         self._thread.join(timeout=timeout)
         if self._flush_pool is not None:
-            self._flush_pool.shutdown(wait=True)
+            # wait=False: closes the pool to new submits IMMEDIATELY and
+            # returns without blocking on in-flight flushes (which may sit
+            # on a hung device) — a dispatcher blocked in
+            # _inflight.acquire() will wake when a flush finishes, hit the
+            # shut-down pool, and flush its taken window INLINE
+            self._flush_pool.shutdown(wait=False)
             if self._thread.is_alive():
-                # the dispatcher outlived the first join (e.g. blocked in
-                # _inflight.acquire() behind slow in-flight flushes that the
-                # shutdown above just drained): it will wake, hit the
-                # shut-down pool, flush its taken window INLINE (_dispatch's
-                # submit fallback) and exit — wait for that so no window's
-                # futures are stranded after close() returns
                 self._thread.join(timeout=timeout)
         # fail any request that raced past the _stop check and enqueued
         # behind the sentinel — its future would otherwise never resolve
@@ -1185,9 +1212,13 @@ def serve_http(ranker: Ranker, host: str = "127.0.0.1", port: int = 8787,
             try:
                 scores, idx = call()
                 self._reply(200, {"scores": scores.tolist(), "indices": idx.tolist()})
-            except (KeyError, ValueError, TypeError, AssertionError) as e:
-                # bad shapes/dtypes/unknown modes in an otherwise
-                # well-formed payload surface here: still the request
+            except (KeyError, ValueError, TypeError, AssertionError,
+                    IndexError) as e:
+                # bad shapes/dtypes/unknown modes/out-of-range spans in an
+                # otherwise well-formed payload surface here: still the
+                # request's fault.  Server-STATE preconditions raise
+                # RuntimeError (e.g. retrieve() without tables) and land in
+                # the 500 arm below
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # serving must not die on a failed request
                 # anything else (device fault, closed batcher, OOM) is a
@@ -1266,10 +1297,10 @@ def main(argv=None):
         dataset_name = overrides.pop("dataset_name", "wikidiverse")
         cfg = make_config(model_type, dataset_name, **overrides)
         tables = None
-        if (cfg.dataset_name == "wikimel" and cfg.entity_pooling_cached
-                and not cfg.online_bert):
-            # the online model never reads precomputed entity tables
-            # (it tokenizes entity text per request) — don't load them
+        if cfg.dataset_name == "wikimel" and cfg.entity_pooling_cached:
+            # loaded for online configs too: the online model never reads
+            # them in its forward (it tokenizes entity text per request)
+            # but stage-1 /retrieve scans the pooled text table regardless
             from drin_tpu.data.dataset import load_wikimel_entity_tables
 
             tables = load_wikimel_entity_tables(cfg)

@@ -962,12 +962,14 @@ def test_melhi_ranker_serves_end_to_end(tmp_path):
         Ranker(cfg_wm, params=params)
 
 
-def test_online_ranker_ignores_entity_tables(served):
-    """An online-BERT config must NOT build a rows store even when entity
-    tables are supplied: the online model tokenizes entity text inside the
-    forward (reference ghmfc.py:216-236) and its requests carry OnlineBatch
-    token features — a rows-store feats_fn would unpack the wrong tuple on
-    every /rank request (the tables are simply not this model's input)."""
+def test_online_ranker_keeps_retrieval_drops_rows_feats(served):
+    """An online-BERT config must NOT install a rows feats_fn even when
+    entity tables are supplied: the online model tokenizes entity text
+    inside the forward (reference ghmfc.py:216-236) and its requests carry
+    OnlineBatch token features — a rows-store feats_fn would unpack the
+    wrong tuple on every /rank request.  The store itself IS still built:
+    stage-1 /retrieve scans the raw pooled text table and is
+    model-independent, so it must keep working on online servers."""
     from drin_tpu.data.online import OnlineBatch
     from drin_tpu.serve import Ranker, rank_feat_fields
 
@@ -975,17 +977,31 @@ def test_online_ranker_ignores_entity_tables(served):
     ocfg = tiny_config("wikimel", "ghmfc").replace(
         online_bert=True, num_entity_sentence=0, finetune_bert=False)
     # the trap this guards: the pooled-cache property is on by default for
-    # wikimel, so without the online_bert guard a store WOULD be built
+    # wikimel, so without the online_bert guard a feats_fn WOULD be built
     assert ocfg.entity_pooling_cached
     r = Ranker(ocfg, params={"w": np.zeros((2, 2), np.float32)},
                entity_tables=tables)
-    assert r.store is None and r._feats_fn is None
+    assert r.store is not None and r._feats_fn is None
+    assert r.store.include == ("text",)  # retrieval scans only text
     # /rank field order advertises the online token-feature contract
     assert rank_feat_fields(r) == list(OnlineBatch._fields[:-1])
-    # an explicit int8-store request on the online model fails loudly
-    with pytest.raises(ValueError, match="quantize_store"):
-        Ranker(ocfg, params={"w": np.zeros((2, 2), np.float32)},
-               entity_tables=tables, quantize_store=True)
+    # retrieval works (model-independent raw-text scan), exact + int8
+    q = np.asarray(tables["entity_text_feature"][[3, 7], 0], np.float32)
+    s, i = r.retrieve(q, k=3, mode="exact")
+    assert i[0, 0] == 3 and i[1, 0] == 7
+    # an int8 store is a valid ONLINE config too (int8 retrieval capacity)
+    rq = Ranker(ocfg, params={"w": np.zeros((2, 2), np.float32)},
+                entity_tables=tables, quantize_store=True)
+    assert rq.store.quantized and rq._feats_fn is None
+    sq, iq = rq.retrieve(q, k=3, mode="exact")
+    assert iq[0, 0] == 3 and iq[1, 0] == 7
+    # the offline-only precompute fast path refuses by name
+    with pytest.raises(NotImplementedError, match="online"):
+        r.precompute_entity_reprs()
+    # a truly store-less server reports retrieval as a SERVER fault
+    r0 = Ranker(ocfg, params={"w": np.zeros((2, 2), np.float32)})
+    with pytest.raises(RuntimeError, match="entity tables"):
+        r0.retrieve(q, k=3)
 
 
 def test_http_status_codes_classify_faults(served):
