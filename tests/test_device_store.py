@@ -438,6 +438,36 @@ def test_include_narrowed_store_skips_obj(wm):
                           include=("text", "image", "banana"))
 
 
+def test_text_only_store_composes_with_row_sharding(wm):
+    """include=('text',) + shard_rows=True (the GHMFC training layout on a
+    model>1 mesh — train.py narrows baseline stores like serve.Ranker):
+    the owner-gather over the (4, 2) mesh must equal the replicated FULL
+    store's baseline feats on every slot the model reads, with no
+    image/object tables resident."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from drin_tpu.parallel import mesh as pmesh
+
+    cfg, tables, ds = wm
+    mesh = pmesh.make_mesh(devices=jax.devices()[:8], data=4, model=2)
+    s_rep = DeviceEntityStore(cfg, tables, dtype=jnp.float32)
+    s_sh = DeviceEntityStore(cfg, tables, dtype=jnp.float32, mesh=mesh,
+                             shard_rows=True, include=("text",))
+    assert s_sh.image is None and s_sh.obj is None and s_sh.sharded
+    rows_batch = ds.baseline_rows_batch(np.arange(4))
+    feats = tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1])
+    f_rep = jax.jit(s_rep.baseline_feats_fn())(feats)
+    put = tuple(jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
+                for x in feats)
+    f_sh = jax.jit(s_sh.baseline_feats_fn())(put)
+    for i, (a, b) in enumerate(zip(f_rep, f_sh)):
+        if i == 7:  # entity_image: zeros placeholder, model never reads it
+            assert not np.asarray(b).any()
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_baseline_store_matches_quantized(wm128):
     """The GHMFC fused layout (text ‖ image slab, include-narrowed) must
     reproduce the XLA quantized store's baseline feature tuple BIT-EQUALLY,
