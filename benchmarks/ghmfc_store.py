@@ -55,6 +55,72 @@ def make_ghmfc_store(cfg, n: int, include, seed: int = 1):
     return store
 
 
+def make_ghmfc_store_quantized(cfg, n: int, seed: int = 1):
+    """int8 text-only variant: the same-seed random table quantized IN HBM
+    with per-(row, slot) scales (device_store.quantize_entity_rows
+    per_slot=True scheme) — no host transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    D = cfg.bert_embed_dim
+    rng = np.random.default_rng(0)
+    tiny = {"entity_text_feature":
+            rng.standard_normal((64, 2, D)).astype(np.float32)}
+    store = DeviceEntityStore(cfg, tiny, dtype=jnp.bfloat16, quantize=True,
+                              include=("text",))
+    text = jax.random.normal(jax.random.key(seed), (n, 2, D), jnp.float32)
+
+    @jax.jit
+    def q(x):
+        s = jnp.max(jnp.abs(x), axis=-1)  # [n, 2] per-(row, slot)
+        s = jnp.where(s == 0, 1.0, s)
+        codes = jnp.clip(jnp.round(x / s[..., None] * 127.0), -127, 127)
+        return codes.astype(jnp.int8), (s / 127.0).astype(jnp.float32)
+
+    store.text, store.text_scale = q(text)
+    store.n_rows = n
+    store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                       for t in store._tables())
+    return store
+
+
+def make_ghmfc_store_fused(cfg, n: int, storeq):
+    """Fused-kernel text-only variant: ``storeq``'s int8 codes packed IN
+    HBM into the [n, m, 128] slab + per-sub-row scales the Pallas
+    gather+dequant kernel reads."""
+    import jax
+    import jax.numpy as jnp
+
+    from drin_tpu.data.device_store import DeviceEntityStore
+
+    D = cfg.bert_embed_dim
+    rng = np.random.default_rng(0)
+    tiny = {"entity_text_feature":
+            rng.standard_normal((64, 2, D)).astype(np.float32)}
+    store = DeviceEntityStore(cfg, tiny, dtype=jnp.bfloat16, quantize=True,
+                              fused_gather=True, include=("text",))
+    m = store.packed.shape[1]
+    lo, hi, _, _ = store._layout["text"]
+    sub = hi - lo
+
+    @jax.jit
+    def pack(text, tsc):
+        codes = text.reshape(n, -1, 128)
+        pad = jnp.zeros((n, m - sub, 128), jnp.int8)
+        sc = jnp.repeat(tsc.reshape(n, -1), sub // tsc.reshape(n, -1).shape[1],
+                        axis=1)
+        sc = jnp.concatenate([sc, jnp.ones((n, m - sub), jnp.float32)], axis=1)
+        return jnp.concatenate([codes, pad], axis=1), sc
+
+    store.packed, store.packed_scales = pack(storeq.text, storeq.text_scale)
+    store.n_rows = n
+    store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                       for t in store._tables())
+    return store
+
+
 def make_rows_batch(cfg, B: int, rng, n: int):
     """Device-resident BaselineRowsBatch features (sans answer): random
     mention-side tensors + a [B, C] row matrix, floats in bf16."""
@@ -92,7 +158,10 @@ def main():
     log(f"devices: {jax.devices()}")
     overrides = dict(dataset_root="/tmp/unused", compute_dtype="bfloat16")
     if tiny:
-        overrides.update(bert_embed_dim=32, resnet_embed_dim=64,
+        # bert_embed_dim=128: each pooled text SLOT is then exactly one
+        # 128-lane sub-row (fused_gather_supported needs slot % 128 == 0),
+        # so the fused-slab variant stays testable at tiny scale
+        overrides.update(bert_embed_dim=128, resnet_embed_dim=64,
                          max_mention_sentence_len=16, resnet_num_region=4,
                          mention_final_output_dim=32,
                          entity_final_output_dim=32,
@@ -117,11 +186,18 @@ def main():
     dev_params = jax.device_put(params)
     apply_fn = lambda p, feats: model.apply({"params": p}, feats)
 
+    variants = [("text_image", lambda: make_ghmfc_store(
+                     cfg, n, include=("text", "image"))),
+                ("text_only", lambda: store_t)]
+    if "--quant" in sys.argv:
+        storeq = make_ghmfc_store_quantized(cfg, n)
+        variants += [("text_only_int8", lambda: storeq),
+                     ("text_only_fused",
+                      lambda: make_ghmfc_store_fused(cfg, n, storeq))]
+
     results = {}
-    for name, include in (("text_image", ("text", "image")),
-                          ("text_only", ("text",))):
-        store = store_t if include == ("text",) else make_ghmfc_store(
-            cfg, n, include=include)
+    for name, build in variants:
+        store = build()
         feats_fn = store.baseline_feats_fn()
         log(f"{name}: {store.nbytes / 1e6:.0f} MB resident; timing "
             f"B={B} rank...")
@@ -134,9 +210,15 @@ def main():
             "resident_mb": round(store.nbytes / 1e6, 1),
             "ms_per_rank": round(dt * 1e3, 3)}), flush=True)
 
-    speedup = results["text_image"] / results["text_only"]
-    print(json.dumps({"measurement": "ghmfc_rank_store_ab_summary",
-                      "text_only_speedup": round(speedup, 3)}), flush=True)
+    summary = {"measurement": "ghmfc_rank_store_ab_summary",
+               "text_only_speedup":
+                   round(results["text_image"] / results["text_only"], 3)}
+    if "text_only_fused" in results:
+        summary["fused_vs_bf16"] = round(
+            results["text_only_fused"] / results["text_only"], 3)
+        summary["int8_vs_bf16"] = round(
+            results["text_only_int8"] / results["text_only"], 3)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
