@@ -71,28 +71,35 @@ def make_device_rank_batch(cfg, B: int, rng, n: int = N_ENTITIES):
     return tuple(jax.device_put(cast16(x)) for x in batch)
 
 
-def make_full_scale_store_quantized(cfg, n: int = N_ENTITIES, seed: int = 1):
-    """int8 variant of :func:`make_full_scale_store`: the same-seed random
-    tables quantized IN HBM (jitted per-entity max-abs, the
-    device_store.quantize_entity_rows scheme) — no host transfer; the f32
-    intermediates are freed as each table is replaced."""
+def quantize_on_device(x, lead: int = 1):
+    """The ONE jitted device-side quantizer every full-scale benchmark
+    store shares (ghmfc_store.py included): per-entity max-abs int8, the
+    device_store.quantize_entity_rows scheme.  ``lead=2``: per-(row, slot)
+    scales for the pooled text table (per_slot=True, ADVICE r4)."""
     import jax
     import jax.numpy as jnp
-
-    store = make_full_scale_store(cfg, n, dtype=jnp.float32, seed=seed)
 
     from functools import partial
 
     @partial(jax.jit, static_argnums=1)
-    def q(x, lead=1):
-        # lead=2: per-(row, slot) scales for the pooled text table, matching
-        # device_store.quantize_entity_rows(per_slot=True)
+    def q(x, lead):
         flat = x.reshape(x.shape[:lead] + (-1,))
         s = jnp.max(jnp.abs(flat), axis=-1)
         s = jnp.where(s == 0, 1.0, s)
         codes = jnp.clip(jnp.round(flat / s[..., None] * 127.0), -127, 127)
         return codes.astype(jnp.int8).reshape(x.shape), (s / 127.0).astype(jnp.float32)
 
+    return q(x, lead)
+
+
+def make_full_scale_store_quantized(cfg, n: int = N_ENTITIES, seed: int = 1):
+    """int8 variant of :func:`make_full_scale_store`: the same-seed random
+    tables quantized IN HBM (:func:`quantize_on_device`) — no host
+    transfer; the f32 intermediates are freed as each table is replaced."""
+    import jax.numpy as jnp
+
+    store = make_full_scale_store(cfg, n, dtype=jnp.float32, seed=seed)
+    q = quantize_on_device
     store.quantized = True
     store.dtype = jnp.bfloat16  # dequantized gather rows in serving dtype
     store.text, store.text_scale = q(store.text, 2)

@@ -71,15 +71,11 @@ def make_ghmfc_store_quantized(cfg, n: int, seed: int = 1):
     store = DeviceEntityStore(cfg, tiny, dtype=jnp.bfloat16, quantize=True,
                               include=("text",))
     text = jax.random.normal(jax.random.key(seed), (n, 2, D), jnp.float32)
+    # per-(row, slot) scales, the production pooled-text scheme — the one
+    # shared quantizer (benchmarks/_tables.quantize_on_device)
+    from benchmarks._tables import quantize_on_device
 
-    @jax.jit
-    def q(x):
-        s = jnp.max(jnp.abs(x), axis=-1)  # [n, 2] per-(row, slot)
-        s = jnp.where(s == 0, 1.0, s)
-        codes = jnp.clip(jnp.round(x / s[..., None] * 127.0), -127, 127)
-        return codes.astype(jnp.int8), (s / 127.0).astype(jnp.float32)
-
-    store.text, store.text_scale = q(text)
+    store.text, store.text_scale = quantize_on_device(text, 2)
     store.n_rows = n
     store.nbytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                        for t in store._tables())

@@ -347,11 +347,17 @@ def pool_entity_table(features: np.ndarray, mask: np.ndarray, chunk: int = 4096)
     return out
 
 
-def load_wikimel_entity_tables(cfg: Config) -> dict:
-    """Load the 5 global WikiMEL entity arrays once, shared across splits
+def load_wikimel_entity_tables(cfg: Config, include: tuple = None) -> dict:
+    """Load the global WikiMEL entity arrays once, shared across splits
     (drin/data.py:163-187).  With ``cfg.cache_entity_pooling`` the token-level
-    text table is replaced by its (pooled, CLS) cache."""
+    text table is replaced by its (pooled, CLS) cache.
+
+    ``include`` (the :func:`drin_tpu.data.device_store.include_for` layout)
+    skips READING the image/object arrays a narrowed device store would
+    never upload: on a GHMFC/online serving host that is multi-GB of f32
+    host RAM and startup I/O for tables the model never touches."""
     d = cfg.preprocess_dir
+    include = include or ("text", "image", "obj")
     # global text table field carries entity_text_type (reference
     # baselines/data.py:97-101; drin/data.py:164 hard-codes attr — the
     # default here — but the store surface supports name/brief too)
@@ -360,10 +366,15 @@ def load_wikimel_entity_tables(cfg: Config) -> dict:
     tables = {
         "entity_text_feature": etf,
         "entity_text_mask": etm,
-        "entity_image_feature": npy_io.load_field(d, "entity_image_feature", "all", cfg.entity_mmap),
-        "entity_object_feature": npy_io.load_field(d, "entity_object_feature", "all", cfg.entity_mmap),
-        "entity_object_score": npy_io.load_field(d, "entity_object_score", "all"),
     }
+    if "image" in include:
+        tables["entity_image_feature"] = npy_io.load_field(
+            d, "entity_image_feature", "all", cfg.entity_mmap)
+    if "obj" in include:
+        tables["entity_object_feature"] = npy_io.load_field(
+            d, "entity_object_feature", "all", cfg.entity_mmap)
+        tables["entity_object_score"] = npy_io.load_field(
+            d, "entity_object_score", "all")
     if cfg.entity_pooling_cached:
         tables["entity_text_feature"] = pool_entity_table(etf, etm)
     return tables

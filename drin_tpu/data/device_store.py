@@ -61,6 +61,17 @@ class BaselineRowsBatch(NamedTuple):
     answer: np.ndarray
 
 
+def include_for(kind: str) -> tuple:
+    """The entity tables a model KIND reads from its device store — the ONE
+    definition serving (serve.Ranker) and training (train.py) share so the
+    two can never build different layouts for the same model.  DRIN reads
+    all three (drin.py entity tower); GHMFC — the only baseline that
+    reaches a wikimel device store — reads ONLY the text table (reference
+    ghmfc.py:202-251: no entity-image and no object branch; MELHI reads
+    entity images but is wikidiverse-only and never gets a store)."""
+    return ("text", "image", "obj") if kind == "drin" else ("text",)
+
+
 def quantize_entity_rows(x: np.ndarray, per_slot: bool = False):
     """Per-entity max-abs int8 quantization of an [N, ...] table: one f32
     scale per row over ALL of the row's elements (same scheme as the

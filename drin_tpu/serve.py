@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from drin_tpu.common.config import Config
-from drin_tpu.data.device_store import DeviceEntityStore
+from drin_tpu.data.device_store import DeviceEntityStore, include_for
 from drin_tpu.models import get_model
 
 
@@ -264,7 +264,11 @@ class Ranker:
         self.params = jax.device_put(jax.tree.map(cast, params))
         self.store = None
         self._feats_fn = None
-        self._tables = entity_tables
+        # the raw host tables are kept ONLY for DRIN's
+        # precompute_entity_projection (it re-projects from them); on any
+        # other kind holding them would pin multi-GB host arrays the store
+        # already uploaded (or narrowed away) for the server's lifetime
+        self._tables = entity_tables if self.kind == "drin" else None
         self._cast = cast
         if entity_tables is not None and cfg.entity_pooling_cached:
             # quantize_store: int8 rank tables, ~2x entities per chip;
@@ -277,13 +281,11 @@ class Ranker:
                 raise ValueError("fused_gather packs the DRIN or GHMFC "
                                  f"table layouts; model_type={cfg.model_type}"
                                  " uses the standard quantized store")
-            # GHMFC's entity tower reads ONLY text (reference
-            # ghmfc.py:202-251 — no image/object branch; MELHI reads entity
-            # images but is wikidiverse-only and never reaches this store):
-            # skip uploading the image + object tables — ~900MB bf16 of HBM
-            # at the WikiMEL serving scale the model would never touch
-            include = (("text", "image", "obj") if self.kind == "drin"
-                       else ("text",))
+            # GHMFC's entity tower reads ONLY text: skip uploading the
+            # image + object tables — ~900MB bf16 of HBM at the WikiMEL
+            # serving scale the model would never touch (the one
+            # serving/training-shared policy: device_store.include_for)
+            include = include_for(self.kind)
             self.store = DeviceEntityStore(cfg, entity_tables, dtype=dt,
                                            quantize=quantize_store,
                                            fused_gather=fused_gather,
@@ -381,7 +383,8 @@ class Ranker:
         self._feats_fn = (None if self.cfg.online_bert
                           else store.drin_feats_fn() if self.kind == "drin"
                           else store.baseline_feats_fn())
-        self._tables = entity_tables
+        # DRIN-only retention, as in __init__ (projection source)
+        self._tables = entity_tables if self.kind == "drin" else None
         self._retrieval_table = None
         self._retrieve_jit = None
         self._retrieval_q = None
@@ -799,6 +802,54 @@ class _Req(_NamedTuple):
     t0: float       # enqueue time (monotonic) for the latency histogram
 
 
+class _DaemonFlushPool:
+    """A fixed pool of DAEMON flush workers.
+
+    Not ``concurrent.futures.ThreadPoolExecutor``: that registers an
+    unconditional ``t.join()`` on its non-daemon workers at interpreter
+    shutdown, so one flush stuck inside a device call on a hung relay
+    (observed >9 min — CLAUDE.md) would block process exit forever AFTER a
+    bounded ``close()`` returned — under an external watchdog that is a
+    SIGKILL with no artifact.  Daemon workers let the process exit; the
+    submit-vs-shutdown race is closed by the lock (a job can never land
+    behind a shutdown sentinel, so ``BatchingRanker._dispatch``'s
+    closed-pool inline fallback always fires instead)."""
+
+    def __init__(self, n: int):
+        import queue
+
+        self._jobs: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._open = True
+        self._lock = threading.Lock()
+        self._threads = [threading.Thread(target=self._work, daemon=True)
+                         for _ in range(n)]
+        for t in self._threads:
+            t.start()
+
+    def _work(self):
+        while True:
+            job = self._jobs.get()
+            if job is None:
+                return
+            job()
+
+    def submit(self, fn):
+        with self._lock:
+            if not self._open:
+                raise RuntimeError("flush pool is shut down")
+            self._jobs.put(fn)
+
+    def shutdown(self, wait: bool = False):
+        with self._lock:
+            if self._open:
+                self._open = False
+                for _ in self._threads:
+                    self._jobs.put(None)
+        if wait:
+            for t in self._threads:
+                t.join()
+
+
 class BatchingRanker:
     """Micro-batching wrapper: concurrent ``rank()`` calls coalesce into one
     jitted call on the device.
@@ -818,7 +869,6 @@ class BatchingRanker:
 
     def __init__(self, ranker: Ranker, max_batch: int = 64, wait_ms: float = 2.0,
                  buckets: tuple = (1, 2, 4, 8, 16, 32, 64), pipeline_depth: int = 2):
-        import concurrent.futures as cf
         import queue
 
         self.ranker = ranker
@@ -849,8 +899,10 @@ class BatchingRanker:
         self._close_lock = threading.Lock()  # orders rank() vs close()
         # pipeline_depth > 1 overlaps flush k+1's host->device upload with
         # flush k's device compute/fetch (each flush is independent; order
-        # within a flush is preserved by its own futures)
-        self._flush_pool = (cf.ThreadPoolExecutor(pipeline_depth)
+        # within a flush is preserved by its own futures).  Daemon workers:
+        # a flush hung on a dead relay must never block process exit
+        # (_DaemonFlushPool docstring)
+        self._flush_pool = (_DaemonFlushPool(pipeline_depth)
                             if pipeline_depth > 1 else None)
         self._inflight = threading.Semaphore(max(pipeline_depth, 1))
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
@@ -1300,10 +1352,14 @@ def main(argv=None):
         if cfg.dataset_name == "wikimel" and cfg.entity_pooling_cached:
             # loaded for online configs too: the online model never reads
             # them in its forward (it tokenizes entity text per request)
-            # but stage-1 /retrieve scans the pooled text table regardless
+            # but stage-1 /retrieve scans the pooled text table regardless.
+            # Host-side include narrowing mirrors the store's: a GHMFC /
+            # online server never READS the image/object arrays either —
+            # multi-GB of host RAM and startup I/O skipped
             from drin_tpu.data.dataset import load_wikimel_entity_tables
 
-            tables = load_wikimel_entity_tables(cfg)
+            kind = "drin" if cfg.model_type == "drin" else "baseline"
+            tables = load_wikimel_entity_tables(cfg, include=include_for(kind))
         ranker = Ranker(cfg, entity_tables=tables,
                         quantize_store=bool(quantize_store),
                         fused_gather=bool(fused_gather))

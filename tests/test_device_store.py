@@ -438,6 +438,32 @@ def test_include_narrowed_store_skips_obj(wm):
                           include=("text", "image", "banana"))
 
 
+def test_text_only_host_load_feeds_text_only_store(wm):
+    """The host loader mirrors the store narrowing
+    (load_wikimel_entity_tables(include=...)): a text-only load never
+    reads the image/object arrays (multi-GB of host RAM + startup I/O on
+    a GHMFC/online serving host) and still feeds a text-only store whose
+    feature tuples match the fully-loaded one."""
+    from drin_tpu.data.dataset import load_wikimel_entity_tables
+    from drin_tpu.data.device_store import include_for
+
+    cfg, tables, ds = wm
+    assert include_for("drin") == ("text", "image", "obj")
+    assert include_for("baseline") == include_for("online") == ("text",)
+    slim_tables = load_wikimel_entity_tables(cfg, include=("text",))
+    assert "entity_image_feature" not in slim_tables
+    assert "entity_object_feature" not in slim_tables
+    s_full = DeviceEntityStore(cfg, tables, dtype=jnp.float32,
+                               include=("text",))
+    s_slim = DeviceEntityStore(cfg, slim_tables, dtype=jnp.float32,
+                               include=("text",))
+    rows_batch = ds.baseline_rows_batch(np.arange(4))
+    feats = tuple(jnp.asarray(np.asarray(x)) for x in rows_batch[:-1])
+    for a, b in zip(jax.jit(s_full.baseline_feats_fn())(feats),
+                    jax.jit(s_slim.baseline_feats_fn())(feats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_text_only_store_composes_with_row_sharding(wm):
     """include=('text',) + shard_rows=True (the GHMFC training layout on a
     model>1 mesh — train.py narrows baseline stores like serve.Ranker):

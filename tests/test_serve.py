@@ -1062,8 +1062,10 @@ def test_batching_ranker_close_resolves_taken_window(served):
 
     cfg = served[0]
     release = threading.Event()
+    started = []  # one entry per flush that reached the (blocked) device fn
 
     def rank(feats, k):
+        started.append(None)
         release.wait(timeout=30)
         b = feats[0].shape[0]
         return np.zeros((b, k), np.float32), np.zeros((b, k), np.int64)
@@ -1072,13 +1074,24 @@ def test_batching_ranker_close_resolves_taken_window(served):
     br = BatchingRanker(dummy, max_batch=1, wait_ms=1.0, buckets=(1,),
                         pipeline_depth=2)
     feats = (np.zeros((1, 3), np.float32),)
+
+    def wait_for(cond, what, deadline=20.0):
+        # observable-state sync, not wall-clock sleeps: fixed sleeps made
+        # this exact regression test flaky on the contended 1-core host
+        t0 = time.monotonic()
+        while not cond():
+            assert time.monotonic() - t0 < deadline, f"waiting for {what}"
+            time.sleep(0.01)
+
     with cf.ThreadPoolExecutor(3) as ex:
         futs = [ex.submit(br.rank, feats, 2)]
-        time.sleep(0.25)  # flush 1 in flight (blocked), sem 2 -> 1
+        wait_for(lambda: len(started) >= 1, "flush 1 in flight (sem 2 -> 1)")
         futs.append(ex.submit(br.rank, feats, 2))
-        time.sleep(0.25)  # flush 2 in flight (blocked), sem 1 -> 0
+        wait_for(lambda: len(started) >= 2, "flush 2 in flight (sem 1 -> 0)")
         futs.append(ex.submit(br.rank, feats, 2))
-        time.sleep(0.3)   # dispatcher holds window 3, blocked in acquire()
+        # window 3 dequeued; with both pipeline slots held the dispatcher
+        # is now blocked in _inflight.acquire() holding the taken window
+        wait_for(br._q.empty, "window 3 taken by the dispatcher")
         t = threading.Timer(0.5, release.set)
         t.start()
         try:

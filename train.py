@@ -90,19 +90,17 @@ def main(argv=None) -> None:
                       and mesh.shape["model"] > 1)
         if (cfg.device_entity_tables and cfg.dataset_name == "wikimel"
                 and (cfg.entity_pooling_cached or shard_rows)):
-            from drin_tpu.data.device_store import DeviceEntityStore
+            from drin_tpu.data.device_store import (DeviceEntityStore,
+                                                    include_for)
             from drin_tpu.parallel.mesh import replicated
 
-            # GHMFC's entity tower reads ONLY the text table (reference
-            # ghmfc.py:202-251; same narrowing as serve.Ranker): skip
+            # GHMFC's entity tower reads ONLY the text table: skip
             # uploading — and dead-gathering per step — the image + object
-            # tables.  MELHI never reaches here (wikidiverse has no global
-            # table); DRIN reads all three.
-            include = (("text", "image", "obj") if kind == "drin"
-                       else ("text",))
+            # tables (the one serving/training-shared policy:
+            # device_store.include_for)
             store = DeviceEntityStore(
                 cfg, train_ds.tables, mesh=mesh, shard_rows=shard_rows,
-                include=include,
+                include=include_for(kind),
                 sharding=replicated(mesh) if (mesh is not None and not shard_rows) else None)
             feats_fn = store.drin_feats_fn() if kind == "drin" else store.baseline_feats_fn()
             kind = kind + "_rows"
