@@ -1004,6 +1004,27 @@ def test_online_ranker_keeps_retrieval_drops_rows_feats(served):
         r0.retrieve(q, k=3)
 
 
+def test_online_ranker_bundle_roundtrip(served, tmp_path):
+    """An online Ranker's bundle (text-only tables, no rows feats_fn)
+    reconstructs a server whose retrieval matches the original exactly."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    ocfg = tiny_config("wikimel", "ghmfc").replace(
+        online_bert=True, num_entity_sentence=0, finetune_bert=False)
+    slim = {k: tables[k] for k in ("entity_text_feature", "entity_text_mask")}
+    r = Ranker(ocfg, params={"w": np.zeros((2, 2), np.float32)},
+               entity_tables=slim)
+    r.save_bundle(str(tmp_path / "bundle"))
+    r2 = Ranker.from_bundle(str(tmp_path / "bundle"))
+    assert r2.cfg.online_bert and r2.store is not None and r2._feats_fn is None
+    q = np.asarray(tables["entity_text_feature"][[4, 9], 0], np.float32)
+    s1, i1 = r.retrieve(q, k=3, mode="exact")
+    s2, i2 = r2.retrieve(q, k=3, mode="exact")
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
 def test_http_status_codes_classify_faults(served):
     """Server-side faults return 500; malformed payloads return 400 — a
     blanket 400 would make retry policies blame clients for backend
