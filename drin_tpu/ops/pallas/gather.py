@@ -55,7 +55,7 @@ LANES = 128
 def _slot_subrows(chunks):
     """Per-chunk (sub_lo, sub_hi) ranges and the padded slab height m."""
     spans, lo = [], 0
-    for width, nslots in chunks:
+    for width, _ in chunks:  # slot counts only affect scale replication
         n = width // LANES
         spans.append((lo, lo + n))
         lo += n
@@ -134,7 +134,9 @@ def gather_dequant(table, scales, rows, chunks, out_dtype,
         sub-row-major order, tail sub-rows zero pad.
       scales: [N, m] float32, one scale per (row, sub-row): every sub-row of
         a slot carries that slot's scale (pad sub-rows 1.0).
-      rows: int32 indices, any shape (flattened; all values < N).
+      rows: integer indices, any shape (flattened).  Out-of-range values
+        degrade exactly like jnp indexing — negatives wrap once, the rest
+        clamp (see Returns) — never an out-of-bounds HBM DMA.
       chunks: static tuple of (width, n_slots) per output — each output's
         width splits into n_slots contiguous runs sharing one scale each.
       out_dtype: compute dtype of the dequantized outputs.
@@ -149,6 +151,17 @@ def gather_dequant(table, scales, rows, chunks, out_dtype,
     assert scales.shape == (N, m), (scales.shape, (N, m))
     assert fused_gather_supported(m_data * LANES, chunks)
     shape = rows.shape
+    if not jnp.issubdtype(jnp.asarray(rows).dtype, jnp.integer):
+        # fail like jnp indexing does (table[rows] raises at trace time for
+        # float/bool indexers); a silent astype would gather WRONG rows on
+        # malformed serving input where every other store path fails loudly
+        raise TypeError(
+            f"gather_dequant rows must be integer, got {jnp.asarray(rows).dtype}")
+    if int(np.prod(shape)) == 0:
+        # R=0 (e.g. an empty candidate list): the XLA paths return empty
+        # arrays; a zero-length grid would crash pallas_call
+        return tuple(jnp.zeros(shape + (w,), jnp.dtype(out_dtype))
+                     for w, _ in chunks)
     # Match jnp indexing semantics exactly (wrap negatives once, clamp the
     # rest): an out-of-range index must degrade to the same deterministic
     # row the XLA store paths gather, never an out-of-bounds HBM DMA (the
@@ -211,6 +224,9 @@ def pack_quantized_tables(qtables, scales) -> tuple[np.ndarray, np.ndarray]:
     qs = [np.asarray(q).reshape(n, -1) for q in qtables]
     ss = [np.asarray(s).reshape(n, -1).astype(np.float32) for s in scales]
     chunks = tuple((q.shape[1], s.shape[1]) for q, s in zip(qs, ss))
+    assert fused_gather_supported(sum(w for w, _ in chunks), chunks), (
+        "fused_gather needs 128-lane-aligned feature slots; got chunk "
+        f"layout {chunks} (use the XLA path for these dims)")
     spans, _, m = _slot_subrows(chunks)
     packed = np.zeros((n, m, LANES), np.int8)
     psc = np.ones((n, m), np.float32)

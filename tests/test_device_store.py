@@ -320,6 +320,25 @@ def test_fused_gather_kernel_bit_equal():
                 * s[fixed][..., None]).reshape(bad.shape + (w,))
         np.testing.assert_array_equal(np.asarray(out), want)
 
+    # R=0 (empty candidate list) returns empty arrays like the XLA paths
+    # instead of crashing pallas_call with a zero-length grid
+    empty = gather_dequant(jnp.asarray(packed), jnp.asarray(psc),
+                           jnp.zeros((2, 0), jnp.int32), chunks,
+                           jnp.float32, interpret=True)
+    for out, (w, _) in zip(empty, chunks):
+        assert out.shape == (2, 0, w)
+    # non-integer indexers fail loudly like jnp indexing (a silent astype
+    # would gather WRONG rows on malformed serving input)
+    with pytest.raises(TypeError, match="integer"):
+        gather_dequant(jnp.asarray(packed), jnp.asarray(psc),
+                       jnp.asarray(rows, jnp.float32), chunks,
+                       jnp.float32, interpret=True)
+    # the public packer refuses unsupported layouts with the named
+    # diagnostic, not a cryptic reshape error
+    with pytest.raises(AssertionError, match="128-lane"):
+        pack_quantized_tables([rng.integers(-127, 128, (N, 200)).astype(np.int8)],
+                              [np.ones((N, 1), np.float32)])
+
 
 @pytest.fixture(scope="module")
 def wm128(tmp_path_factory):
