@@ -357,7 +357,7 @@ def test_full_harness_trajectory_melhi(tmp_path, capsys):
 @pytest.mark.slow
 @pytest.mark.parametrize("model_type,dataset", [
     ("drin", "wikidiverse"), ("ghmfc", "wikidiverse"), ("drin", "wikimel"),
-    ("ghmfc", "wikimel")])
+    ("ghmfc", "wikimel"), ("melhi", "wikidiverse")])
 def test_convergence_parity(tmp_path, capsys, model_type, dataset):
     """Convergence-scale trajectory A/B (VERDICT r3 next-#3, r4 next-#3):
     300 learnable synthetic mentions (shared latent concepts between mention
@@ -373,6 +373,11 @@ def test_convergence_parity(tmp_path, capsys, model_type, dataset):
     ``DeviceEntityStore.drin_feats_fn()`` (device-resident tables, [B, C]
     row-index batches) and asserts the production rows path lands at the
     same endpoint.
+
+    The melhi variant completes the (model, dataset) matrix: every model
+    family the reference trains is convergence-pinned on its dataset
+    (MELHI is WikiDiverse-only, melhi.py:12-15), with the reference's
+    ``lstm_extract_last`` bug corrected on its side like the 4-epoch A/B.
 
     Asserts BOTH sides actually LEARNED — final valid top-1 >= 0.6 against
     1/6 (wikidiverse) or 1/8 (wikimel) chance — and that ours lands at the
@@ -396,6 +401,17 @@ def test_convergence_parity(tmp_path, capsys, model_type, dataset):
     if model_type != "drin":
         ref_train.data_module.BertTokenizer = type(
             "TokStub", (), {"from_pretrained": staticmethod(lambda name: None)})
+    if model_type == "melhi":
+        # corrected-extraction oracle, same substitution as
+        # test_full_harness_trajectory_melhi (reference melhi.py:18-23 bug:
+        # we implement the intended last-valid-step semantics)
+        def correct_extract_last(packed):
+            padded, lengths = torch.nn.utils.rnn.pad_packed_sequence(
+                packed, batch_first=True)
+            idx = (lengths - 1).clamp(min=0)
+            return padded[torch.arange(padded.shape[0]), idx]
+
+        ref_train.model_module.lstm_extract_last = correct_extract_last
     torch.manual_seed(0)
     ref_inner = ref_train.model_module.Model()
     ref_model = ref_train.MELModel(ref_inner)
@@ -414,6 +430,12 @@ def test_convergence_parity(tmp_path, capsys, model_type, dataset):
         params = jax.tree.map(jnp.asarray,
                               drin_params_from_torch(init_sd, cfg.num_gcn_layers))
         model, kind = DRIN(cfg), "drin"
+    elif model_type == "melhi":
+        from drin_tpu.models.melhi import MELHI
+        from drin_tpu.models.torch_import import melhi_params_from_torch
+
+        params = jax.tree.map(jnp.asarray, melhi_params_from_torch(init_sd))
+        model, kind = MELHI(cfg), "baseline"
     else:
         from drin_tpu.models.ghmfc import GHMFC
         from drin_tpu.models.torch_import import ghmfc_params_from_torch
