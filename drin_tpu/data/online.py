@@ -179,6 +179,13 @@ def _flat_len_row(texts):
     return max(len(ids) for ids in _WORKER_TOK.encode_batch(texts, truncation=True))
 
 
+def _terminate_pool(pool):
+    """Module-level so a ``weakref.finalize`` callback never references the
+    dataset instance it guards (that would re-pin it like atexit did)."""
+    pool.terminate()
+    pool.join()
+
+
 def mention_tokens(cfg: Config, tokenizer, sentences, starts_tok, ends_tok,
                    bucket: int, used: int | None = None):
     """Mention-side token assembly shared by the dataset and serving paths:
@@ -306,17 +313,26 @@ class OnlineMELDataset:
         # a fork pool only pays off with real cores to spread the GIL-bound
         # tokenizer over (verified: on a 1-core host IPC overhead makes it a
         # net loss; batches are bit-identical either way)
+        self._pool_finalizer = None
         if (cfg.num_entity_sentence and cfg.dataloader_workers > 0
                 and hasattr(os, "fork") and (os.cpu_count() or 1) > 1):
-            import atexit
             import multiprocessing as mp
+            import weakref
 
             self._pool = mp.get_context("fork").Pool(
                 min(cfg.dataloader_workers, os.cpu_count()),
                 initializer=_init_tok_worker,
                 initargs=(self.tokenizer.vocab, cfg.max_bert_len),
             )
-            atexit.register(self.close)
+            # weakref.finalize, NOT atexit.register(self.close): an atexit
+            # registration holds a strong reference to the dataset, pinning
+            # its arrays/mmaps AND the worker processes for the process
+            # lifetime even after the dataset is discarded (harnesses
+            # re-create datasets per fit chunk).  The finalizer references
+            # only the pool, runs at GC of the dataset or interpreter exit,
+            # and is detached by an explicit close().
+            self._pool_finalizer = weakref.finalize(
+                self, _terminate_pool, self._pool)
         # length bucketing: multi-process SPMD needs ONE global batch shape,
         # so under >1 process the trim length is derived from per-example
         # token lengths precomputed once from the (identical) store — every
@@ -432,9 +448,11 @@ class OnlineMELDataset:
         return men, ent
 
     def close(self):
+        if self._pool_finalizer is not None:
+            self._pool_finalizer.detach()
+            self._pool_finalizer = None
         if self._pool is not None:
-            self._pool.terminate()
-            self._pool.join()
+            _terminate_pool(self._pool)
             self._pool = None
 
     def __len__(self):

@@ -137,15 +137,12 @@ class BertStage:
         fn = lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
         self._jit, self.params, self.dp = build_stage_jit(fn, self.params, mesh)
 
-    def encode_texts(self, texts: Sequence[str], output: str, max_len: int):
-        """Batched inference over raw texts.
-
-        output == 'last_hidden_state': returns (features [N, max_len, D],
-        mask [N, max_len]) — the reference truncates stored features to
-        max_len (bert.py:78-79).  output == 'pooler_output': [N, D]."""
+    def _encode_chunks(self, texts: Sequence[str], output: str, max_len: int):
+        """Yield per-dispatch (features, mask-or-None) numpy chunks — the
+        shared body of :meth:`encode_texts` (in-RAM) and
+        :meth:`encode_texts_npy` (streamed)."""
         cfg = self.cfg
         B_ = rows_per_dispatch(cfg, self.dp)
-        feats, masks = [], []
         for i in range(0, len(texts), B_):
             chunk = [str(t) for t in texts[i : i + B_]]
             enc = self.tokenizer(chunk, padding=True, truncation=True, max_length=cfg.max_bert_len)
@@ -160,18 +157,53 @@ class BertStage:
                 ids, mask = ids[:, :L], mask[:, :L]
             h, pooled = self._jit(self.params, ids, mask)
             if output == "pooler_output":
-                feats.append(np.asarray(pooled))
+                yield np.asarray(pooled), None
             else:
                 h = np.asarray(h)[:, :max_len]
                 m = mask[:, :max_len]
                 if h.shape[1] < max_len:  # short bucket: pad stored features
                     h = np.pad(h, ((0, 0), (0, max_len - h.shape[1]), (0, 0)))
                     m = np.pad(m, ((0, 0), (0, max_len - m.shape[1])))
-                feats.append(h)
+                yield h, m
+
+    def encode_texts(self, texts: Sequence[str], output: str, max_len: int):
+        """Batched inference over raw texts, returned in RAM.
+
+        output == 'last_hidden_state': returns (features [N, max_len, D],
+        mask [N, max_len]) — the reference truncates stored features to
+        max_len (bert.py:78-79).  output == 'pooler_output': [N, D].
+
+        For store-writing at corpus scale use :meth:`encode_texts_npy`."""
+        feats, masks = [], []
+        for h, m in self._encode_chunks(texts, output, max_len):
+            feats.append(h)
+            if m is not None:
                 masks.append(m)
         if output == "pooler_output":
             return np.concatenate(feats, 0)
         return np.concatenate(feats, 0), np.concatenate(masks, 0)
+
+    def encode_texts_npy(self, texts: Sequence[str], output: str, max_len: int,
+                         feat_path: str, mask_path: Optional[str] = None) -> None:
+        """:meth:`encode_texts` streamed to ``.npy`` through
+        :class:`NpyWriter`, one dispatch chunk at a time.
+
+        The WikiMEL global entity pass is ~109k x 64 tokens x 768 f32 —
+        >20GB that must never sit in host RAM (the reference accumulates it,
+        bert.py:72-83 ``torch.cat``, leaning on its 100GB+ RAM requirement,
+        readme.md:22; this repo's streaming-writer contract, SURVEY §2.2
+        NpyWriter, applies to its own stages first)."""
+        with NpyWriter(feat_path) as fw:
+            mw = NpyWriter(mask_path) if mask_path is not None else None
+            try:
+                for h, m in self._encode_chunks(texts, output, max_len):
+                    fw.extend(h)
+                    if mw is not None:
+                        assert m is not None, "mask_path needs last_hidden_state output"
+                        mw.extend(m)
+            finally:
+                if mw is not None:
+                    mw.close()
 
     def run(self, splits=("train", "valid", "test")):
         """Mirror of reference bert.py main (bert.py:86-109)."""
@@ -192,9 +224,10 @@ class BertStage:
                 "prepare stage joins entity2brief); wikimel has 'attr'/'name'")
         for split in splits:
             texts = load_field(d, "mention_text_raw", split)
-            features, mask = self.encode_texts(texts, "last_hidden_state", cfg.max_mention_sentence_len)
-            np.save(os.path.join(d, f"mention-text-feature_{split}.npy"), features)
-            np.save(os.path.join(d, f"mention-text-mask_{split}.npy"), mask)
+            self.encode_texts_npy(
+                texts, "last_hidden_state", cfg.max_mention_sentence_len,
+                os.path.join(d, f"mention-text-feature_{split}.npy"),
+                os.path.join(d, f"mention-text-mask_{split}.npy"))
             if cfg.dataset_name == "wikidiverse":
                 # entity text source + output field follow entity_text_type
                 # (the reference's loader surface, baselines/data.py:100-105;
@@ -206,8 +239,9 @@ class BertStage:
                 tt = cfg.entity_text_type
                 raw_field = "entity_name_raw" if tt == "name" else "entity_attr_raw"
                 texts = load_field(d, raw_field, split)
-                feats = self.encode_texts(texts, "pooler_output", cfg.max_entity_attr_token_len)
-                np.save(os.path.join(d, f"entity-{tt}-feature_{split}.npy"), feats)
+                self.encode_texts_npy(
+                    texts, "pooler_output", cfg.max_entity_attr_token_len,
+                    os.path.join(d, f"entity-{tt}-feature_{split}.npy"))
         if cfg.dataset_name == "wikimel":
             tt = cfg.entity_text_type
             with open(cfg.qid2entity_path) as f:
@@ -221,9 +255,12 @@ class BertStage:
                 texts = [qid2name[qid] + ". " + str(attr).replace(".", ";") for qid, attr in items]
             with open(os.path.join(d, "qid2idx.json"), "w") as f:
                 json.dump({qid: i for i, (qid, _) in enumerate(items)}, f)
-            features, mask = self.encode_texts(texts, "last_hidden_state", cfg.max_entity_attr_token_len)
-            np.save(os.path.join(d, f"entity-{tt}-feature.npy"), features)
-            np.save(os.path.join(d, f"entity-{tt}-mask.npy"), mask)
+            # the global table is the >20GB pass that must stream (not
+            # accumulate like the reference's torch.cat, bert.py:72-83)
+            self.encode_texts_npy(
+                texts, "last_hidden_state", cfg.max_entity_attr_token_len,
+                os.path.join(d, f"entity-{tt}-feature.npy"),
+                os.path.join(d, f"entity-{tt}-mask.npy"))
 
 
 # ---------------------------------------------------------------------------

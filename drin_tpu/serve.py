@@ -403,6 +403,14 @@ class Ranker:
 
         assert self.cfg.model_type == "drin" and self._tables is not None, (
             "projection is the DRIN fast path and needs entity tables")
+        if self.cfg.entity_projected:
+            # idempotent: a projected bundle redeployed with the same
+            # ``project_entities=true`` flag (the natural redeploy command)
+            # must not push the already-projected tables through the entity
+            # linears a second time — slot 0 would be double-projected and
+            # the [N, gcn_embed_dim] image table no longer matches
+            # entity_image_linear's input width
+            return
         proj = project_drin_tables(self.cfg, self._tables, jax.device_get(self.params))
         dt = jnp.dtype(self.cfg.compute_dtype)
         self.cfg = self.cfg.replace(entity_projected=True)
@@ -625,6 +633,15 @@ class Ranker:
         self._sharded = ShardedRetrieval(self._ensure_retrieval_table(),
                                          devices=devices, quantize=quantize)
         self._sharded_expand = int(expand)
+        # release the single-device caches: ShardedRetrieval holds its own
+        # row-sharded copies, and retrieve() routes every mode through it
+        # from here on — keeping the full [N, D] table (and int8 cache)
+        # pinned alongside the shards would double retrieval HBM at exactly
+        # the table scales this method exists for.  They rebuild on demand
+        # from the store if the caches are ever invalidated back to the
+        # single-device path (set_store / the precompute_* fast paths).
+        self._retrieval_table = None
+        self._retrieval_q = None
         return self._sharded
 
     def retrieve(self, mention_repr: np.ndarray, k: int = 100,
@@ -674,7 +691,6 @@ class Ranker:
             # shard_retrieval assert expand >= 1); expand=0 would silently
             # return an empty shortlist
             raise ValueError(f"expand must be >= 1, got {expand}")
-        table = self._ensure_retrieval_table()
         sharded = getattr(self, "_sharded", None)
         if sharded is not None:
             if mode is None:
@@ -691,6 +707,11 @@ class Ranker:
                 jnp.asarray(mention_repr, jnp.float32), kq, kc,
                 quantized=mode == "int8", exact=exact)
             return np.asarray(scores), np.asarray(idx)
+        # single-device path only: building (or re-pinning) the full [N, D]
+        # normalized table behind the sharded branch would keep a second,
+        # unsharded copy resident — doubling retrieval HBM at exactly the
+        # table scales shard_retrieval exists for
+        table = self._ensure_retrieval_table()
         if mode is None:
             mode = ("int8" if getattr(self, "_retrieval_q", None) is not None
                     else "exact")

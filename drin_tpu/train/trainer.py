@@ -313,6 +313,11 @@ class Trainer:
     def restore(self, step: Optional[int] = None):
         import orbax.checkpoint as ocp
 
+        if self._ckpt_mgr is None:
+            raise RuntimeError(
+                "restore() needs checkpointing: construct the Trainer with "
+                "enable_checkpointing=true (save() silently no-ops without "
+                "it, but restoring from nowhere is always a caller error)")
         # an async save from THIS manager may still be in flight
         self._ckpt_mgr.wait_until_finished()
         if step is not None:

@@ -14,6 +14,8 @@ Reference notes (documented divergences the oracle corrects):
     identical numerics while frozen.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -462,3 +464,39 @@ def test_global_length_bucket_shape_agreement(tmp_path):
     # a different global batch may pick a different (still shared) width
     assert ds.online_batch(np.array([0]), bucket_idx=np.array([0])).mention_ids.shape[-1] \
         <= full.mention_ids.shape[-1]
+
+
+def test_online_dataset_pool_does_not_pin_instance(tmp_path, monkeypatch):
+    """Discarded OnlineMELDataset instances must be garbage-collectable and
+    their fork pools reaped (review finding): atexit.register(self.close)
+    held a strong reference to every dataset, pinning its arrays AND worker
+    processes for the process lifetime — harnesses re-create datasets per
+    fit chunk.  The pool guard is now a weakref.finalize that references
+    only the pool."""
+    import gc
+    import weakref
+
+    from drin_tpu.data.online import OnlineMELDataset
+    from drin_tpu.data.synthetic import make_synthetic_online_store
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 2)  # force the fork pool on
+    cfg, tok = make_synthetic_online_store(str(tmp_path / "st"), n=4,
+                                           dataloader_workers=2)
+    ds = OnlineMELDataset(cfg, "train", tokenizer=tok)
+    assert ds._pool is not None and ds._pool_finalizer is not None
+    batch = ds.online_batch(np.arange(2))  # the pool actually works
+    assert batch.entity_ids.shape[0] == 2
+    fin = ds._pool_finalizer
+    wr = weakref.ref(ds)
+    del ds, batch
+    gc.collect()
+    assert wr() is None, "dataset instance pinned after discard"
+    assert not fin.alive, "pool finalizer did not run at GC"
+
+    # explicit close() detaches the finalizer and reaps the pool
+    ds2 = OnlineMELDataset(cfg, "train", tokenizer=tok)
+    fin2 = ds2._pool_finalizer
+    ds2.close()
+    assert ds2._pool is None and ds2._pool_finalizer is None
+    assert not fin2.alive
+    ds2.close()  # idempotent

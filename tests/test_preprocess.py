@@ -1352,3 +1352,38 @@ def test_clip_preprocess_matches_hf_processor_nonsquare():
         got = clip_preprocess(img, size)                        # [s, s, 3]
         np.testing.assert_allclose(got.transpose(2, 0, 1), want,
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bert_stage_streaming_writer_matches_in_ram(tmp_path):
+    """``encode_texts_npy`` streams byte-identical features/masks to the
+    in-RAM ``encode_texts``, one dispatch chunk at a time through NpyWriter
+    (review finding: the WikiMEL global entity pass is >20GB at production
+    scale and must never accumulate on the host the way the reference's
+    torch.cat does, bert.py:72-83 — its readme demands 100GB+ RAM for it,
+    readme.md:22)."""
+    from drin_tpu.preprocess.stages import BertStage
+
+    sentences = [f"alpha beta b{i} gamma delta" for i in range(13)]
+    assets = _tiny_encoders(sentences)
+    vocab_path = str(tmp_path / "vocab.txt")
+    inv = {v: k for k, v in assets["vocab"].items()}
+    with open(vocab_path, "w") as f:
+        for i in range(len(inv)):
+            f.write(inv[i] + "\n")
+    cfg = tiny_config("wikidiverse", "drin",
+                      preprocess_dir=str(tmp_path / "store")).replace(
+        bert_embed_dim=16, bert_vocab=vocab_path,
+        preprocess_batch_size=4,  # 13 rows -> 4 dispatch chunks
+        max_mention_sentence_len=12)
+    stage = BertStage(cfg, assets["bert_params"], assets["bert_cfg"])
+
+    want_f, want_m = stage.encode_texts(sentences, "last_hidden_state", 12)
+    fp, mp = str(tmp_path / "f.npy"), str(tmp_path / "m.npy")
+    stage.encode_texts_npy(sentences, "last_hidden_state", 12, fp, mp)
+    np.testing.assert_array_equal(np.load(fp), want_f)
+    np.testing.assert_array_equal(np.load(mp), want_m)
+
+    want_p = stage.encode_texts(sentences, "pooler_output", 12)
+    pp = str(tmp_path / "p.npy")
+    stage.encode_texts_npy(sentences, "pooler_output", 12, pp)
+    np.testing.assert_array_equal(np.load(pp), want_p)

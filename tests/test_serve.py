@@ -1123,3 +1123,53 @@ def test_batching_ranker_close_resolves_taken_window(served):
         finally:
             t.cancel()
             release.set()
+
+
+def test_projection_idempotent_after_bundle_roundtrip(served, tmp_path):
+    """A projected bundle redeployed with ``project_entities=true`` (the
+    same flag the first deploy used) must not double-project (review
+    finding): the bundle persists ``entity_projected=true`` plus the
+    PROJECTED tables, so a second ``precompute_entity_projection`` would
+    push slot-0 text through the entity final layer again and feed the
+    [N, gcn_embed_dim] image table to entity_image_linear's
+    [resnet_embed_dim, ...] kernel.  The call is a no-op on an
+    already-projected config."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    r.precompute_entity_projection()
+    want = r.score(batch[:-1])
+    r.save_bundle(str(tmp_path / "pb"))
+
+    r2 = Ranker.from_bundle(str(tmp_path / "pb"))
+    assert r2.cfg.entity_projected
+    r2.precompute_entity_projection()  # the redeploy flag: must be a no-op
+    assert r2.cfg.entity_projected
+    np.testing.assert_allclose(r2.score(batch[:-1]), want, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_retrieval_releases_single_device_caches(served):
+    """shard_retrieval must hand retrieval HBM over to the shards (review
+    finding): ShardedRetrieval holds its own row-sharded copies, so keeping
+    the full single-device [N, D] table (and int8 cache) pinned — or
+    re-materializing it inside retrieve()'s sharded branch — would double
+    resident bytes at exactly the table scales sharding exists for."""
+    from drin_tpu.serve import Ranker
+
+    cfg, tables, ds, params, batch = served
+    r = Ranker(cfg, params=params, entity_tables=tables)
+    rng = np.random.default_rng(11)
+    D = tables["entity_text_feature"].shape[-1]
+    q = rng.standard_normal((2, D)).astype(np.float32)
+    fs, fi = r.retrieve(q, k=4, mode="exact")  # builds the single-device cache
+    r.quantize_retrieval()                     # and the int8 cache
+    assert r._retrieval_table is not None and r._retrieval_q is not None
+
+    r.shard_retrieval()
+    assert r._retrieval_table is None and r._retrieval_q is None
+    ss, si = r.retrieve(q, k=4, mode="exact")
+    np.testing.assert_array_equal(fi, si)
+    np.testing.assert_allclose(ss, fs, rtol=2e-4, atol=1e-5)
+    # the sharded-path retrieve must NOT have re-pinned the full table
+    assert r._retrieval_table is None and r._retrieval_q is None

@@ -534,3 +534,16 @@ def test_restore_rejects_path_like_resume_from():
         t.restore("checkpoints/2000")
     # no step and no checkpoints yet: restore is a no-op, not an error
     assert t.restore(None) is None
+
+
+def test_restore_without_checkpointing_raises_named_error():
+    """restore() on a Trainer built with enable_checkpointing=false must
+    fail with an error naming the missing config knob, not an
+    AttributeError off the None manager (review finding; save() silently
+    no-ops by design, but restoring from nowhere is a caller error)."""
+    t = Trainer.__new__(Trainer)
+    t._ckpt_mgr = None
+    with pytest.raises(RuntimeError, match="enable_checkpointing"):
+        t.restore(2000)
+    with pytest.raises(RuntimeError, match="enable_checkpointing"):
+        t.restore(None)
