@@ -86,9 +86,10 @@ BACKOFF_S = (10, 30, 60, 120, 240, 240)
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "900"))
 
 # v5e spec ceilings (BASELINE.md roofline section); the probes report what
-# THIS session actually sustains against them
-PEAK_FLOPS = 197e12
-PEAK_BW = 819e9
+# THIS session actually sustains against them.  ONE definition, shared with
+# roofline.py (benchmarks/_timing).
+from benchmarks._timing import V5E_PEAK_BW as PEAK_BW  # noqa: E402
+from benchmarks._timing import V5E_PEAK_FLOPS as PEAK_FLOPS  # noqa: E402
 
 _exit = os._exit  # test seam: the signal handler must be interceptable
 
@@ -99,43 +100,19 @@ def log(*a):
 
 def measure_calibration() -> dict:
     """Session-quality probes: bf16 stream-read bandwidth + 4096^2 matmul
-    throughput, both via the chained-call methodology (benchmarks/_timing).
-    Stable across sessions (~327 GB/s / ~89 TFLOP/s historically) while model
-    programs swing ±50% with co-tenancy — so a regression in ``value`` with
-    unchanged calibration is code, and vice versa."""
-    import jax
-    import jax.numpy as jnp
+    throughput, both via the chained-call methodology.  Probe BODIES live in
+    benchmarks/_timing (shared with roofline.py's empirical-ceiling probes,
+    so the two can never drift apart and cross-round calibration stays
+    comparable).  Stable across sessions (~327 GB/s / ~89 TFLOP/s
+    historically) while model programs swing ±50% with co-tenancy — so a
+    regression in ``value`` with unchanged calibration is code, and vice
+    versa."""
+    from benchmarks._timing import matmul_flops, stream_read_bw
 
-    from benchmarks._timing import timed_chain
-
-    Kc = 6
-    # created ON-device (jnp.ones lowers to a device fill — no 256MB upload
-    # through the ~2.4MB/s relay)
-    big = jnp.ones((128, 1024, 1024), jnp.bfloat16)  # 256 MB
-
-    def read_chain(eps, x):
-        for _ in range(Kc):
-            eps = jnp.sum((x + eps.astype(x.dtype) * 1e-12).astype(jnp.float32)) * 1e-12 + eps
-        return eps
-
-    dt = timed_chain(jax.jit(read_chain), (big,), Kc, iters=3)
-    stream_bw = big.nbytes / dt
-    del big
-
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
-
-    def mm_chain(eps, a):
-        x = a
-        for _ in range(Kc):
-            # float perturbation, NOT `+ eps*0` (fold-prone — CLAUDE.md rule)
-            x = jax.lax.dot(x + eps.astype(x.dtype) * 1e-12, a,
-                            precision=None, preferred_element_type=jnp.bfloat16)
-            eps = jnp.sum(x[0, :8].astype(jnp.float32)) * 1e-12 + eps
-        return eps
-
-    dt = timed_chain(jax.jit(mm_chain), (a,), Kc, iters=3)
-    mm_flops = 2 * 4096 ** 3 / dt  # timed_chain already divides by Kc
-    del a
+    # cheap variants (256MB / Kc=6 / 3 iters): the calibration must cost
+    # seconds of the attempt budget, not minutes
+    stream_bw = stream_read_bw(size_mb=256, Kc=6, iters=3)
+    mm_flops = matmul_flops(n=4096, Kc=6, iters=3)
     calib = {
         "stream_gb_s": round(stream_bw / 1e9, 1),
         "stream_pct_of_spec": round(stream_bw / PEAK_BW * 100, 1),

@@ -17,12 +17,15 @@ harness on CPU at toy sizes.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-from benchmarks._tables import N_ENTITIES
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks._tables import N_ENTITIES  # noqa: E402
 
 
 def log(msg: str) -> None:
@@ -145,6 +148,12 @@ def make_rows_batch(cfg, B: int, rng, n: int):
 def main():
     tiny = "--tiny" in sys.argv
     import jax
+
+    if tiny:
+        # the smoke mode's promise is CPU: without this the sitecustomize
+        # hook's axon backend is the default and a "tiny" run dispatches to
+        # the high-latency relay (and hangs through an outage)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from benchmarks._timing import rank_chain_time

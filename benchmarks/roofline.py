@@ -28,8 +28,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 B = 64
-PEAK_FLOPS = 197e12  # v5e bf16 peak
-PEAK_BW = 819e9  # v5e HBM GB/s
+# ONE definition of the spec ceilings + probe bodies, shared with bench.py's
+# session calibration (benchmarks/_timing) so the two can never drift
+from benchmarks._timing import V5E_PEAK_BW as PEAK_BW  # noqa: E402
+from benchmarks._timing import V5E_PEAK_FLOPS as PEAK_FLOPS  # noqa: E402
 
 
 def log(*a):
@@ -90,39 +92,18 @@ def main():
     # ---- empirical bandwidth/compute calibration --------------------------
     # the spec numbers assume ideal access patterns; these probes measure
     # what THIS chip actually sustains, so the per-program headroom below is
-    # judged against an achievable roof, not a datasheet
-    from benchmarks._timing import timed_chain
+    # judged against an achievable roof, not a datasheet.  Probe BODIES are
+    # the shared ones (benchmarks/_timing, also bench.py's calibration);
+    # roofline runs the precise variants (512MB / Kc=8 / 4 iters)
+    from benchmarks._timing import matmul_flops, stream_read_bw
 
-    Kc = 8
-    big = jax.device_put(jnp.ones((256, 1024, 1024), jnp.bfloat16))  # 512 MB
-
-    def read_chain(eps, x):
-        for _ in range(Kc):
-            eps = jnp.sum((x + eps.astype(x.dtype) * 1e-12).astype(jnp.float32)) * 1e-12 + eps
-        return eps
-
-    dt = timed_chain(jax.jit(read_chain), (big,), Kc, iters=4)
-    read_bw = big.nbytes / dt
+    read_bw = stream_read_bw(size_mb=512, Kc=8, iters=4)
     print(json.dumps({"program": "calib_stream_read", "gb_per_s": round(read_bw / 1e9, 1),
                       "pct_of_spec": round(read_bw / PEAK_BW * 100, 1)}), flush=True)
 
-    a = jax.device_put(jnp.ones((4096, 4096), jnp.bfloat16))
-
-    def mm_chain(eps, a):
-        x = a
-        for _ in range(Kc):
-            # float perturbation, NOT `+ eps*0` (fold-prone: the zero
-            # multiply severs the chain if XLA folds it — CLAUDE.md rule)
-            x = jax.lax.dot(x + eps.astype(x.dtype) * 1e-12, a,
-                            precision=None, preferred_element_type=jnp.bfloat16)
-            eps = jnp.sum(x[0, :8].astype(jnp.float32)) * 1e-12 + eps
-        return eps
-
-    dt = timed_chain(jax.jit(mm_chain), (a,), Kc, iters=4)
-    mm_flops = 2 * 4096 ** 3 / dt
+    mm_flops = matmul_flops(n=4096, Kc=8, iters=4)
     print(json.dumps({"program": "calib_matmul_4096", "tflop_per_s": round(mm_flops / 1e12, 1),
                       "pct_of_spec": round(mm_flops / PEAK_FLOPS * 100, 1)}), flush=True)
-    del big, a
 
     cfg = make_config("drin", "wikimel", dataset_root="/tmp/unused",
                       compute_dtype="bfloat16")

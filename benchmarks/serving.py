@@ -199,8 +199,7 @@ def main():
     # requests — direct interleaved jit calls vs the micro-batching queue
     # (serve.BatchingRanker).  End-to-end wall clock including host work and
     # transport: this is the serving story, not pure device time.
-    import concurrent.futures as cf
-
+    from benchmarks._timing import daemon_client_pool
     from drin_tpu.serve import BatchingRanker
 
     feats1, _ = g._random_drin_batch(cfg, B=1, rng=rng)
@@ -220,8 +219,11 @@ def main():
         import time as _time
 
         t0 = _time.perf_counter()
-        with cf.ThreadPoolExecutor(n_clients) as ex:
-            list(ex.map(lambda _: call(), range(n_req)))
+        # DAEMON clients (CLAUDE.md pool rule): a cf.ThreadPoolExecutor
+        # worker stuck in a device call on a flapped relay would block both
+        # the context-exit join and interpreter shutdown forever, eating the
+        # device-replay section below; daemon workers die with the process
+        daemon_client_pool(n_clients, n_req, call)
         dt = _time.perf_counter() - t0
         out = {"measurement": "serve_concurrent", "mode": label,
                "clients": n_clients, "requests": n_req,

@@ -448,3 +448,37 @@ def test_reference_batch_is_token_level(monkeypatch):
     etf, etm = feats[7], feats[8]
     assert etf.ndim == 4 and etf.shape[2] == cfg.max_entity_attr_token_len
     assert etm.shape == etf.shape[:3]  # per-candidate token masks
+
+
+def test_daemon_client_pool_drains_and_survives_stuck_workers():
+    """benchmarks/_timing.daemon_client_pool (the serving benchmark's
+    concurrent-client driver): runs call() exactly n_req times across daemon
+    threads, propagates worker exceptions, and RAISES instead of joining
+    forever when workers wedge in a device call on a dead relay — a
+    cf.ThreadPoolExecutor would block the context exit AND interpreter
+    shutdown on its non-daemon workers (CLAUDE.md pool rule)."""
+    import threading
+    import time as _time
+
+    from benchmarks._timing import daemon_client_pool
+
+    calls = []
+    lock = threading.Lock()
+
+    def call():
+        with lock:
+            calls.append(1)
+
+    daemon_client_pool(4, 37, call)
+    assert len(calls) == 37
+
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError, match="did not drain"):
+        daemon_client_pool(2, 4, lambda: _time.sleep(60), timeout_s=1.0)
+    assert _time.monotonic() - t0 < 10  # bounded, not a 60s join
+
+    def boom():
+        raise ValueError("client fault")
+
+    with pytest.raises(ValueError, match="client fault"):
+        daemon_client_pool(2, 4, boom, timeout_s=10)

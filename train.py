@@ -123,8 +123,9 @@ def main(argv=None) -> None:
         _, bert_params = load_bert(cfg.bert_checkpoint, model.bert_cfg)
         params = dict(params, bert=bert_params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    print(f"model: {cfg.model_type} ({n_params:,} params), "
-          f"devices: {cfg.num_devices} ({'mesh' if mesh else 'single chip'})")
+    if jax.process_index() == 0:  # one summary line per run, like the others
+        print(f"model: {cfg.model_type} ({n_params:,} params), "
+              f"devices: {cfg.num_devices} ({'mesh' if mesh else 'single chip'})")
 
     apply_fn = lambda p, f: model.apply({"params": p}, f)
     # training runs with dropout active (the reference trains in torch train
