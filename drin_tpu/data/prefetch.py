@@ -66,12 +66,20 @@ class Prefetcher:
         """Stop the worker and drop queued items (releasing their device
         buffers); idempotent, safe after normal exhaustion too."""
         self._stop.set()
+        self._drain()
+        self._thread.join(timeout=10)
+        # a put() that had already passed the stop check can land BEHIND the
+        # first drain; the worker is done (or parked on the stop flag) after
+        # the join, so one more drain guarantees nothing stays queued —
+        # otherwise the last device batch lives until the Prefetcher is GC'd
+        self._drain()
+
+    def _drain(self):
         while True:
             try:
                 self._q.get_nowait()
             except queue.Empty:
                 break
-        self._thread.join(timeout=10)
 
     def __enter__(self):
         return self

@@ -152,3 +152,22 @@ def test_zip_overflow_is_actionable():
     long_tokens = [[101] + list(range(5, 40)) + [102]] * 4
     with pytest.raises(ValueError, match="num_entity_sentence"):
         zip_entities(long_tokens, 2, 32, 101)
+
+
+def test_prefetcher_close_leaves_nothing_queued():
+    """close() must release EVERY queued item: a worker put() that had
+    already passed the stop check can land behind the first drain, leaving
+    the last (device-resident) batch pinned in the queue until GC — close
+    drains again after the join (prefetch.Prefetcher.close)."""
+    import itertools
+    import queue as _queue
+
+    from drin_tpu.data.prefetch import Prefetcher
+
+    for _ in range(20):  # the race needs a few shots
+        pf = Prefetcher(itertools.count(), depth=2)
+        next(pf)
+        pf.close()
+        assert not pf._thread.is_alive()
+        with pytest.raises(_queue.Empty):
+            pf._q.get_nowait()
